@@ -1,0 +1,253 @@
+"""Static-shape ring-buffer KV cache with pluggable eviction policies.
+
+TPU-first redesign of the reference's three dynamic torch caches:
+
+  * SinkCache   (`/root/reference/test/sink_cache.py:7-164`)  — attention sinks
+    + sliding window with RoPE key re-rotation on eviction,
+  * SlidingWindowCache (`/root/reference/test/sliding_window_cache.py:5-53`) —
+    keep-last-window, keys keep their original rotations,
+  * TrulyStaticCache  (`/root/reference/test/static_cache.py:5-47`) — freeze the
+    first forward's KV forever (prefix-only attention ablation),
+  * plus the unbounded "none" policy (HF DynamicCache behavior).
+
+All four become one mechanism. The cache is a preallocated buffer of
+`window + 1` slots per layer (the last slot is a junk slot that absorbs
+writes of padded/overflow tokens, keeping every shape static under jit).
+Keys are stored **unrotated**; each slot records
+
+  * ``order``   — the global index of the token it holds (-1 = empty), and
+  * ``key_pos`` — the RoPE position the key should be rotated by at read time.
+
+Eviction is slot reuse (ring arithmetic); the sink policy's re-rotation is a
+subtraction on ``key_pos``; causal masking within a freshly written chunk is
+``order <= g_query``. No concatenation, no dynamic shapes, no host logic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Policy (static / hashable — part of the jit cache key)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CachePolicy:
+    """kind: 'none' | 'sliding' | 'sink' | 'static'.
+
+    window   — number of real slots (the junk slot is extra).
+    num_sink — sink region size (sink policy only).
+    """
+
+    kind: str = "sink"
+    window: int = 2048
+    num_sink: int = 32
+
+    def __post_init__(self):
+        if self.kind not in ("none", "sliding", "sink", "static"):
+            raise ValueError(f"unknown cache kind {self.kind}")
+        if self.kind == "sink" and not 0 <= self.num_sink < self.window:
+            raise ValueError("need 0 <= num_sink < window")
+
+    @property
+    def num_slots(self) -> int:
+        return self.window + 1  # + junk slot
+
+    @property
+    def junk(self) -> int:
+        return self.window
+
+
+# ---------------------------------------------------------------------------
+# Cache state (pytree)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    k: jnp.ndarray        # [L, B, W+1, KVH, Dh] unrotated keys
+    v: jnp.ndarray        # [L, B, W+1, KVH, Dh]
+    key_pos: jnp.ndarray  # [B, W+1] int32 — RoPE position per slot
+    order: jnp.ndarray    # [B, W+1] int32 — global token index per slot, -1 empty
+    seen: jnp.ndarray     # [B] int32 — total tokens ever offered
+    length: jnp.ndarray   # [B] int32 — current logical cache length
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_cache(
+    policy: CachePolicy,
+    *,
+    num_layers: int,
+    batch: int,
+    num_kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    W1 = policy.num_slots
+    return KVCache(
+        k=jnp.zeros((num_layers, batch, W1, num_kv_heads, head_dim), dtype),
+        v=jnp.zeros((num_layers, batch, W1, num_kv_heads, head_dim), dtype),
+        key_pos=jnp.zeros((batch, W1), jnp.int32),
+        order=jnp.full((batch, W1), -1, jnp.int32),
+        seen=jnp.zeros((batch,), jnp.int32),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def reset_cache(cache: KVCache) -> KVCache:
+    return dataclasses.replace(
+        cache,
+        order=jnp.full_like(cache.order, -1),
+        key_pos=jnp.zeros_like(cache.key_pos),
+        seen=jnp.zeros_like(cache.seen),
+        length=jnp.zeros_like(cache.length),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Update planning
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class UpdatePlan:
+    """Where a chunk of S new tokens goes, with all policy effects resolved.
+
+    Shapes: [B, S] unless noted. Computed once per chunk, shared by layers.
+    """
+
+    slots: jnp.ndarray     # destination slot per token (junk for invalid)
+    g: jnp.ndarray         # global token index
+    q_pos: jnp.ndarray     # RoPE position of the query (= write position)
+    valid: jnp.ndarray     # bool — token is real (not padding)
+    shift: jnp.ndarray     # [B] — sink-policy key_pos shift for retained ring slots
+    new_key_pos: jnp.ndarray   # [B, W+1] — slot positions after this update
+    new_order: jnp.ndarray     # [B, W+1]
+    new_seen: jnp.ndarray      # [B]
+    new_length: jnp.ndarray    # [B]
+
+
+def plan_update(cache: KVCache, policy: CachePolicy, valid_len: jnp.ndarray, S: int) -> UpdatePlan:
+    """valid_len: [B] int32, number of real tokens in the S-sized chunk."""
+    W = policy.window
+    junk = policy.junk
+    B = cache.batch
+    i = jnp.arange(S, dtype=jnp.int32)[None, :]          # [1, S]
+    valid = i < valid_len[:, None]                        # [B, S]
+    g = cache.seen[:, None] + i                           # [B, S]
+    q_pos = cache.length[:, None] + i                     # [B, S]
+
+    if policy.kind == "none":
+        slots = g
+    elif policy.kind == "sliding":
+        slots = g % W
+    elif policy.kind == "sink":
+        s = policy.num_sink
+        ring = W - s
+        slots = jnp.where(g < s, g, s + (g - s) % ring)
+    elif policy.kind == "static":
+        first_chunk = (cache.seen == 0)[:, None]
+        slots = jnp.where(first_chunk & (g < W), g, junk)
+    else:  # pragma: no cover
+        raise AssertionError(policy.kind)
+    slots = jnp.where(valid, slots, junk).astype(jnp.int32)
+
+    # Sink-policy eviction event: ref sink_cache.py:129 — the shifting branch
+    # fires when chunk + current length reaches the window; retained ring keys
+    # are re-rotated back by the chunk size. Here: key_pos -= valid_len.
+    if policy.kind == "sink":
+        event = (cache.length + valid_len) >= W
+        shift = jnp.where(event, valid_len, 0).astype(jnp.int32)
+    else:
+        shift = jnp.zeros((B,), jnp.int32)
+
+    # --- metadata after the update -------------------------------------
+    slot_idx = jnp.arange(policy.num_slots, dtype=jnp.int32)[None, :]  # [1, W+1]
+    is_ring = slot_idx >= policy.num_sink if policy.kind == "sink" else jnp.zeros_like(slot_idx, bool)
+    occupied = cache.order >= 0
+    key_pos = jnp.where(
+        is_ring & occupied, cache.key_pos - shift[:, None], cache.key_pos
+    )
+
+    def scatter_meta(dst, src):
+        return jax.vmap(lambda d, idx, s: d.at[idx].set(s))(dst, slots, src)
+
+    key_pos = scatter_meta(key_pos, q_pos)
+    order = scatter_meta(cache.order, g)
+    # the junk slot never becomes valid
+    order = order.at[:, junk].set(-1)
+
+    new_seen = cache.seen + valid_len
+    if policy.kind == "none":
+        new_length = cache.length + valid_len
+    elif policy.kind == "static":
+        new_length = jnp.where(
+            cache.seen == 0, jnp.minimum(valid_len, W), cache.length
+        )
+    else:
+        new_length = jnp.minimum(cache.length + valid_len, W)
+
+    return UpdatePlan(
+        slots=slots,
+        g=g,
+        q_pos=q_pos,
+        valid=valid,
+        shift=shift,
+        new_key_pos=key_pos,
+        new_order=order,
+        new_seen=new_seen,
+        new_length=new_length,
+    )
+
+
+def write_layer(
+    k_cache: jnp.ndarray,  # [B, W+1, KVH, Dh]
+    v_cache: jnp.ndarray,
+    k_new: jnp.ndarray,    # [B, S, KVH, Dh] (unrotated)
+    v_new: jnp.ndarray,
+    plan: UpdatePlan,
+):
+    """Scatter a chunk into one layer's slots (junk slot absorbs padding)."""
+    def scat(buf, idx, val):
+        return buf.at[idx].set(val)
+
+    k_cache = jax.vmap(scat)(k_cache, plan.slots, k_new)
+    v_cache = jax.vmap(scat)(v_cache, plan.slots, v_new)
+    return k_cache, v_cache
+
+
+def advance(cache: KVCache, plan: UpdatePlan, new_k: jnp.ndarray, new_v: jnp.ndarray) -> KVCache:
+    """Produce the post-chunk cache. new_k/new_v: [L, B, W+1, KVH, Dh] already
+    written by write_layer inside the layer scan."""
+    return KVCache(
+        k=new_k,
+        v=new_v,
+        key_pos=plan.new_key_pos,
+        order=plan.new_order,
+        seen=plan.new_seen,
+        length=plan.new_length,
+    )
+
+
+def attention_slot_mask(plan: UpdatePlan) -> jnp.ndarray:
+    """[B, S, W+1] bool — which slots each query token may attend to.
+
+    A slot is visible iff it is occupied (order >= 0) and holds a token that
+    is not in the query's future (order <= g_query). Covers cross-chunk
+    causality, intra-chunk causality, eviction, and the static policy's
+    "prefix-only" semantics in one predicate.
+    """
+    order = plan.new_order[:, None, :]      # [B, 1, W+1]
+    g = plan.g[:, :, None]                  # [B, S, 1]
+    return (order >= 0) & (order <= g)

@@ -7,10 +7,15 @@ are 20-40s; CPU keeps the suite fast and lets us fake multi-chip meshes).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The environment boots an 'axon' TPU-tunnel backend via sitecustomize and
+# pins JAX_PLATFORMS=axon; env edits here are too late (site init already
+# ran), so override through jax.config before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
+
+import jax
+
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

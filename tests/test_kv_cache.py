@@ -1,0 +1,257 @@
+"""KV ring-buffer cache parity tests.
+
+Oracle = the reference's own torch cache classes (SinkCache /
+SlidingWindowCache / TrulyStaticCache), loaded from the read-only mount and
+driven with identical random K/V streams. The reference stores rotated keys;
+we store unrotated keys + per-slot positions — so we compare *effective*
+rotated keys, values, ordering, and query positions after every chunk.
+"""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aha_tpu.ops.kv_cache import (
+    CachePolicy,
+    advance,
+    attention_slot_mask,
+    init_cache,
+    plan_update,
+    write_layer,
+)
+from aha_tpu.ops.rope import rope_cos_sin, rotate_by_positions
+from aha_tpu.ops.attention import cached_attention, causal_attention
+
+KVH, DH = 2, 8
+THETA = 10000.0
+
+
+def _load_ref(reference_root, name):
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    class _BareCache:
+        """Stand-in for the transformers Cache base: the installed version's
+        __init__ signature changed; the reference classes only need a no-op."""
+
+        def __init__(self, *a, **k):
+            pass
+
+    real = transformers.Cache
+    transformers.Cache = _BareCache
+    try:
+        spec = importlib.util.spec_from_file_location(name, reference_root / "test" / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        transformers.Cache = real
+    return mod, torch
+
+
+def _torch_rope_table(torch, max_pos):
+    cos, sin = rope_cos_sin(jnp.arange(max_pos), DH, THETA)
+    return torch.tensor(np.asarray(cos)), torch.tensor(np.asarray(sin))
+
+
+def _rotate_torch(torch, x, cos, sin, positions):
+    # x: [1, H, S, D]; rotate by given positions using the same convention
+    c = cos[positions][None, None]  # [1,1,S,D]
+    s = sin[positions][None, None]
+    x1, x2 = x[..., : DH // 2], x[..., DH // 2 :]
+    rot = torch.cat([-x2, x1], dim=-1)
+    return x * c + rot * s
+
+
+import functools
+
+import jax
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_step(policy: CachePolicy, S: int):
+    """One compiled cache-update step per (policy, chunk size) — the same
+    pattern the streaming engine uses (compile once, reuse every frame)."""
+
+    @jax.jit
+    def step(cache, k_new, v_new, valid_len):
+        plan = plan_update(cache, policy, valid_len, S)
+        k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+        return advance(cache, plan, k_c[None], v_c[None])
+
+    return step
+
+
+def _np_rotate(k, pos):
+    """numpy rope (same convention) — keeps the comparison off the jax compiler."""
+    half = DH // 2
+    inv_freq = 1.0 / (THETA ** (np.arange(half) / half))
+    freqs = pos[:, None] * inv_freq
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    cos, sin = np.cos(emb)[:, None, :], np.sin(emb)[:, None, :]
+    k1, k2 = k[..., :half], k[..., half:]
+    rot = np.concatenate([-k2, k1], axis=-1)
+    return k * cos + rot * sin
+
+
+def _my_effective_kv(cache):
+    """Valid slots sorted by global order -> (rotated keys, values, orders)."""
+    order = np.asarray(cache.order[0])
+    valid = np.nonzero(order >= 0)[0]
+    valid = valid[np.argsort(order[valid])]
+    k = np.asarray(cache.k[0, 0])[valid]          # [T, KVH, DH] unrotated
+    pos = np.asarray(cache.key_pos[0])[valid].astype(np.float64)
+    k_rot = _np_rotate(k.astype(np.float64), pos)
+    v = np.asarray(cache.v[0, 0])[valid]
+    return k_rot, v, order[valid]
+
+
+def _drive_both(reference_root, ref_name, ref_ctor, policy, chunk_sizes, seed=0):
+    mod, torch = _load_ref(reference_root, ref_name)
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+
+    ref_cache = ref_ctor(mod)
+    my = init_cache(policy, num_layers=1, batch=1, num_kv_heads=KVH, head_dim=DH, dtype=jnp.float32)
+    cos_t, sin_t = _torch_rope_table(torch, 4096)
+
+    for S in chunk_sizes:
+        k = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+        v = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+
+        # ---- reference: rotate keys at current positions, then update
+        past = ref_cache.get_seq_length(0)
+        pos = torch.arange(past, past + S)
+        kt = torch.tensor(k).permute(0, 2, 1, 3)  # [1, KVH, S, DH]
+        vt = torch.tensor(v).permute(0, 2, 1, 3)
+        k_rot_t = _rotate_torch(torch, kt, cos_t, sin_t, pos)
+        ref_cache.update(k_rot_t, vt, 0, cache_kwargs={"sin": sin_t, "cos": cos_t})
+
+        # ---- ours
+        assert int(my.length[0]) == past, "query-position base must match reference"
+        my = _jitted_step(policy, S)(my, jnp.asarray(k), jnp.asarray(v), jnp.array([S], jnp.int32))
+
+        # ---- compare effective contents
+        ref_k = ref_cache.key_cache[0].permute(0, 2, 1, 3)[0].numpy()  # [T, KVH, DH]
+        ref_v = ref_cache.value_cache[0].permute(0, 2, 1, 3)[0].numpy()
+        my_k, my_v, _ = _my_effective_kv(my)
+        assert my_k.shape == ref_k.shape, f"len mismatch {my_k.shape} vs {ref_k.shape}"
+        np.testing.assert_allclose(my_v, ref_v, rtol=0, atol=0)
+        np.testing.assert_allclose(my_k, ref_k, rtol=2e-5, atol=2e-5)
+    return my
+
+
+def test_sink_cache_parity_stepwise(reference_root):
+    policy = CachePolicy("sink", window=16, num_sink=3)
+    _drive_both(
+        reference_root,
+        "sink_cache",
+        lambda m: m.SinkCache(window_length=16, num_sink_tokens=3),
+        policy,
+        chunk_sizes=[5] + [1] * 30,
+    )
+
+
+def test_sink_cache_parity_chunked(reference_root):
+    policy = CachePolicy("sink", window=20, num_sink=4)
+    _drive_both(
+        reference_root,
+        "sink_cache",
+        lambda m: m.SinkCache(window_length=20, num_sink_tokens=4),
+        policy,
+        chunk_sizes=[7, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3],
+    )
+
+
+def test_sliding_window_parity(reference_root):
+    policy = CachePolicy("sliding", window=8)
+    _drive_both(
+        reference_root,
+        "sliding_window_cache",
+        lambda m: m.SlidingWindowCache(window_length=8),
+        policy,
+        chunk_sizes=[3, 3, 3, 3, 3, 1, 2],
+    )
+
+
+def test_static_cache_parity(reference_root):
+    policy = CachePolicy("static", window=12)
+    _drive_both(
+        reference_root,
+        "static_cache",
+        lambda m: m.TrulyStaticCache(window_size=12),
+        policy,
+        chunk_sizes=[5, 4, 4, 4],  # freezes at the first 5-token chunk
+    )
+
+
+def test_static_cache_truncates_first_chunk(reference_root):
+    policy = CachePolicy("static", window=4)
+    my = _drive_both(
+        reference_root,
+        "static_cache",
+        lambda m: m.TrulyStaticCache(window_size=4),
+        policy,
+        chunk_sizes=[7, 3],
+    )
+    assert int(my.length[0]) == 4
+
+
+# ---------------------------------------------------------------------------
+# Pure-jax semantics tests (no reference needed)
+# ---------------------------------------------------------------------------
+
+
+def test_padded_tokens_go_to_junk():
+    policy = CachePolicy("sliding", window=8)
+    my = init_cache(policy, num_layers=1, batch=2, num_kv_heads=KVH, head_dim=DH, dtype=jnp.float32)
+    S = 4
+    plan = plan_update(my, policy, jnp.array([2, 4], jnp.int32), S)
+    # batch 0: last two tokens invalid -> junk slot
+    assert plan.slots[0, 2] == policy.junk and plan.slots[0, 3] == policy.junk
+    assert plan.slots[1, 3] != policy.junk
+    assert int(plan.new_seen[0]) == 2 and int(plan.new_seen[1]) == 4
+    assert int(plan.new_order[0, policy.junk]) == -1
+
+
+def test_intra_chunk_causal_mask():
+    policy = CachePolicy("none", window=8)
+    my = init_cache(policy, num_layers=1, batch=1, num_kv_heads=KVH, head_dim=DH, dtype=jnp.float32)
+    plan = plan_update(my, policy, jnp.array([3], jnp.int32), 3)
+    mask = np.asarray(attention_slot_mask(plan)[0])  # [S, W+1]
+    # token 0 sees slot 0 only; token 2 sees slots 0..2
+    assert mask[0, :3].tolist() == [True, False, False]
+    assert mask[2, :3].tolist() == [True, True, True]
+    assert not mask[:, policy.junk].any()
+
+
+def test_chunked_cached_attention_matches_full_causal():
+    """Streaming with the unbounded policy must equal one-shot causal attention."""
+    rng = np.random.default_rng(1)
+    B, T, NH = 2, 12, 4
+    q = rng.standard_normal((B, T, NH, DH)).astype(np.float32)
+    k = rng.standard_normal((B, T, KVH, DH)).astype(np.float32)
+    v = rng.standard_normal((B, T, KVH, DH)).astype(np.float32)
+
+    full = causal_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), rope_theta=THETA)
+
+    policy = CachePolicy("none", window=T)
+    cache = init_cache(policy, num_layers=1, batch=B, num_kv_heads=KVH, head_dim=DH, dtype=jnp.float32)
+    outs = []
+    for start, size in [(0, 5), (5, 3), (8, 4)]:
+        plan = plan_update(cache, policy, jnp.full((B,), size, jnp.int32), size)
+        k_c, v_c = write_layer(
+            cache.k[0], cache.v[0],
+            jnp.asarray(k[:, start : start + size]), jnp.asarray(v[:, start : start + size]),
+            plan,
+        )
+        cache = advance(cache, plan, k_c[None], v_c[None])
+        out = cached_attention(
+            jnp.asarray(q[:, start : start + size]), k_c, v_c, cache.key_pos, plan,
+            rope_theta=THETA,
+        )
+        outs.append(np.asarray(out))
+    streamed = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(streamed, np.asarray(full), rtol=2e-4, atol=2e-4)
