@@ -1,0 +1,219 @@
+"""Checkpoint conversion: HF torch state dicts -> aha_tpu param pytrees.
+
+The reference loads `lmms-lab/llava-onevision-qwen2-7b-ov` + LoRA adapters
+through transformers/peft (`/root/reference/models/modeling_live.py:96-181`).
+Here conversion is explicit and offline: torch tensors come in [out, in]
+layout and are transposed to our [in, out] right-multiplication layout;
+per-layer tensors are stacked on a leading L axis for the scan.
+
+Entry points:
+  * convert_qwen2 / convert_siglip / convert_projector_heads — from a
+    state-dict-like mapping (str -> numpy array),
+  * load_params — from a directory of .safetensors / torch .bin shards,
+  * save_converted / load_converted — orbax round-trip of converted trees.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.config import AhaConfig, QwenConfig, SiglipConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        return x.detach().to("cpu").float().numpy()
+    return np.asarray(x)
+
+
+def _stack(sd: dict, template: str, n: int, transpose: bool = False):
+    arrs = []
+    for i in range(n):
+        a = _np(sd[template.format(i=i)])
+        arrs.append(a.T if transpose else a)
+    return np.stack(arrs)
+
+
+def convert_qwen2(sd: dict, cfg: QwenConfig, prefix: str = "model.", dtype=jnp.float32) -> dict:
+    """state dict -> qwen2 param tree. `prefix` covers nesting differences
+    (e.g. 'model.' for a bare Qwen2ForCausalLM, 'language_model.model.' in
+    composite checkpoints)."""
+    L = cfg.num_layers
+    p = prefix
+    lyr = p + "layers.{i}."
+    layers = {
+        "input_norm": {"scale": _stack(sd, lyr + "input_layernorm.weight", L)},
+        "q_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.q_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.q_proj.bias", L),
+        },
+        "k_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.k_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.k_proj.bias", L),
+        },
+        "v_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.v_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.v_proj.bias", L),
+        },
+        "o_proj": {"kernel": _stack(sd, lyr + "self_attn.o_proj.weight", L, transpose=True)},
+        "post_norm": {"scale": _stack(sd, lyr + "post_attention_layernorm.weight", L)},
+        "gate_proj": {"kernel": _stack(sd, lyr + "mlp.gate_proj.weight", L, transpose=True)},
+        "up_proj": {"kernel": _stack(sd, lyr + "mlp.up_proj.weight", L, transpose=True)},
+        "down_proj": {"kernel": _stack(sd, lyr + "mlp.down_proj.weight", L, transpose=True)},
+    }
+    out = {
+        "embed": {"weight": _np(sd[p + "embed_tokens.weight"])},
+        "layers": layers,
+        "final_norm": {"scale": _np(sd[p + "norm.weight"])},
+    }
+    if not cfg.tie_word_embeddings:
+        out["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return _cast(out, dtype)
+
+
+def convert_siglip(sd: dict, cfg: SiglipConfig, prefix: str = "vision_model.", dtype=jnp.float32) -> dict:
+    L = cfg.num_layers
+    p = prefix
+    lyr = p + "encoder.layers.{i}."
+    layers = {
+        "ln1": {
+            "scale": _stack(sd, lyr + "layer_norm1.weight", L),
+            "bias": _stack(sd, lyr + "layer_norm1.bias", L),
+        },
+        "q_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.q_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.q_proj.bias", L),
+        },
+        "k_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.k_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.k_proj.bias", L),
+        },
+        "v_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.v_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.v_proj.bias", L),
+        },
+        "out_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.out_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.out_proj.bias", L),
+        },
+        "ln2": {
+            "scale": _stack(sd, lyr + "layer_norm2.weight", L),
+            "bias": _stack(sd, lyr + "layer_norm2.bias", L),
+        },
+        "fc1": {
+            "kernel": _stack(sd, lyr + "mlp.fc1.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "mlp.fc1.bias", L),
+        },
+        "fc2": {
+            "kernel": _stack(sd, lyr + "mlp.fc2.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "mlp.fc2.bias", L),
+        },
+    }
+    patch_w = _np(sd[p + "embeddings.patch_embedding.weight"])  # [H, 3, P, P]
+    out = {
+        "patch_embed": {
+            "kernel": patch_w.transpose(2, 3, 1, 0),  # -> HWIO
+            "bias": _np(sd[p + "embeddings.patch_embedding.bias"]),
+        },
+        "pos_embed": _np(sd[p + "embeddings.position_embedding.weight"]),
+        "layers": layers,
+        "post_ln": {
+            "scale": _np(sd[p + "post_layernorm.weight"]),
+            "bias": _np(sd[p + "post_layernorm.bias"]),
+        },
+    }
+    return _cast(out, dtype)
+
+
+def convert_projector_heads(sd: dict, dtype=jnp.float32) -> tuple[dict, dict]:
+    """mm_projector (Sequential Linear/GELU/Linear) + three score heads
+    (ref keys: model.mm_projector.{0,2}.*, {informative,relevance,uncertainty}_head.weight)."""
+    projector = {
+        "fc1": {
+            "kernel": _np(sd["model.mm_projector.0.weight"]).T,
+            "bias": _np(sd["model.mm_projector.0.bias"]),
+        },
+        "fc2": {
+            "kernel": _np(sd["model.mm_projector.2.weight"]).T,
+            "bias": _np(sd["model.mm_projector.2.bias"]),
+        },
+    }
+    heads = {
+        "informative": {"kernel": _np(sd["informative_head.weight"]).T},
+        "relevance": {"kernel": _np(sd["relevance_head.weight"]).T},
+        "uncertainty": {"kernel": _np(sd["uncertainty_head.weight"]).T},
+    }
+    return _cast(projector, dtype), _cast(heads, dtype)
+
+
+def _cast(tree, dtype):
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), tree)
+
+
+# ---------------------------------------------------------------------------
+# File loading
+# ---------------------------------------------------------------------------
+
+
+def _read_state_dict(path: str) -> dict:
+    """Load all tensors from a checkpoint dir (.safetensors preferred)."""
+    sd: dict = {}
+    files = sorted(os.listdir(path))
+    st_files = [f for f in files if f.endswith(".safetensors")]
+    bin_files = [f for f in files if f.endswith(".bin") or f.endswith(".pt")]
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(os.path.join(path, f), framework="np") as h:
+                for key in h.keys():
+                    sd[key] = h.get_tensor(key)
+    elif bin_files:
+        import torch
+
+        for f in bin_files:
+            sd.update(torch.load(os.path.join(path, f), map_location="cpu", weights_only=True))
+    else:
+        raise FileNotFoundError(f"no .safetensors/.bin shards in {path}")
+    return sd
+
+
+def load_params(path: str, cfg: AhaConfig, dtype=jnp.float32) -> dict:
+    """Convert a full reference-style checkpoint directory into AhaParams."""
+    sd = _read_state_dict(path)
+    llm_prefix = "model." if "model.embed_tokens.weight" in sd else "language_model.model."
+    vis_prefix = next(
+        (k[: -len("embeddings.patch_embedding.weight")] for k in sd
+         if k.endswith("embeddings.patch_embedding.weight")),
+        "vision_model.",
+    )
+    params = {
+        "llm": convert_qwen2(sd, cfg.llm, prefix=llm_prefix, dtype=dtype),
+        "vision": convert_siglip(sd, cfg.vision, prefix=vis_prefix, dtype=dtype),
+    }
+    params["projector"], params["heads"] = convert_projector_heads(sd, dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Orbax round-trip for converted trees
+# ---------------------------------------------------------------------------
+
+
+def save_converted(params: dict, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+
+
+def load_converted(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))

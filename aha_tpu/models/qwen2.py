@@ -1,0 +1,214 @@
+"""Qwen2-family decoder as pure functions over a param pytree.
+
+Replaces the reference's dependence on transformers' Qwen2 torch modules
+(`/root/reference/models/live_llava/video_head_live_llava_qwen.py:63-80`)
+with a TPU-first design:
+
+  * layer params stacked on a leading L axis, traversed with ``lax.scan``
+    (one compiled layer body, fast compiles, natural FSDP/TP sharding axes);
+  * one attention core shared by training (full causal) and streaming
+    (ring-buffer cache chunks) — the reference's three decode entry points
+    collapse onto ``forward_hidden`` and ``decode_chunk``;
+  * optional LoRA delta trees folded into the projections at apply time.
+
+Weight layout: kernels are [in, out] (right-multiplication, natural for
+``x @ W`` on the MXU); HF checkpoints are transposed on conversion
+(models/loader.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from aha_tpu.config import QwenConfig
+from aha_tpu.ops.attention import cached_attention, causal_attention
+from aha_tpu.ops.kv_cache import (
+    CachePolicy,
+    KVCache,
+    UpdatePlan,
+    advance,
+    plan_update,
+    write_layer,
+)
+
+
+# ---------------------------------------------------------------------------
+# Param init
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: QwenConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init decoder params (normal(0.02), zeros bias, ones norm)."""
+    k = iter(jax.random.split(key, 16))
+
+    def dense(kk, shape):
+        return (0.02 * jax.random.normal(kk, shape)).astype(dtype)
+
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    QD, KD = cfg.q_dim, cfg.kv_dim
+    layers = {
+        "input_norm": {"scale": jnp.ones((L, H), dtype)},
+        "q_proj": {"kernel": dense(next(k), (L, H, QD)), "bias": jnp.zeros((L, QD), dtype)},
+        "k_proj": {"kernel": dense(next(k), (L, H, KD)), "bias": jnp.zeros((L, KD), dtype)},
+        "v_proj": {"kernel": dense(next(k), (L, H, KD)), "bias": jnp.zeros((L, KD), dtype)},
+        "o_proj": {"kernel": dense(next(k), (L, QD, H))},
+        "post_norm": {"scale": jnp.ones((L, H), dtype)},
+        "gate_proj": {"kernel": dense(next(k), (L, H, I))},
+        "up_proj": {"kernel": dense(next(k), (L, H, I))},
+        "down_proj": {"kernel": dense(next(k), (L, I, H))},
+    }
+    params = {
+        "embed": {"weight": dense(next(k), (cfg.vocab_size, H))},
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones((H,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": dense(next(k), (H, cfg.vocab_size))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float = 0.0) -> jnp.ndarray:
+    y = jnp.einsum("...i,io->...o", x, p["kernel"])
+    if lora is not None:
+        # y += scale * (x @ A) @ B — computed at low rank, never materializing W+ΔW
+        y = y + lora_scale * jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, lora["a"]), lora["b"])
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _layer_lora(lora: dict | None, name: str):
+    if lora is None or name not in lora:
+        return None
+    return lora[name]
+
+
+def _mlp(x, lp, lora, lora_scale):
+    gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale)
+    up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return linear(act, {"kernel": lp["down_proj"]["kernel"]}, _layer_lora(lora, "down_proj"), lora_scale)
+
+
+def _qkv(x, lp, cfg: QwenConfig, lora, lora_scale):
+    B, S, _ = x.shape
+    q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale)
+    k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale)
+    v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale)
+    q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (training / prefill without cache)
+# ---------------------------------------------------------------------------
+
+
+def forward_hidden(
+    params: dict,
+    cfg: QwenConfig,
+    inputs_embeds: jnp.ndarray,          # [B, T, H]
+    *,
+    attn_mask: jnp.ndarray | None = None,  # [B, T] bool
+    positions: jnp.ndarray | None = None,  # [B, T]
+    lora: dict | None = None,
+    lora_scale: float = 0.0,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Final hidden states [B, T, H] via scan over stacked layers."""
+    x = inputs_embeds
+
+    def layer_fn(x, scanned):
+        lp, lora_l = scanned
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
+        attn = causal_attention(
+            q, k, v, rope_theta=cfg.rope_theta, positions=positions, attn_mask=attn_mask
+        )
+        attn = attn.reshape(*x.shape[:2], cfg.q_dim)
+        x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
+        h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp, lora_l, lora_scale)
+        return x, None
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    x, _ = jax.lax.scan(layer_fn, x, (params["layers"], lora))
+    return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Streaming decode over the ring-buffer cache
+# ---------------------------------------------------------------------------
+
+
+def decode_chunk(
+    params: dict,
+    cfg: QwenConfig,
+    policy: CachePolicy,
+    cache: KVCache,
+    inputs_embeds: jnp.ndarray,   # [B, S, H]
+    valid_len: jnp.ndarray,       # [B]
+    *,
+    lora: dict | None = None,
+    lora_scale: float = 0.0,
+) -> tuple[jnp.ndarray, KVCache]:
+    """One streaming chunk: returns (final hidden [B, S, H], updated cache).
+
+    The update plan (slots/positions/mask) is computed once and shared by all
+    layers; the layer scan carries the hidden state and streams each layer's
+    cache slice through `write_layer` + `cached_attention`.
+    """
+    S = inputs_embeds.shape[1]
+    plan: UpdatePlan = plan_update(cache, policy, valid_len, S)
+
+    def layer_fn(x, scanned):
+        lp, k_cache_l, v_cache_l, lora_l = scanned
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
+        k_c, v_c = write_layer(k_cache_l, v_cache_l, k, v, plan)
+        attn = cached_attention(q, k_c, v_c, plan.new_key_pos, plan, rope_theta=cfg.rope_theta)
+        attn = attn.reshape(*x.shape[:2], cfg.q_dim)
+        x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
+        h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(h, lp, lora_l, lora_scale)
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, inputs_embeds, (params["layers"], cache.k, cache.v, lora)
+    )
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    new_cache = advance(cache, plan, new_k, new_v)
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Embedding / logits
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"]["weight"][input_ids]
+
+
+def lm_logits(params: dict, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_word_embeddings:
+        return jnp.einsum("...h,vh->...v", hidden, params["embed"]["weight"])
+    return jnp.einsum("...h,hv->...v", hidden, params["lm_head"]["kernel"])

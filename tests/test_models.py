@@ -1,0 +1,231 @@
+"""Model-core parity tests.
+
+Oracles: transformers' torch Qwen2 / SigLIP implementations on tiny
+random-init configs (CPU), converted through models/loader.py. Also checks
+streaming decode == full forward at the model level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aha_tpu import config as C
+from aha_tpu.models import aha, loader, qwen2, siglip
+from aha_tpu.ops.kv_cache import CachePolicy, init_cache
+from aha_tpu.ops.pooling import pool_patch_tokens
+
+torch = pytest.importorskip("torch")
+
+
+TINY = C.qwen2_tiny(vocab_size=128)
+
+
+@pytest.fixture(scope="module")
+def hf_qwen():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen2Config(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_layers,
+        num_attention_heads=TINY.num_heads,
+        num_key_value_heads=TINY.num_kv_heads,
+        rope_theta=TINY.rope_theta,
+        rms_norm_eps=TINY.rms_norm_eps,
+        max_position_embeddings=TINY.max_position_embeddings,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = Qwen2ForCausalLM(hf_cfg)
+    model.eval()
+    return model
+
+
+def test_qwen2_logit_parity(hf_qwen):
+    params = loader.convert_qwen2(hf_qwen.state_dict(), TINY)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, TINY.vocab_size, size=(2, 17))
+    with torch.no_grad():
+        ref = hf_qwen(input_ids=torch.tensor(ids)).logits.numpy()
+
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    hidden = qwen2.forward_hidden(params, TINY, embeds)
+    ours = np.asarray(qwen2.lm_logits(params, TINY, hidden))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_left_padded_parity(hf_qwen):
+    """Left padding + attention mask must reproduce HF masked logits on the
+    real tokens (the reference batches left-padded, data_collator.py:19)."""
+    params = loader.convert_qwen2(hf_qwen.state_dict(), TINY)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, TINY.vocab_size, size=(2, 12))
+    mask = np.ones_like(ids)
+    ids[0, :4] = 0
+    mask[0, :4] = 0
+    with torch.no_grad():
+        ref = hf_qwen(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).logits.numpy()
+
+    embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+    amask = jnp.asarray(mask, bool)
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    hidden = qwen2.forward_hidden(params, TINY, embeds, attn_mask=amask, positions=jnp.asarray(positions))
+    ours = np.asarray(qwen2.lm_logits(params, TINY, hidden))
+    np.testing.assert_allclose(ours[0, 4:], ref[0, 4:], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(ours[1], ref[1], rtol=2e-4, atol=2e-4)
+
+
+def test_decode_chunks_match_full_forward():
+    """Streaming decode over an unbounded cache == full-sequence forward."""
+    cfg = TINY
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    T = 20
+    embeds = jnp.asarray(rng.standard_normal((1, T, cfg.hidden_size)), jnp.float32)
+
+    full = qwen2.forward_hidden(params, cfg, embeds)
+
+    policy = CachePolicy("none", window=T)
+    cache = init_cache(
+        policy, num_layers=cfg.num_layers, batch=1,
+        num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim, dtype=jnp.float32,
+    )
+    outs = []
+    for start, size in [(0, 8), (8, 8), (16, 4)]:
+        h, cache = qwen2.decode_chunk(
+            params, cfg, policy, cache,
+            embeds[:, start : start + size], jnp.array([size], jnp.int32),
+        )
+        outs.append(np.asarray(h))
+    streamed = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(streamed, np.asarray(full), rtol=3e-4, atol=3e-4)
+
+
+def test_decode_chunk_with_padding_matches():
+    """A chunk padded beyond valid_len must produce identical states for the
+    valid prefix (padding goes to the junk slot)."""
+    cfg = TINY
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.standard_normal((1, 10, cfg.hidden_size)), jnp.float32)
+    policy = CachePolicy("none", window=32)
+
+    def run(chunks):
+        cache = init_cache(policy, num_layers=cfg.num_layers, batch=1,
+                           num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim, dtype=jnp.float32)
+        hs = []
+        for chunk, vl in chunks:
+            h, cache = qwen2.decode_chunk(params, cfg, policy, cache, chunk, jnp.array([vl], jnp.int32))
+            hs.append(np.asarray(h[:, :vl]))
+        return np.concatenate(hs, axis=1)
+
+    exact = run([(embeds[:, :6], 6), (embeds[:, 6:10], 4)])
+    padded_chunk = jnp.concatenate([embeds[:, 6:10], jnp.zeros((1, 4, cfg.hidden_size))], axis=1)
+    padded = run([(embeds[:, :6], 6), (padded_chunk, 4)])
+    np.testing.assert_allclose(padded, exact, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SigLIP
+# ---------------------------------------------------------------------------
+
+
+VTINY = C.SiglipConfig(image_size=32, patch_size=16, hidden_size=32,
+                       intermediate_size=64, num_layers=2, num_heads=2)
+
+
+@pytest.fixture(scope="module")
+def hf_siglip():
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    torch.manual_seed(0)
+    hf_cfg = SiglipVisionConfig(
+        image_size=VTINY.image_size,
+        patch_size=VTINY.patch_size,
+        hidden_size=VTINY.hidden_size,
+        intermediate_size=VTINY.intermediate_size,
+        num_hidden_layers=VTINY.num_layers,
+        num_attention_heads=VTINY.num_heads,
+        layer_norm_eps=VTINY.layer_norm_eps,
+        attn_implementation="eager",
+    )
+    model = SiglipVisionModel(hf_cfg)
+    model.eval()
+    return model
+
+
+def test_siglip_feature_parity(hf_siglip):
+    params = loader.convert_siglip(hf_siglip.state_dict(), VTINY, prefix="vision_model.")
+    rng = np.random.default_rng(0)
+    # normalized pixel input, NCHW for torch / NHWC for us
+    pix = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_siglip(pixel_values=torch.tensor(pix)).last_hidden_state.numpy()
+    ours = np.asarray(siglip.forward(params, VTINY, jnp.asarray(pix.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_adaptive_pool_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 24 * 24, 5)).astype(np.float32)
+    ref = (
+        torch.nn.functional.adaptive_avg_pool2d(
+            torch.tensor(x).reshape(2, 24, 24, 5).permute(0, 3, 1, 2), (7, 7)
+        )
+        .flatten(2, 3)
+        .permute(0, 2, 1)
+        .numpy()
+    )
+    ours = np.asarray(pool_patch_tokens(jnp.asarray(x), 24, (7, 7), "average"))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Combined model
+# ---------------------------------------------------------------------------
+
+
+def test_joint_embed_scatters_frames():
+    cfg = C.aha_tiny(vocab_size=256)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg)
+    convo = [
+        {"role": "system", "content": "s"},
+        {"role": "stream", "num_frames": 2, "learn": True},
+    ]
+    ids = jnp.asarray([tok.apply_chat_template(convo)])
+    F = cfg.frame_num_tokens
+    frame_embeds = jnp.arange(2 * F * cfg.llm.hidden_size, dtype=jnp.float32).reshape(2 * F, -1)
+    out = aha.joint_embed(params, cfg, ids, frame_embeds)
+    mask = np.asarray(ids[0]) == cfg.v_placeholder_id
+    assert mask.sum() == 2 * F
+    np.testing.assert_array_equal(np.asarray(out[0])[mask], np.asarray(frame_embeds))
+    # non-placeholder positions keep their token embeddings
+    tok_emb = np.asarray(qwen2.embed_tokens(params["llm"], ids)[0])
+    np.testing.assert_array_equal(np.asarray(out[0])[~mask], tok_emb[~mask])
+
+
+def test_forward_train_shapes_and_heads():
+    cfg = C.aha_tiny(vocab_size=256)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg)
+    convo = [
+        {"role": "system", "content": "sys"},
+        {"role": "stream", "num_frames": 3, "learn": True},
+        {"role": "assistant", "content": "ok", "learn": True},
+    ]
+    ids = jnp.asarray([tok.apply_chat_template(convo)])
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, size=(3, cfg.frame_resolution, cfg.frame_resolution, 3)),
+        jnp.uint8,
+    )
+    out = aha.forward_train(params, cfg, ids, frames, remat=False)
+    B, T = ids.shape
+    assert out.logits.shape == (B, T, cfg.llm.vocab_size)
+    assert out.informative_logits.shape == (B, T, 2)
+    assert out.relevance.shape == (B, T)
+    assert out.log_variance.shape == (B, T)
+    assert bool(jnp.isfinite(out.logits).all())
+    assert (np.asarray(out.relevance) >= 0).all() and (np.asarray(out.relevance) <= 1).all()
