@@ -1,0 +1,269 @@
+"""StreamEngine: the jitted compute primitives behind streaming inference.
+
+TPU-first redesign of the reference's per-frame torch loop
+(`/root/reference/test/inference.py:196-281` + `fast_greedy_generate` at
+`/root/reference/models/modeling_live.py:64-90`). The reference runs one
+eager forward per frame with a dynamically growing cache and syncs three
+floats to the host per frame; here every hot path is a jitted function over
+the static ring-buffer cache:
+
+  * ``append_ids``     — feed a padded chunk of token ids through the decoder,
+  * ``append_frames``  — feed one frame's visual tokens, returning the three
+                         per-frame scores (still on device),
+  * ``score_stream``   — ``lax.scan`` over T frames with zero host syncs
+                         (the no-generation benchmark fast path),
+  * ``generate``       — greedy decode as ``lax.while_loop`` with repetition
+                         penalty and a static [max_new_tokens] output buffer,
+  * ``encode_frames``  — batched vision tower + projector (pre-encoding).
+
+Token-id chunks are padded to a small set of bucket lengths so each bucket
+compiles once. Scores/ids only cross to the host when the session decides.
+"""
+
+from __future__ import annotations
+
+import functools
+from bisect import bisect_left
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.config import AhaConfig
+from aha_tpu.models import aha, qwen2
+from aha_tpu.ops.kv_cache import CachePolicy, KVCache, init_cache, reset_cache
+
+
+ID_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int, buckets=ID_BUCKETS) -> int:
+    i = bisect_left(buckets, n)
+    if i == len(buckets):
+        raise ValueError(f"id chunk of {n} tokens exceeds the largest bucket {buckets[-1]}")
+    return buckets[i]
+
+
+def _last_valid(x: jnp.ndarray, valid_len: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, ...] -> [B, ...] at index valid_len-1 per row."""
+    B = x.shape[0]
+    idx = jnp.maximum(valid_len - 1, 0)
+    return x[jnp.arange(B), idx]
+
+
+def _scores_from_hidden(params, cfg: AhaConfig, hidden_last: jnp.ndarray) -> jnp.ndarray:
+    """hidden_last: [B, H] -> [B, 3] (informative, relevance, uncertainty).
+
+    informative = softmax(info_logits)[..., 1]; relevance = sigmoid(rel);
+    uncertainty = exp(log_variance)  (ref: test/inference.py:222-227).
+    """
+    hf = hidden_last.astype(jnp.float32)
+    heads = params["heads"]
+    info = jnp.einsum("bh,ho->bo", hf, heads["informative"]["kernel"].astype(jnp.float32))
+    rel = jnp.einsum("bh,ho->bo", hf, heads["relevance"]["kernel"].astype(jnp.float32))
+    unc = jnp.einsum("bh,ho->bo", hf, heads["uncertainty"]["kernel"].astype(jnp.float32))
+    informative = jax.nn.softmax(info, axis=-1)[:, 1]
+    relevance = jax.nn.sigmoid(rel[:, 0])
+    uncertainty = jnp.exp(unc[:, 0])
+    return jnp.stack([informative, relevance, uncertainty], axis=-1)
+
+
+def _apply_repetition_penalty(logits: jnp.ndarray, counts: jnp.ndarray, penalty: float | None):
+    """RepetitionPenaltyLogitsProcessor semantics over a per-vocab count mask
+    (ref: modeling_live.py:66-82): penalized tokens are those generated before;
+    positive logits are divided by the penalty, negative multiplied."""
+    if penalty is None:
+        return logits
+    mask = counts > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(mask, penalized, logits)
+
+
+class StreamEngine:
+    """Holds params + compiled primitives for one (config, policy) pair."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: AhaConfig,
+        policy: CachePolicy,
+        *,
+        batch: int = 1,
+        max_new_tokens: int = 200,
+        repetition_penalty: float | None = None,
+        vision_batch: int = 32,
+        lora: dict | None = None,
+        lora_scale: float = 0.0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.policy = policy
+        self.batch = batch
+        self.max_new_tokens = max_new_tokens
+        self.repetition_penalty = repetition_penalty
+        self.vision_batch = vision_batch
+        self.lora = lora
+        self.lora_scale = lora_scale
+        self._build()
+
+    # -- construction -----------------------------------------------------
+
+    def new_cache(self, dtype=None) -> KVCache:
+        llm = self.cfg.llm
+        return init_cache(
+            self.policy,
+            num_layers=llm.num_layers,
+            batch=self.batch,
+            num_kv_heads=llm.num_kv_heads,
+            head_dim=llm.head_dim,
+            dtype=dtype or jnp.dtype(self.cfg.dtype),
+        )
+
+    def reset_cache(self, cache: KVCache) -> KVCache:
+        return self._reset_cache(cache)
+
+    def new_rep_counts(self) -> jnp.ndarray:
+        return jnp.zeros((self.batch, self.cfg.llm.vocab_size), jnp.int32)
+
+    def _build(self):
+        cfg, policy = self.cfg, self.policy
+        lora, lora_scale = self.lora, self.lora_scale
+
+        def append_ids(params, cache, ids, valid_len):
+            embeds = qwen2.embed_tokens(params["llm"], ids)
+            hidden, cache = qwen2.decode_chunk(
+                params["llm"], cfg.llm, policy, cache, embeds, valid_len,
+                lora=lora, lora_scale=lora_scale,
+            )
+            last_h = _last_valid(hidden, valid_len)
+            logits = qwen2.lm_logits(params["llm"], cfg.llm, last_h).astype(jnp.float32)
+            return cache, logits
+
+        def append_frames(params, cache, frame_embeds):
+            # frame_embeds: [B, F, H]
+            B, F = frame_embeds.shape[:2]
+            valid_len = jnp.full((B,), F, jnp.int32)
+            hidden, cache = qwen2.decode_chunk(
+                params["llm"], cfg.llm, policy, cache, frame_embeds, valid_len,
+                lora=lora, lora_scale=lora_scale,
+            )
+            scores = _scores_from_hidden(params, cfg, hidden[:, -1])
+            return cache, scores
+
+        def score_stream(params, cache, frames):
+            # frames: [B, T, F, H] -> scores [B, T, 3]; no host syncs.
+            def step(c, fe):
+                c, s = append_frames(params, c, fe)
+                return c, s
+
+            cache, scores = jax.lax.scan(step, cache, frames.swapaxes(0, 1))
+            return cache, scores.swapaxes(0, 1)
+
+        def encode_frames(params, frames):
+            return aha.visual_embed(params, cfg, frames)
+
+        def generate(params, cache, prompt_ids, valid_len, counts):
+            """Greedy decode (ref fast_greedy_generate). Returns
+            (cache, out_ids [B, N], out_len [B], counts)."""
+            eos = cfg.eos_token_id
+            N = self.max_new_tokens
+            B = prompt_ids.shape[0]
+            cache, logits = append_ids(params, cache, prompt_ids, valid_len)
+            tok = jnp.argmax(
+                _apply_repetition_penalty(logits, counts, self.repetition_penalty), axis=-1
+            ).astype(jnp.int32)
+
+            out_ids = jnp.zeros((B, N), jnp.int32)
+            out_len = jnp.zeros((B,), jnp.int32)
+            done = jnp.zeros((B,), bool)
+
+            def cond(state):
+                i, _, _, _, _, done, _ = state
+                return (i < N) & ~jnp.all(done)
+
+            def body(state):
+                i, tok, cache, out_ids, out_len, done, counts = state
+                # write current token (including the eos that terminates a row)
+                write = ~done
+                out_ids = out_ids.at[:, i].set(jnp.where(write, tok, 0))
+                out_len = out_len + write.astype(jnp.int32)
+                is_eos = tok == eos
+                # eos is never penalized (ref modeling_live.py:82)
+                upd = write & ~is_eos
+                counts = counts.at[jnp.arange(B), tok].add(upd.astype(jnp.int32))
+                done = done | is_eos
+                # one decoder step for still-active rows (finished rows write
+                # zero valid tokens: the junk slot absorbs them). The ref
+                # never feeds the final written token back through the model
+                # (fast_greedy_generate breaks before the embed update and the
+                # range loop ends after the write, modeling_live.py:64-90); it
+                # re-enters as the next chunk's leading id instead.
+                embeds = qwen2.embed_tokens(params["llm"], tok)[:, None, :]
+                step_valid = (~done & (i + 1 < N)).astype(jnp.int32)
+                hidden, cache = qwen2.decode_chunk(
+                    params["llm"], cfg.llm, policy, cache, embeds, step_valid,
+                    lora=lora, lora_scale=lora_scale,
+                )
+                logits = qwen2.lm_logits(params["llm"], cfg.llm, hidden[:, 0]).astype(jnp.float32)
+                tok = jnp.argmax(
+                    _apply_repetition_penalty(logits, counts, self.repetition_penalty), axis=-1
+                ).astype(jnp.int32)
+                return (i + 1, tok, cache, out_ids, out_len, done, counts)
+
+            state = (jnp.int32(0), tok, cache, out_ids, out_len, done, counts)
+            _, _, cache, out_ids, out_len, _, counts = jax.lax.while_loop(cond, body, state)
+            last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
+            return cache, out_ids, out_len, counts, last_tok
+
+        self._append_ids = jax.jit(append_ids)
+        self._append_frames = jax.jit(append_frames)
+        self._score_stream = jax.jit(score_stream)
+        self._encode_frames = jax.jit(encode_frames)
+        self._generate = jax.jit(generate)
+        self._reset_cache = jax.jit(reset_cache)
+
+    # -- host-facing wrappers ---------------------------------------------
+
+    def pad_ids(self, ids_list: list[list[int]]) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Right-pad a batch of id lists to a shared bucket length."""
+        max_len = max((len(x) for x in ids_list), default=1)
+        P = _bucket(max(max_len, 1))
+        arr = np.zeros((len(ids_list), P), np.int32)
+        lens = np.zeros((len(ids_list),), np.int32)
+        for i, x in enumerate(ids_list):
+            arr[i, : len(x)] = x
+            lens[i] = len(x)
+        return jnp.asarray(arr), jnp.asarray(lens)
+
+    def append_ids(self, cache: KVCache, ids_list: list[list[int]]):
+        ids, lens = self.pad_ids(ids_list)
+        return self._append_ids(self.params, cache, ids, lens)
+
+    def append_frames(self, cache: KVCache, frame_embeds: jnp.ndarray):
+        return self._append_frames(self.params, cache, frame_embeds)
+
+    def score_stream(self, cache: KVCache, frames: jnp.ndarray):
+        return self._score_stream(self.params, cache, frames)
+
+    def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray):
+        ids, lens = self.pad_ids(ids_list)
+        return self._generate(self.params, cache, ids, lens, counts)
+
+    def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+        """Pre-encode [N, H, W, 3] pixel frames to [N, F, H_llm] in fixed-size
+        batches (ref batch of 32, test/inference.py:181-185); the last batch
+        is padded to keep one compiled shape."""
+        N = frames.shape[0]
+        vb = self.vision_batch
+        outs = []
+        for i in range(0, N, vb):
+            chunk = frames[i : i + vb]
+            pad = vb - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([np.asarray(chunk), np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            out = self._encode_frames(self.params, jnp.asarray(chunk))
+            outs.append(out[: vb - pad] if pad else out)
+        if not outs:
+            H = self.cfg.llm.hidden_size
+            return jnp.zeros((0, self.cfg.frame_num_tokens, H), jnp.dtype(self.cfg.dtype))
+        return jnp.concatenate(outs, axis=0)

@@ -1,0 +1,326 @@
+"""StreamSession: the stateful streaming-inference session.
+
+Host-side state machine with the exact API and decision semantics of the
+reference's `LiveInferForBenchmark` / `LiveInferForDemo`
+(`/root/reference/test/inference.py:38-348`,
+`/root/reference/test/live_infer_for_video.py:80-228`):
+
+  * ``reset`` / ``set_fps`` / ``input_video_stream`` / ``input_query_stream``
+    / ``inference`` — the benchmark loop,
+  * ``input_one_frame`` / ``encode_given_query`` — the interactive demo API
+    (push one frame, get scores and maybe a response),
+  * ``score_video`` — TPU fast path: when no generation can trigger
+    (grounding mode), all frames are scored in one jitted ``lax.scan`` with
+    zero per-frame host syncs.
+
+All tensor work lives in :class:`~aha_tpu.streaming.engine.StreamEngine`;
+this class only sequences chunks and applies the trigger policy.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import jax
+import numpy as np
+
+from aha_tpu.config import AhaConfig, InferConfig
+from aha_tpu.ops.kv_cache import CachePolicy
+from aha_tpu.streaming.engine import StreamEngine
+from aha_tpu.tokenization import StreamTokenizer
+
+
+class StreamSession:
+    def __init__(
+        self,
+        engine: StreamEngine,
+        tokenizer: StreamTokenizer,
+        infer_cfg: InferConfig,
+    ):
+        infer_cfg.validate()
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.args = infer_cfg
+        self.cfg: AhaConfig = engine.cfg
+
+        self.system_prompt = infer_cfg.system_prompt
+        self.score_heads = list(infer_cfg.score_heads)
+        self.stream_end_prob_threshold = infer_cfg.stream_end_prob_threshold
+        self.stream_end_score_sum_threshold = infer_cfg.stream_end_score_sum_threshold
+        self.threshold_z = infer_cfg.threshold_z
+        self.running_list_length = infer_cfg.running_list_length
+        self.remove_assistant_turns = infer_cfg.remove_assistant_turns
+
+        # precomputed template id chunks (ref: test/inference.py:92-94)
+        tok = tokenizer
+        self._start_ids = tok.apply_chat_template(
+            [{"role": "system", "content": self.system_prompt}]
+        )
+        self._added_stream_prompt_ids = tok.apply_chat_template([{}], add_stream_prompt=True)
+        self._added_stream_generation_ids = tok.apply_chat_template(
+            [{}], add_stream_generation_prompt=True
+        )
+
+        self.frame_fps: float | None = None
+        self.frame_interval: float | None = None
+        if infer_cfg.frame_fps and infer_cfg.frame_fps > 0:
+            self.set_fps(infer_cfg.frame_fps)
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # Session state (ref: test/inference.py:105-131)
+    # ------------------------------------------------------------------
+
+    def set_fps(self, fps: float | None = None, frame_interval: float | None = None):
+        assert (fps is None) != (frame_interval is None)
+        if fps is not None:
+            self.frame_fps = fps
+            self.frame_interval = 1.0 / fps
+        else:
+            self.frame_interval = frame_interval
+            self.frame_fps = 1.0 / frame_interval
+
+    def reset(self):
+        self.query_queue: collections.deque = collections.deque()
+        self.frame_embeds_queue: collections.deque = collections.deque()
+        self.video_time = 0.0
+        self.frame_idx = 0
+        self.last_role = "system"
+        self.init_vision_time = False
+        self.num_frames_no_reply = 0
+        self.stream_end_prob_list: list[float] = []
+        self.stream_end_score_sum = 0.0
+        self.consecutive_n_frames = 0
+        self.debug_data_list: list[dict] = []
+        self._pending_last_ids: list[int] = []
+        self.cache = self.engine.new_cache()
+        self.rep_counts = self.engine.new_rep_counts()
+
+    # ------------------------------------------------------------------
+    # Inputs
+    # ------------------------------------------------------------------
+
+    def input_video_stream(self, video_frames: np.ndarray):
+        """Pre-encode all frames ([T, H, W, 3] pixels) into the frame queue
+        (ref: test/inference.py:169-187). Embeds stay on device."""
+        embeds = self.engine.encode_frames(video_frames)  # [T, F, H]
+        for r in range(embeds.shape[0]):
+            self.frame_embeds_queue.append((r / self.frame_fps, embeds[r]))
+
+    def input_frame_embeds(self, frame_embeds, time: float):
+        """Push one pre-encoded frame ([F, H]) — demo path."""
+        self.frame_embeds_queue.append((time, frame_embeds))
+
+    def input_query_stream(self, conversation: list[dict]):
+        for turn in conversation:
+            if turn["role"] == "user":
+                self.query_queue.append((turn["time"], turn["content"]))
+
+    # ------------------------------------------------------------------
+    # Chunk encoders (ref: test/inference.py:196-281)
+    # ------------------------------------------------------------------
+
+    def _encode_frame(self):
+        if not self.frame_embeds_queue:
+            return None, None
+        video_time, frame_embeds = self.frame_embeds_queue.popleft()
+
+        # role-transition ids exactly as the reference chooses them
+        if not self.init_vision_time:
+            prefix_ids = self._start_ids
+            self.init_vision_time = True
+        elif self.last_role == "assistant" and not self.remove_assistant_turns:
+            # the response's final token (usually eos) was produced but never
+            # fed through the decoder; it leads the next chunk, exactly like
+            # the ref's `cat([last_ids, _added_stream_prompt_ids])`
+            # (test/inference.py:207-208)
+            prefix_ids = self._pending_last_ids + self._added_stream_prompt_ids
+        else:
+            prefix_ids = []
+        if prefix_ids:
+            self.cache, _ = self.engine.append_ids(self.cache, [prefix_ids])
+        self.cache, scores = self.engine.append_frames(self.cache, frame_embeds[None])
+
+        self.frame_idx += 1
+        self.num_frames_no_reply += 1
+        self.last_role = "stream"
+        info, rel, unc = (float(x) for x in jax.device_get(scores[0]))
+        return {"informative_score": info, "relevance_score": rel}, unc
+
+    def _encode_query(self):
+        query_time, query = self.query_queue.popleft()
+        query_ids = self.tokenizer.apply_chat_template(
+            [{"role": "user", "content": query}],
+            add_stream_query_prompt=self.last_role == "stream",
+            add_stream_prompt=True,
+        )
+        self.cache, _ = self.engine.append_ids(self.cache, [query_ids])
+        self.last_role = "user"
+
+    def encode_given_query(self, query: str):
+        """Demo API (ref: live_infer_for_video.py:88-94)."""
+        self.query_queue.append((self.video_time, query))
+        self._encode_query()
+
+    def _generate_response(self) -> str:
+        pre_cache = self.cache
+        cache, out_ids, out_len, counts, last_tok = self.engine.generate(
+            self.cache, [self._added_stream_generation_ids], self.rep_counts
+        )
+        self.rep_counts = counts
+        if not self.remove_assistant_turns:
+            self.cache = cache
+            self._pending_last_ids = [int(last_tok[0])]
+        else:
+            # roll back the KV to the pre-response state
+            # (ref remove_assistant_turns, test/inference.py:272-276)
+            self.cache = pre_cache
+        n = int(out_len[0])
+        ids = np.asarray(out_ids[0, :n])
+        response = self.tokenizer.decode(ids, skip_special_tokens=True)
+        self.num_frames_no_reply = 0
+        self.last_role = "assistant"
+        return response
+
+    # ------------------------------------------------------------------
+    # Decision policy (ref: test/inference.py:304-328)
+    # ------------------------------------------------------------------
+
+    def _check_trigger(self, video_scores: dict) -> bool:
+        need_response = False
+        stream_end_score = sum(v for k, v in video_scores.items() if k in self.score_heads)
+        self.stream_end_prob_list.append(stream_end_score)
+        self.stream_end_score_sum += stream_end_score
+        if isinstance(self.running_list_length, int) and self.running_list_length > 0:
+            self.stream_end_prob_list = self.stream_end_prob_list[-self.running_list_length:]
+        if (
+            self.stream_end_score_sum_threshold is not None
+            and self.stream_end_score_sum > self.stream_end_score_sum_threshold
+        ):
+            need_response = True
+            self.stream_end_score_sum = 0
+        if (
+            self.stream_end_prob_threshold is not None
+            and stream_end_score > self.stream_end_prob_threshold
+        ):
+            need_response = True
+        return need_response
+
+    # ------------------------------------------------------------------
+    # Main loops
+    # ------------------------------------------------------------------
+
+    def inference(self, verbose: bool = False) -> list[dict]:
+        """The benchmark loop (ref: test/inference.py:283-334). Returns the
+        conversation with generated assistant turns; per-frame score traces
+        land in ``self.debug_data_list``."""
+        model_response_list = [
+            {"time": q[0], "content": q[1], "role": "user"} for q in self.query_queue
+        ]
+        while self.frame_embeds_queue:
+            if self.query_queue and self.video_time >= self.query_queue[0][0]:
+                self._encode_query()
+
+            video_scores, uncertainty_score = self._encode_frame()
+            self.debug_data_list.append(
+                dict(time=self.video_time, **video_scores, uncertainty_score=uncertainty_score)
+            )
+
+            if self._check_trigger(video_scores):
+                response = self._generate_response()
+                model_response_list.append(
+                    {"time": self.video_time, "content": response, "role": "assistant"}
+                )
+                self.num_frames_no_reply = 0
+                self.consecutive_n_frames = 0
+
+            self.video_time += 1.0 / self.frame_fps
+        return sorted(model_response_list, key=lambda x: x["time"])
+
+    def input_one_frame(self) -> dict:
+        """Interactive per-frame API (ref: live_infer_for_video.py:135-176)."""
+        video_scores, uncertainty_score = self._encode_frame()
+        ret = dict(
+            frame_idx=self.frame_idx,
+            time=round(self.video_time, 1),
+            uncertainty_score=uncertainty_score,
+            **video_scores,
+        )
+        if self._check_trigger(video_scores):
+            ret["response"] = self._generate_response()
+            self.consecutive_n_frames = 0
+        else:
+            ret["response"] = None
+        self.video_time += 1.0 / self.frame_fps
+        return ret
+
+    # ------------------------------------------------------------------
+    # TPU fast path: scan-scored stream (no generation possible)
+    # ------------------------------------------------------------------
+
+    def score_video(self, video_frames: np.ndarray, query: str | None = None) -> list[dict]:
+        """Score a whole video in one jitted scan — the grounding/highlight
+        path (tvsum/hisum/charades run with no generation triggers). Token
+        sequencing matches `inference()` with an (optional) time-0 query:
+        query chunk → system chunk → frames. Returns debug_data records."""
+        if query is not None:
+            # identical ordering quirk as the reference loop: a time-0 query
+            # is encoded before the _start_ids/vision init (inference() step 1
+            # precedes _encode_frame's init_vision_time branch)
+            query_ids = self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": query}],
+                add_stream_query_prompt=False,
+                add_stream_prompt=True,
+            )
+            self.cache, _ = self.engine.append_ids(self.cache, [query_ids])
+            self.last_role = "user"
+        self.cache, _ = self.engine.append_ids(self.cache, [self._start_ids])
+        self.init_vision_time = True
+
+        embeds = self.engine.encode_frames(video_frames)      # [T, F, H]
+        self.cache, scores = self.engine.score_stream(self.cache, embeds[None])
+        scores = np.asarray(jax.device_get(scores[0]), np.float64)  # [T, 3]
+        self.last_role = "stream"
+        self.frame_idx += scores.shape[0]
+
+        out = []
+        for t in range(scores.shape[0]):
+            out.append(
+                dict(
+                    time=self.video_time,
+                    informative_score=float(scores[t, 0]),
+                    relevance_score=float(scores[t, 1]),
+                    uncertainty_score=float(scores[t, 2]),
+                )
+            )
+            self.video_time += 1.0 / self.frame_fps
+        self.debug_data_list.extend(out)
+        return out
+
+
+def build_session(
+    params: dict,
+    cfg: AhaConfig,
+    tokenizer: StreamTokenizer,
+    infer_cfg: InferConfig,
+    *,
+    lora: dict | None = None,
+    lora_scale: float = 0.0,
+) -> StreamSession:
+    """Convenience constructor: InferConfig -> CachePolicy -> engine -> session
+    (the reference's `_init_cache` dispatch, test/inference.py:133-155)."""
+    policy = CachePolicy(
+        kind=infer_cfg.kv_cache_policy,
+        window=infer_cfg.kv_window,
+        num_sink=infer_cfg.num_sink_tokens,
+    )
+    engine = StreamEngine(
+        params,
+        cfg,
+        policy,
+        max_new_tokens=infer_cfg.max_new_tokens,
+        repetition_penalty=infer_cfg.repetition_penalty,
+        lora=lora,
+        lora_scale=lora_scale,
+    )
+    return StreamSession(engine, tokenizer, infer_cfg)

@@ -1,0 +1,209 @@
+"""StreamSession / StreamEngine tests.
+
+Golden-consistency strategy: the streaming chunked path (ids chunks + frame
+chunks + while_loop decode over the ring cache) must reproduce a single
+full-sequence causal forward over the equivalent token/embed sequence —
+the property the reference relies on implicitly by using one HF attention
+with a growing cache (`/root/reference/test/inference.py:196-281`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aha_tpu.config import InferConfig, aha_tiny
+from aha_tpu.models import aha, qwen2
+from aha_tpu.ops.kv_cache import CachePolicy
+from aha_tpu.streaming.engine import StreamEngine, _apply_repetition_penalty
+from aha_tpu.streaming.session import StreamSession, build_session
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(cfg, seed=0)
+    return params, cfg, tokenizer
+
+
+def make_session(tiny_model, **overrides) -> StreamSession:
+    params, cfg, tokenizer = tiny_model
+    defaults = dict(
+        frame_fps=1.0,
+        stream_end_prob_threshold=5.0,  # informative+relevance < 2: never fires
+        kv_cache_policy="none",
+        kv_window=2048,
+        max_new_tokens=16,
+        system_prompt="sys prompt",
+    )
+    defaults.update(overrides)
+    return build_session(params, cfg, tokenizer, InferConfig(**defaults))
+
+
+def frames_for(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    r = cfg.frame_resolution
+    return rng.integers(0, 255, size=(n, r, r, 3), dtype=np.uint8)
+
+
+def full_forward_scores(params, cfg, id_chunks, frame_embeds_seq):
+    """Oracle: one causal forward over the concatenated embeds.
+
+    id_chunks: list of (position-ordered) token-id lists; frame_embeds_seq:
+    list of (insert_after_chunk_idx, [F, H] embeds). Returns per-frame
+    (info, rel, unc) at each frame's last token.
+    """
+    segs = []
+    frame_last_positions = []
+    pos = 0
+    for item in id_chunks:
+        if isinstance(item, list):  # token ids
+            emb = qwen2.embed_tokens(params["llm"], jnp.asarray(item, jnp.int32))
+            segs.append(emb)
+            pos += emb.shape[0]
+        else:  # frame embeds [F, H]
+            segs.append(item)
+            pos += item.shape[0]
+            frame_last_positions.append(pos - 1)
+    full = jnp.concatenate(segs, axis=0)[None]  # [1, T, H]
+    hidden = qwen2.forward_hidden(params["llm"], cfg.llm, full)
+    outs = aha.apply_heads(params, cfg, hidden)
+    info = jax.nn.softmax(outs.informative_logits[0], axis=-1)[:, 1]
+    rel = outs.relevance[0]
+    unc = jnp.exp(outs.log_variance[0])
+    idx = jnp.asarray(frame_last_positions)
+    return np.asarray(info[idx]), np.asarray(rel[idx]), np.asarray(unc[idx])
+
+
+def test_session_matches_full_forward(tiny_model):
+    params, cfg, tokenizer = tiny_model
+    sess = make_session(tiny_model)
+    frames = frames_for(cfg, 5)
+    sess.input_video_stream(frames)
+    sess.input_query_stream([{"role": "user", "content": "what happens?", "time": 0}])
+    sess.inference()
+    got = sess.debug_data_list
+    assert len(got) == 5
+
+    # oracle sequence: query chunk first (time-0 query precedes vision init),
+    # then system ids, then the 5 frames back to back
+    query_ids = tokenizer.apply_chat_template(
+        [{"role": "user", "content": "what happens?"}],
+        add_stream_query_prompt=False,
+        add_stream_prompt=True,
+    )
+    embeds = sess.engine.encode_frames(frames)
+    chunks = [query_ids, sess._start_ids] + [embeds[i] for i in range(5)]
+    info, rel, unc = full_forward_scores(params, cfg, chunks, None)
+
+    np.testing.assert_allclose([d["informative_score"] for d in got], info, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose([d["relevance_score"] for d in got], rel, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose([d["uncertainty_score"] for d in got], unc, rtol=2e-4, atol=2e-5)
+
+
+def test_score_video_matches_inference_loop(tiny_model):
+    params, cfg, tokenizer = tiny_model
+    frames = frames_for(cfg, 6, seed=3)
+
+    loop = make_session(tiny_model)
+    loop.input_video_stream(frames)
+    loop.input_query_stream([{"role": "user", "content": "q", "time": 0}])
+    loop.inference()
+
+    fast = make_session(tiny_model)
+    out = fast.score_video(frames, query="q")
+
+    for a, b in zip(loop.debug_data_list, out):
+        for k in ("informative_score", "relevance_score", "uncertainty_score"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5)
+
+
+def test_sink_policy_session_runs(tiny_model):
+    """Small sink cache forces eviction + re-rotation mid-stream."""
+    _, cfg, _ = tiny_model
+    sess = make_session(tiny_model, kv_cache_policy="sink", kv_window=24, num_sink_tokens=4)
+    frames = frames_for(cfg, 40, seed=1)
+    sess.input_video_stream(frames)
+    sess.inference()
+    assert len(sess.debug_data_list) == 40
+    assert all(np.isfinite(d["informative_score"]) for d in sess.debug_data_list)
+    assert int(sess.cache.length[0]) <= 24
+
+
+def test_generation_trigger_and_rollback(tiny_model):
+    _, cfg, _ = tiny_model
+    # threshold 0 -> fires on every frame
+    sess = make_session(tiny_model, stream_end_prob_threshold=0.0, remove_assistant_turns=True)
+    frames = frames_for(cfg, 3, seed=2)
+    sess.input_video_stream(frames)
+    pre_len_after_first = None
+    responses = sess.inference()
+    assistant_turns = [r for r in responses if r["role"] == "assistant"]
+    assert len(assistant_turns) == 3
+    assert all(isinstance(r["content"], str) for r in assistant_turns)
+    # rollback: cache holds only system + 3 frames worth of tokens
+    expected = len(sess._start_ids) + 3 * cfg.frame_num_tokens
+    assert int(sess.cache.length[0]) == expected
+
+
+def test_generation_kept_turns_extend_cache(tiny_model):
+    _, cfg, _ = tiny_model
+    sess = make_session(tiny_model, stream_end_prob_threshold=0.0, remove_assistant_turns=False)
+    frames = frames_for(cfg, 2, seed=2)
+    sess.input_video_stream(frames)
+    responses = sess.inference()
+    assert sum(r["role"] == "assistant" for r in responses) == 2
+    min_len = len(sess._start_ids) + 2 * cfg.frame_num_tokens
+    assert int(sess.cache.length[0]) > min_len
+
+
+def test_greedy_decode_matches_naive_reforward(tiny_model):
+    """while_loop decode over the cache == argmax over a full re-forward at
+    every step (the reference decode semantics, modeling_live.py:64-90)."""
+    params, cfg, tokenizer = tiny_model
+    policy = CachePolicy(kind="none", window=256)
+    engine = StreamEngine(params, cfg, policy, max_new_tokens=12)
+    prompt = tokenizer.apply_chat_template([{"role": "system", "content": "hi"}])
+
+    cache = engine.new_cache()
+    _, out_ids, out_len, _, last_tok = engine.generate(cache, [prompt], engine.new_rep_counts())
+    n = int(out_len[0])
+    got = list(np.asarray(out_ids[0, :n]))
+
+    # naive: full causal forward over prompt+generated each step
+    ids = list(prompt)
+    want = []
+    for _ in range(12):
+        emb = qwen2.embed_tokens(params["llm"], jnp.asarray(ids, jnp.int32))[None]
+        hidden = qwen2.forward_hidden(params["llm"], cfg.llm, emb)
+        logits = qwen2.lm_logits(params["llm"], cfg.llm, hidden[0, -1])
+        tok = int(jnp.argmax(logits))
+        want.append(tok)
+        if tok == cfg.eos_token_id:
+            break
+        ids.append(tok)
+    assert got == want
+    assert int(last_tok[0]) == want[-1]
+
+
+def test_repetition_penalty_semantics():
+    logits = jnp.asarray([[2.0, -1.0, 0.5]])
+    counts = jnp.asarray([[1, 1, 0]])
+    out = _apply_repetition_penalty(logits, counts, 2.0)
+    np.testing.assert_allclose(np.asarray(out[0]), [1.0, -2.0, 0.5])
+
+
+def test_demo_input_one_frame(tiny_model):
+    _, cfg, _ = tiny_model
+    sess = make_session(tiny_model, stream_end_prob_threshold=0.0)
+    frames = frames_for(cfg, 2, seed=5)
+    embeds = sess.engine.encode_frames(frames)
+    sess.encode_given_query("watch this")
+    sess.input_frame_embeds(embeds[0], 0.0)
+    ret = sess.input_one_frame()
+    assert set(ret) >= {"frame_idx", "time", "informative_score", "relevance_score",
+                        "uncertainty_score", "response"}
+    assert ret["response"] is not None
+    sess.input_frame_embeds(embeds[1], 1.0)
+    ret2 = sess.input_one_frame()
+    assert ret2["frame_idx"] == 2
