@@ -1,0 +1,256 @@
+"""Training loop: jitted FSDP train step + orbax checkpointing.
+
+Replaces the reference's HF Trainer + DeepSpeed stack (`/root/reference/
+train.py:51-136`, `configs/deepspeed/*.json`) with a single pjit-sharded
+train step: params, grads, and optimizer state are sharded by
+`parallel.mesh.param_specs` (ZeRO-3 analog), the batch is sharded on the
+`data` axis, and XLA inserts all collectives. The reference's
+swallow-exceptions `TrainerWithLossErrorCatch` (train.py:19-33) is
+unnecessary: data problems are handled in the host input pipeline; the
+compiled step never diverges across ranks because there is only one program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.config import AhaConfig, TrainConfig
+from aha_tpu.models import aha
+from aha_tpu.parallel import mesh as mesh_lib
+from aha_tpu.train import lora as lora_lib
+from aha_tpu.train.losses import LossParts, aha_loss
+from aha_tpu.train.optimizer import build_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    tree: dict          # {"model": AhaParams, "lora": lora tree | absent}
+    opt_state: object
+    step: jnp.ndarray
+
+
+def init_train_state(
+    cfg: AhaConfig,
+    train_cfg: TrainConfig,
+    params: dict,
+    *,
+    total_steps: int,
+    seed: int = 0,
+    use_lora: bool = True,
+):
+    """Returns (state, tx, labels, lora_scale)."""
+    lora_tree = None
+    scale = 0.0
+    if use_lora:
+        lora_tree = lora_lib.init_lora(
+            cfg.llm, train_cfg.lora, jax.random.PRNGKey(seed + 7),
+            dtype=jnp.float32,
+        )
+        scale = lora_lib.lora_scale(train_cfg.lora)
+    tree = {"model": params}
+    if lora_tree is not None:
+        tree["lora"] = lora_tree
+    labels = lora_lib.trainable_labels(params, lora_tree, train_cfg.lora.finetune_modules)
+    tx = build_optimizer(train_cfg, total_steps, labels)
+    opt_state = tx.init(tree)
+    state = TrainState(tree=tree, opt_state=opt_state, step=jnp.int32(0))
+    return state, tx, labels, scale
+
+
+def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_scale: float):
+    """Build the jitted train step. batch keys: input_ids, attention_mask,
+    labels, informative_labels, relevance_labels, frames (all [B, ...])."""
+    weights = train_cfg.loss_weights
+
+    def loss_fn(tree, batch):
+        tree = lora_lib.freeze_stop_gradient(tree, labels)
+        params = tree["model"]
+        lora_tree = tree.get("lora")
+        outs = aha.forward_train(
+            params, cfg,
+            batch["input_ids"],
+            batch.get("frames"),
+            attn_mask=batch.get("attention_mask"),
+            lora=lora_tree,
+            lora_scale=lora_scale,
+            remat=True,
+        )
+        parts = aha_loss(
+            outs.logits, outs.informative_logits, outs.relevance, outs.log_variance,
+            input_ids=batch["input_ids"],
+            labels=batch.get("labels"),
+            informative_labels=batch.get("informative_labels"),
+            relevance_labels=batch.get("relevance_labels"),
+            weights=weights,
+        )
+        return parts.total, parts
+
+    def train_step(state: TrainState, batch: dict):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.tree, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.tree)
+        tree = jax.tree_util.tree_map(lambda p, u: p + u.astype(p.dtype), state.tree, updates)
+        return TrainState(tree=tree, opt_state=opt_state, step=state.step + 1), parts
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax) — ref relies on HF Trainer + DeepSpeed save/resume
+# (`/root/reference/train.py:118-128`); here: sharded pytree checkpoints
+# with step metadata + adapter-only export (the published artifact format).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, *, keep: int = 5) -> str:
+    import orbax.checkpoint as ocp
+
+    step = int(state.step)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"tree": state.tree, "opt_state": state.opt_state, "step": step})
+    _prune_checkpoints(ckpt_dir, keep)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore into the structure of `state` (shapes/shardings preserved)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    target = {"tree": state.tree, "opt_state": state.opt_state, "step": int(state.step)}
+    restored = ckptr.restore(os.path.abspath(path), item=target)
+    return TrainState(
+        tree=restored["tree"], opt_state=restored["opt_state"],
+        step=jnp.int32(restored["step"]),
+    )
+
+
+def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    import shutil
+
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    for d in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+
+
+def export_adapter(path: str, state: TrainState, labels: dict) -> None:
+    """Save only the trained leaves (adapters + projector/heads/lm_head) —
+    the analog of the reference's LoRA-adapter-only artifact
+    (`modeling_live.py:149-151`)."""
+    import orbax.checkpoint as ocp
+
+    trained = jax.tree_util.tree_map(
+        lambda x, l: x if l == "train" else None, state.tree, labels
+    )
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), trained)
+
+
+# ---------------------------------------------------------------------------
+# Host loop
+# ---------------------------------------------------------------------------
+
+
+class MetricLogger:
+    """JSONL metrics log (+ optional wandb if importable & configured).
+    Replaces the ref's wandb.log-inside-forward (video_head:286-308)."""
+
+    def __init__(self, output_dir: str, use_wandb: bool = False, config: dict | None = None):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=os.environ.get("WANDB_PROJECT", "aha_tpu"), config=config)
+            except Exception:
+                self.wandb = None
+
+    def log(self, step: int, parts: LossParts, extra: dict | None = None):
+        rec = {
+            "step": step,
+            "time": time.time(),
+            "train/total_loss": float(parts.total),
+            "train/lm_loss": float(parts.lm),
+            "train/video_loss": float(parts.video),
+            "train/info_loss": float(parts.info),
+            "train/ref_loss": float(parts.relevance),
+            "train/tv_loss": float(parts.tv),
+            "train/uncertainty_loss": float(parts.uncertainty),
+            **(extra or {}),
+        }
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.wandb is not None:
+            self.wandb.log({k: v for k, v in rec.items() if k.startswith("train/")}, step=step)
+
+    def close(self):
+        self._f.close()
+
+
+def train(
+    cfg: AhaConfig,
+    train_cfg: TrainConfig,
+    params: dict,
+    batches,                    # iterable of host batch dicts
+    *,
+    total_steps: int,
+    device_mesh=None,
+    use_lora: bool = True,
+    log_every: int | None = None,
+    use_wandb: bool = False,
+) -> TrainState:
+    """End-to-end loop: shard params on the mesh, resume if requested, run
+    `total_steps` steps with periodic checkpoints."""
+    m = device_mesh or mesh_lib.make_mesh(train_cfg.mesh_data, train_cfg.mesh_model)
+    state, tx, labels, scale = init_train_state(
+        cfg, train_cfg, params, total_steps=total_steps, seed=train_cfg.seed,
+        use_lora=use_lora,
+    )
+    state = TrainState(
+        tree=mesh_lib.apply_named_sharding(state.tree, m),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: x, state.opt_state  # opt state inherits sharding via jit
+        ),
+        step=state.step,
+    )
+    if train_cfg.resume_from_checkpoint:
+        state = restore_checkpoint(train_cfg.resume_from_checkpoint, state)
+
+    step_fn = make_train_step(cfg, train_cfg, tx, labels, scale)
+    logger = MetricLogger(train_cfg.output_dir, use_wandb=use_wandb)
+    ckpt_dir = os.path.join(train_cfg.output_dir, "checkpoints")
+
+    # no mesh context needed: every input carries an explicit NamedSharding,
+    # so jit infers the mesh from operand shardings
+    for batch in batches:
+        if int(state.step) >= total_steps:
+            break
+        batch = mesh_lib.shard_batch(batch, m)
+        state, parts = step_fn(state, batch)
+        step = int(state.step)
+        if step % (log_every or train_cfg.logging_steps) == 0:
+            logger.log(step, jax.device_get(parts))
+        if train_cfg.save_steps and step % train_cfg.save_steps == 0:
+            save_checkpoint(ckpt_dir, state, keep=train_cfg.save_total_limit)
+    save_checkpoint(ckpt_dir, state, keep=train_cfg.save_total_limit)
+    export_adapter(os.path.join(train_cfg.output_dir, "adapter"), state, labels)
+    logger.close()
+    return state
