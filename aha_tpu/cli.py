@@ -1,0 +1,372 @@
+"""Command-line interface: `python -m aha_tpu.cli <command> ...`.
+
+Replaces the reference's per-task entry points
+(`python -m test.inference` / `test.grid_search` / `test.evaluate` /
+`test.highlight_generator` / `train.py` driven by `scripts/*.sh`) with one
+dispatcher. Flag names mirror `LiveTestArguments` / `LiveTrainingArguments`
+(`/root/reference/models/arguments_live.py:5-83`) so reference run scripts
+port mechanically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_session(args):
+    import jax.numpy as jnp
+
+    from aha_tpu.config import InferConfig, aha_7b, aha_tiny
+    from aha_tpu.models import aha
+    from aha_tpu.ops import quant
+    from aha_tpu.streaming.session import build_session
+
+    cfg = aha_tiny() if args.model_preset == "tiny" else aha_7b()
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(
+        cfg,
+        tokenizer_pretrained=args.tokenizer_pretrained,
+        weights_path=args.llm_pretrained,
+        dtype=jnp.dtype(cfg.dtype),
+    )
+    if args.int8:
+        params = quant.quantize_params(params)
+    infer_cfg = InferConfig(
+        frame_fps=args.frame_fps,
+        frame_resolution=cfg.frame_resolution,
+        grounding_mode=args.grounding_mode,
+        stream_end_prob_threshold=args.stream_end_prob_threshold,
+        threshold_z=args.threshold_z,
+        stream_end_score_sum_threshold=args.stream_end_score_sum_threshold,
+        remove_assistant_turns=args.remove_assistant_turns,
+        score_heads=tuple(args.score_heads.split(",")),
+        repetition_penalty=args.repetition_penalty,
+        max_new_tokens=args.max_new_tokens,
+        kv_cache_policy=args.kv_cache_policy,
+        kv_window=args.kv_window,
+        num_sink_tokens=args.num_sink_tokens,
+    )
+    return build_session(params, cfg, tokenizer, infer_cfg)
+
+
+def _add_infer_flags(p: argparse.ArgumentParser):
+    p.add_argument("--model_preset", default="7b", choices=["7b", "tiny"])
+    p.add_argument("--llm_pretrained", default=None,
+                   help="converted/HF checkpoint dir (random init if absent)")
+    p.add_argument("--tokenizer_pretrained", default=None)
+    p.add_argument("--int8", action="store_true", help="int8 weight quantization")
+    p.add_argument("--test_dataset", required=True,
+                   choices=["tvsum", "tvsum_degraded", "hisum", "youcook2",
+                            "magqa", "charades", "generic"])
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_fname", required=True)
+    p.add_argument("--test_fname", default=None)
+    p.add_argument("--caption_metadata_file", default=None)
+    p.add_argument("--video_metadata_file", default=None)
+    p.add_argument("--anno_file", default=None)
+    p.add_argument("--hisum_h5_file", default=None)
+    p.add_argument("--frame_fps", type=float, default=2.0)
+    p.add_argument("--max_num_frames", type=int, default=400)
+    p.add_argument("--grounding_mode", action="store_true")
+    p.add_argument("--stream_end_prob_threshold", type=float, default=None)
+    p.add_argument("--threshold_z", type=float, default=None)
+    p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
+    p.add_argument("--remove_assistant_turns", action="store_true")
+    p.add_argument("--score_heads", default="relevance_score,informative_score")
+    p.add_argument("--repetition_penalty", type=float, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=200)
+    p.add_argument("--kv_cache_policy", default="sink",
+                   choices=["sink", "sliding", "static", "none"])
+    p.add_argument("--kv_window", type=int, default=2048)
+    p.add_argument("--num_sink_tokens", type=int, default=32)
+    p.add_argument("--no_query", action="store_true")
+    p.add_argument("--title_ablation", default=None, choices=["ambiguous", "unrelated"])
+    p.add_argument("--title_table", default=None)
+    p.add_argument("--time_instruction_format", default=None)
+    p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--end_idx", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+
+
+def cmd_infer(argv):
+    from aha_tpu.drivers import benchmarks
+
+    p = argparse.ArgumentParser(prog="aha infer")
+    _add_infer_flags(p)
+    args = p.parse_args(argv)
+    if args.grounding_mode or args.test_dataset in ("tvsum", "tvsum_degraded", "hisum"):
+        # scoring-only passes need no stopping criterion
+        if (args.stream_end_prob_threshold is None and args.threshold_z is None
+                and args.stream_end_score_sum_threshold is None):
+            args.grounding_mode = True
+    session = _build_session(args)
+
+    if args.test_dataset in ("tvsum", "tvsum_degraded"):
+        benchmarks.run_tvsum(
+            session,
+            input_dir=args.input_dir,
+            caption_file=args.caption_metadata_file,
+            video_metadata_file=args.video_metadata_file,
+            output_fname=args.output_fname,
+            frame_fps=args.frame_fps,
+            degraded=args.test_dataset == "tvsum_degraded",
+            title_ablation=args.title_ablation,
+            title_table=args.title_table,
+            no_query=args.no_query,
+            seed=args.seed,
+        )
+    elif args.test_dataset == "hisum":
+        benchmarks.run_hisum(
+            session,
+            input_dir=args.input_dir,
+            anno_file=args.anno_file,
+            h5_file=args.hisum_h5_file,
+            hisum_metadata=args.caption_metadata_file,
+            video_metadata_file=args.video_metadata_file,
+            output_fname=args.output_fname,
+            frame_fps=args.frame_fps,
+            no_query=args.no_query,
+            seed=args.seed,
+        )
+    else:
+        benchmarks.run_streaming_qa(
+            session,
+            test_fname=args.test_fname,
+            input_dir=args.input_dir,
+            output_fname=args.output_fname,
+            frame_fps=args.frame_fps,
+            max_num_frames=args.max_num_frames,
+            grounding_mode=args.grounding_mode,
+            start_idx=args.start_idx,
+            end_idx=args.end_idx,
+            time_instruction_format=args.time_instruction_format,
+        )
+
+
+def cmd_grid_search(argv):
+    import numpy as np
+
+    from aha_tpu.eval import grid_search as gs
+    from aha_tpu.eval.scoring import qvh_to_charades_format
+    from aha_tpu.eval.tvsum import load_annotations
+
+    p = argparse.ArgumentParser(prog="aha grid-search")
+    p.add_argument("--test_dataset", required=True,
+                   choices=["tvsum", "tvsum_degraded", "hisum", "charades"])
+    p.add_argument("--pred_file", required=True)
+    p.add_argument("--gold_file", required=True)
+    p.add_argument("--save_path", default="outputs/grid_search_params.json")
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    dataset = "tvsum" if args.test_dataset == "tvsum_degraded" else args.test_dataset
+    if dataset in ("tvsum",):
+        with open(args.pred_file) as f:
+            predictions = json.load(f)
+        ground_truths = load_annotations(args.gold_file)
+        best = gs.run_grid_search(args.test_dataset, predictions,
+                                  ground_truths=ground_truths,
+                                  save_path=args.save_path, seed=args.seed)
+    elif dataset == "hisum":
+        import h5py
+
+        with open(args.pred_file) as f:
+            predictions = json.load(f)
+        with h5py.File(args.gold_file, "r") as hdf:
+            gtscores = {p_["h5_identifier"]: np.asarray(hdf[p_["h5_identifier"]]["gtscore"])
+                        for p_ in predictions}
+        best = gs.run_grid_search("hisum", predictions, gtscores=gtscores,
+                                  save_path=args.save_path)
+    else:
+        predictions = [json.loads(l) for l in open(args.pred_file)]
+        with open(args.gold_file) as f:
+            golds = json.load(f)
+        if golds and "answer" in golds[0] and "saliency_scores" in golds[0].get("answer", {}):
+            golds = [qvh_to_charades_format(e) for e in golds]
+        ground_truths = {e["question_id"]: e for e in golds}
+        best = gs.run_grid_search("charades", predictions, ground_truths=ground_truths,
+                                  save_path=args.save_path)
+    print("Best parameters found:")
+    print(best)
+
+
+def cmd_evaluate(argv):
+    import numpy as np
+
+    from aha_tpu.eval import grounding, hisum, tvsum
+    from aha_tpu.eval.scoring import combined_score, qvh_to_charades_format, traces_from_debug_data
+
+    p = argparse.ArgumentParser(prog="aha evaluate")
+    p.add_argument("--func", required=True,
+                   choices=["tvsum", "hisum", "grounding"])
+    p.add_argument("--pred_file", required=True)
+    p.add_argument("--gold_file", required=True)
+    p.add_argument("--params_file", default="outputs/grid_search_params.json")
+    p.add_argument("--params_key", default=None)
+    p.add_argument("--output_file", default=None)
+    args = p.parse_args(argv)
+
+    key = args.params_key or {"tvsum": "tvsum", "hisum": "hisum",
+                              "grounding": "charades"}[args.func]
+    with open(args.params_file) as f:
+        bp = json.load(f)[key]
+    a, b, e, t = bp["alpha"], bp["beta"], bp["epsilon"], bp["uncertainty_threshold"]
+
+    if args.func == "tvsum":
+        with open(args.pred_file) as f:
+            preds = json.load(f)
+        annos = tvsum.load_annotations(args.gold_file)
+        gt_dict, pred_dict = {}, {}
+        for p_ in preds:
+            vid = p_["video_uuid"]
+            tr = traces_from_debug_data(p_["debug_data"])
+            scores = combined_score(tr["informative"], tr["relevance"],
+                                    tr["uncertainty"], a, b, e, t)
+            true_frames = p_["true_frames_list"][: len(scores)]
+            gt_all = np.asarray(annos[vid]["importance_scores"])
+            gt_dict[vid] = gt_all[np.asarray(true_frames, np.int64)]
+            pred_dict[vid] = scores
+        overall = tvsum.evaluate_tvsum(gt_dict, pred_dict)
+        per_cat = tvsum.evaluate_tvsum_per_category(gt_dict, pred_dict, annos)
+        out = {"overall": overall, "per_category": per_cat}
+    elif args.func == "hisum":
+        import h5py
+
+        with open(args.pred_file) as f:
+            preds = json.load(f)
+        gt_dict, pred_dict = {}, {}
+        with h5py.File(args.gold_file, "r") as hdf:
+            for p_ in preds:
+                tr = traces_from_debug_data(p_["debug_data"])
+                scores = combined_score(tr["informative"], tr["relevance"],
+                                        tr["uncertainty"], a, b, e, t)
+                gt = np.asarray(hdf[p_["h5_identifier"]]["gtscore"])
+                n = min(len(scores), len(gt))
+                # ref alignment: debug_data[i] <-> gtscore[i-1]
+                gt_dict[p_["video_uuid"]] = gt[: n - 1]
+                pred_dict[p_["video_uuid"]] = scores[1:n]
+        out = hisum.evaluate_scores(gt_dict, pred_dict, spearman_kendall=True)
+    else:  # grounding
+        preds = [json.loads(l) for l in open(args.pred_file)]
+        with open(args.gold_file) as f:
+            golds = json.load(f)
+        if golds and "answer" in golds[0] and "saliency_scores" in golds[0].get("answer", {}):
+            golds = [qvh_to_charades_format(g) for g in golds]
+        golds = {g["question_id"]: g for g in golds}
+        out = grounding.evaluate_grounding(preds, golds, a, b, e, t)
+
+    print(json.dumps(out, indent=2, default=float))
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            json.dump(out, f, indent=2, default=float)
+
+
+def cmd_highlight(argv):
+    from aha_tpu.eval import highlight
+
+    p = argparse.ArgumentParser(prog="aha highlight")
+    p.add_argument("--pred_file", required=True, help="driver output JSON (tvsum format)")
+    p.add_argument("--video_uuid", required=True)
+    p.add_argument("--video_path", required=True)
+    p.add_argument("--output_filepath", default="highlight_video.mp4")
+    p.add_argument("--max_duration", type=int, required=True)
+    p.add_argument("--params_file", default="outputs/grid_search_params.json")
+    p.add_argument("--source_fps", type=float, required=True)
+    args = p.parse_args(argv)
+
+    with open(args.pred_file) as f:
+        preds = json.load(f)
+    pred = next(p_ for p_ in preds if p_["video_uuid"] == args.video_uuid)
+    a, b, e = highlight.load_calibrated_params(args.params_file)
+    result = highlight.generate_highlight(
+        pred["debug_data"], pred["true_frames_list"], args.max_duration,
+        alpha=a, beta=b, epsilon=e, source_fps=args.source_fps,
+        video_path=args.video_path, output_path=args.output_filepath,
+    )
+    print(json.dumps({k: v for k, v in result.items() if k != "highlight_indices"}))
+
+
+def cmd_train(argv):
+    from aha_tpu.config import AhaConfig, TrainConfig, aha_7b, aha_tiny, config_from_dict
+    from aha_tpu.data.collator import collate
+    from aha_tpu.data.datasets import build_mixture_from_config
+    from aha_tpu.models import aha
+    from aha_tpu.train.trainer import train
+
+    p = argparse.ArgumentParser(prog="aha train")
+    p.add_argument("--model_preset", default="7b", choices=["7b", "tiny"])
+    p.add_argument("--llm_pretrained", default=None)
+    p.add_argument("--tokenizer_pretrained", default=None)
+    p.add_argument("--dataset_config", required=True)
+    p.add_argument("--output_dir", default="outputs/train")
+    p.add_argument("--num_steps", type=int, required=True)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--grad_accum_steps", type=int, default=2)
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--wandb", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = aha_tiny() if args.model_preset == "tiny" else aha_7b()
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(
+        cfg, tokenizer_pretrained=args.tokenizer_pretrained,
+        weights_path=args.llm_pretrained,
+    )
+    train_cfg = TrainConfig(
+        output_dir=args.output_dir,
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        grad_accum_steps=args.grad_accum_steps,
+        mesh_data=args.mesh_data,
+        mesh_model=args.mesh_model,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+        seed=args.seed,
+    )
+    dataset = build_mixture_from_config(args.dataset_config, tokenizer,
+                                        system_prompt=train_cfg.system_prompt)
+
+    def batches():
+        import random as _r
+
+        rng = _r.Random(args.seed)
+        order = list(range(len(dataset)))
+        while True:
+            rng.shuffle(order)
+            for i in range(0, len(order) - args.batch_size + 1, args.batch_size):
+                examples = [dataset[j] for j in order[i : i + args.batch_size]]
+                yield collate(examples, tokenizer,
+                              v_placeholder_id=cfg.v_placeholder_id,
+                              frame_num_tokens=cfg.frame_num_tokens).asdict()
+
+    train(cfg, train_cfg, params, batches(), total_steps=args.num_steps,
+          use_wandb=args.wandb)
+
+
+COMMANDS = {
+    "infer": cmd_infer,
+    "grid-search": cmd_grid_search,
+    "evaluate": cmd_evaluate,
+    "highlight": cmd_highlight,
+    "train": cmd_train,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m aha_tpu.cli {" + ",".join(COMMANDS) + "} ...")
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd}; available: {', '.join(COMMANDS)}")
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -226,10 +226,12 @@ def scan_metadata(video_root: str, metadata_path: str, *, num_workers: int = 16,
         for name in names:
             if name.lower().endswith(exts):
                 files.append(os.path.join(root, name))
-    import multiprocessing as mp
+    # threads, not fork: cv2 releases the GIL during decode and forking a
+    # JAX-multithreaded process risks deadlock
+    from concurrent.futures import ThreadPoolExecutor
 
-    with mp.Pool(num_workers) as pool:
-        results = pool.map(probe_video, files)
+    with ThreadPoolExecutor(num_workers) as pool:
+        results = list(pool.map(probe_video, files))
     metadata = {os.path.relpath(r["path"], video_root): r for r in results}
     os.makedirs(os.path.dirname(metadata_path) or ".", exist_ok=True)
     with open(metadata_path, "w") as f:

@@ -67,6 +67,7 @@ def top_k_ap(gt_binary: np.ndarray, pred_scores: np.ndarray, k: int = 5) -> np.n
     of pred_scores."""
     pred = np.asarray(pred_scores, np.float64)
     gt = np.asarray(gt_binary, np.float64)
+    k = min(k, pred.shape[-1])  # short traces: fewer than k frames
     order = np.argsort(-pred, axis=-1, kind="stable")[..., :k]
     sel = np.take_along_axis(np.broadcast_to(gt, pred.shape), order, axis=-1)  # [..., k]
     num_gt = sel.sum(axis=-1)

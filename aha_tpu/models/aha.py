@@ -68,12 +68,19 @@ def init_aha_params(cfg: AhaConfig, key: jax.Array, dtype=None) -> AhaParams:
 # ---------------------------------------------------------------------------
 
 
+def _proj_kernel(p: dict, dtype) -> jnp.ndarray:
+    k = p["kernel"]
+    if isinstance(k, dict):  # int8 weight-only quantization (ops/quant.py)
+        k = (k["qvalue"].astype(jnp.float32) * k["scale"]).astype(dtype)
+    return k
+
+
 def project_features(params: AhaParams, feats: jnp.ndarray) -> jnp.ndarray:
     """llava-style mlp2x_gelu projector: Linear -> GELU -> Linear."""
     p = params["projector"]
-    x = jnp.einsum("...i,io->...o", feats, p["fc1"]["kernel"]) + p["fc1"]["bias"]
+    x = jnp.einsum("...i,io->...o", feats, _proj_kernel(p["fc1"], feats.dtype)) + p["fc1"]["bias"]
     x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(feats.dtype)
-    return jnp.einsum("...i,io->...o", x, p["fc2"]["kernel"]) + p["fc2"]["bias"]
+    return jnp.einsum("...i,io->...o", x, _proj_kernel(p["fc2"], x.dtype)) + p["fc2"]["bias"]
 
 
 def visual_embed(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray) -> jnp.ndarray:
@@ -81,7 +88,8 @@ def visual_embed(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray) -> jnp.
     where F = frame_num_tokens. Order matches the reference vision-inside
     path: encode -> adaptive-pool -> project (vision_live.py:11-31 then
     modeling_live.py:31-37)."""
-    dtype = params["projector"]["fc1"]["kernel"].dtype
+    k = params["projector"]["fc1"]["kernel"]
+    dtype = jnp.dtype(cfg.dtype) if isinstance(k, dict) else k.dtype
     pixels = siglip.preprocess_frames(frames, dtype)
     feats = siglip.forward(params["vision"], cfg.vision, pixels)  # [N, P, Hv]
     feats = pool_patch_tokens(feats, cfg.vision.grid_size, cfg.frame_token_pooled, cfg.pooling_mode)
@@ -97,7 +105,10 @@ def joint_embed(
     """Scatter projected frame tokens into `<image>` placeholder positions
     (ref: modeling_live.py:39-61, flat-mask scatter). Static-shape: uses a
     cumulative placeholder index so no boolean gather is needed."""
-    embeds = qwen2.embed_tokens(params["llm"], jnp.clip(input_ids, 0, cfg.llm.vocab_size - 1))
+    embeds = qwen2.embed_tokens(
+        params["llm"], jnp.clip(input_ids, 0, cfg.llm.vocab_size - 1),
+        dtype=jnp.dtype(cfg.dtype),
+    )
     if frame_embeds is None:
         return embeds
     B, T = input_ids.shape

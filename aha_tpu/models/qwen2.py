@@ -83,7 +83,10 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float = 0.0) -> jnp.ndarray:
-    y = jnp.einsum("...i,io->...o", x, p["kernel"])
+    kernel = p["kernel"]
+    if isinstance(kernel, dict):  # int8 weight-only quantization (ops/quant.py)
+        kernel = (kernel["qvalue"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
+    y = jnp.einsum("...i,io->...o", x, kernel)
     if lora is not None:
         # y += scale * (x @ A) @ B — computed at low rank, never materializing W+ΔW
         y = y + lora_scale * jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, lora["a"]), lora["b"])
@@ -204,11 +207,21 @@ def decode_chunk(
 # ---------------------------------------------------------------------------
 
 
-def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
-    return params["embed"]["weight"][input_ids]
+def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    w = params["embed"]["weight"]
+    if isinstance(w, dict):  # int8 table: gather rows + per-row scales
+        rows = w["qvalue"][input_ids].astype(jnp.float32) * w["scale"][input_ids]
+        return rows.astype(dtype)
+    return w[input_ids]
 
 
 def lm_logits(params: dict, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_word_embeddings:
-        return jnp.einsum("...h,vh->...v", hidden, params["embed"]["weight"])
-    return jnp.einsum("...h,hv->...v", hidden, params["lm_head"]["kernel"])
+        w = params["embed"]["weight"]
+        if isinstance(w, dict):
+            w = (w["qvalue"].astype(jnp.float32) * w["scale"]).astype(hidden.dtype)
+        return jnp.einsum("...h,vh->...v", hidden, w)
+    k = params["lm_head"]["kernel"]
+    if isinstance(k, dict):
+        k = (k["qvalue"].astype(jnp.float32) * k["scale"]).astype(hidden.dtype)
+    return jnp.einsum("...h,hv->...v", hidden, k)

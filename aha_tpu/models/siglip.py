@@ -56,7 +56,10 @@ def layer_norm(x, p, eps):
 
 
 def _dense(x, p):
-    return jnp.einsum("...i,io->...o", x, p["kernel"]) + p["bias"]
+    kernel = p["kernel"]
+    if isinstance(kernel, dict):  # int8 weight-only quantization (ops/quant.py)
+        kernel = (kernel["qvalue"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
+    return jnp.einsum("...i,io->...o", x, kernel) + p["bias"]
 
 
 def _mha(x, lp, num_heads):

@@ -1,0 +1,79 @@
+"""Weight-only int8 quantization for single-chip inference.
+
+The TPU-native equivalent of the reference's bitsandbytes NF4 path
+(`/root/reference/models/modeling_live.py:114-133`): per-output-channel
+symmetric int8 over every matmul kernel + the embedding table, dequantized
+at apply time (absmax/127 scale). Halves HBM for the 7B (bf16 15.8 GB ->
+~8.2 GB) so it fits a 16 GB v5e-1 with room for the KV cache — the memory
+plan called out in SURVEY §7 ("7B weights + cache on small-HBM chips").
+
+A quantized kernel is a dict {"qvalue": int8[..., out], "scale": f32[out]}
+recognized by the dequant helpers that the model matmul sites call.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_array(w: jnp.ndarray, contract_axis: int) -> dict:
+    """Symmetric int8 with one scale per slice along `contract_axis` (the
+    axis reduced by the matmul): [in,out] -> scale [1,out]; stacked
+    [L,in,out] -> scale [L,1,out] (never shared across layers)."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"qvalue": q, "scale": scale.astype(jnp.float32)}
+
+
+def is_quantized(p) -> bool:
+    return isinstance(p, dict) and "qvalue" in p
+
+
+def dequantize(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (p["qvalue"].astype(jnp.float32) * p["scale"]).astype(dtype)
+
+
+def resolve_kernel(kernel, dtype=None):
+    """Kernel site helper: pass through dense kernels, dequantize q-kernels."""
+    if is_quantized(kernel):
+        return dequantize(kernel, dtype or jnp.bfloat16)
+    return kernel if dtype is None else kernel.astype(dtype)
+
+
+_QUANT_KEYS = ("kernel", "weight")
+# param subtrees that stay dense: tiny, precision-sensitive, or gathered
+_SKIP_SUBSTRINGS = ("norm", "ln1", "ln2", "post_ln", "bias", "scale", "pos_embed",
+                    "heads", "patch_embed")
+
+
+def quantize_params(params: dict, *, quantize_embed: bool = True) -> dict:
+    """Quantize every large matmul kernel in an Aha param tree.
+
+    Embedding tables quantize along the hidden axis (per-token scales would
+    be [V] anyway; per-hidden keeps the gather cheap and accurate enough for
+    bf16 compute).
+    """
+
+    def visit(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        joined = "/".join(keys)
+        if any(s in joined for s in _SKIP_SUBSTRINGS):
+            return leaf
+        if keys[-1] not in _QUANT_KEYS:
+            return leaf
+        if keys[-1] == "weight":  # embedding table [V, H]
+            if not quantize_embed:
+                return leaf
+            return quantize_array(leaf, contract_axis=1)  # per-row scales
+        if leaf.ndim < 2:
+            return leaf
+        return quantize_array(leaf, contract_axis=leaf.ndim - 2)
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def tree_nbytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))

@@ -130,7 +130,7 @@ class StreamEngine:
         lora, lora_scale = self.lora, self.lora_scale
 
         def append_ids(params, cache, ids, valid_len):
-            embeds = qwen2.embed_tokens(params["llm"], ids)
+            embeds = qwen2.embed_tokens(params["llm"], ids, dtype=jnp.dtype(cfg.dtype))
             hidden, cache = qwen2.decode_chunk(
                 params["llm"], cfg.llm, policy, cache, embeds, valid_len,
                 lora=lora, lora_scale=lora_scale,
@@ -198,7 +198,7 @@ class StreamEngine:
                 # (fast_greedy_generate breaks before the embed update and the
                 # range loop ends after the write, modeling_live.py:64-90); it
                 # re-enters as the next chunk's leading id instead.
-                embeds = qwen2.embed_tokens(params["llm"], tok)[:, None, :]
+                embeds = qwen2.embed_tokens(params["llm"], tok, dtype=jnp.dtype(cfg.dtype))[:, None, :]
                 step_valid = (~done & (i + 1 < N)).astype(jnp.int32)
                 hidden, cache = qwen2.decode_chunk(
                     params["llm"], cfg.llm, policy, cache, embeds, step_valid,

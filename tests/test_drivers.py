@@ -1,0 +1,169 @@
+"""End-to-end driver tests: the TVSum pipeline (decode -> score -> JSON ->
+grid search -> evaluate) on synthetic videos with the tiny model — the
+"minimum end-to-end slice" milestone of SURVEY §7."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aha_tpu.config import InferConfig, aha_tiny
+from aha_tpu.drivers import benchmarks
+from aha_tpu.drivers.eval_dataset import StreamingVideoQADataset
+from aha_tpu.models import aha
+from aha_tpu.streaming.session import build_session
+
+cv2 = pytest.importorskip("cv2")
+
+
+def write_fake_video(path, n_frames=24, fps=8.0, size=(64, 48)):
+    out = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    rng = np.random.default_rng(hash(str(path)) % 2**31)
+    for i in range(n_frames):
+        frame = np.full((size[1], size[0], 3), (i * 10) % 255, np.uint8)
+        frame[:10, :10] = rng.integers(0, 255, (10, 10, 3))
+        out.write(frame)
+    out.release()
+
+
+@pytest.fixture(scope="module")
+def session():
+    cfg = aha_tiny(vocab_size=256)
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(cfg, seed=0)
+    infer_cfg = InferConfig(
+        frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+        grounding_mode=True, kv_cache_policy="sink", kv_window=128,
+        num_sink_tokens=8,
+    )
+    return build_session(params, cfg, tokenizer, infer_cfg)
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    for vid in ("vidA", "vidB"):
+        write_fake_video(d / f"{vid}.mp4")
+    return d
+
+
+def test_tvsum_pipeline(session, video_dir, tmp_path):
+    caption_file = tmp_path / "captions.tsv"
+    caption_file.write_text(
+        "category\tid\ttitle\turl\tlength\n"
+        "GA\tvidA\ta cooking show\turl\t0:24\n"
+        "GA\tvidB\ta dog video\turl\t0:24\n"
+    )
+    out = tmp_path / "pred.json"
+    results = benchmarks.run_tvsum(
+        session,
+        input_dir=str(video_dir),
+        caption_file=str(caption_file),
+        video_metadata_file=str(tmp_path / "meta.json"),
+        output_fname=str(out),
+        frame_fps=1.0,
+        seed=0,
+    )
+    assert len(results) == 2
+    for r in results:
+        assert set(r) == {"video_uuid", "model_response_list", "video_duration",
+                          "true_frames_list", "debug_data"}
+        assert len(r["debug_data"]) == len(r["true_frames_list"]) == 3  # 24f/8fps @1fps
+        for d in r["debug_data"]:
+            assert set(d) == {"time", "informative_score", "relevance_score",
+                              "uncertainty_score"}
+    saved = json.loads(out.read_text())
+    assert saved == results
+
+    # stage 2: grid search over these predictions
+    anno_file = tmp_path / "anno.tsv"
+    rows = []
+    rng = np.random.default_rng(0)
+    for vid in ("vidA", "vidB"):
+        n_src = 24
+        for _ in range(3):  # 3 annotators
+            rows.append(f"{vid}\tGA\t" + ",".join(str(rng.integers(1, 6)) for _ in range(n_src)))
+    anno_file.write_text("\n".join(rows) + "\n")
+
+    from aha_tpu.eval.grid_search import run_grid_search
+    from aha_tpu.eval.tvsum import load_annotations
+
+    annos = load_annotations(str(anno_file))
+    params_path = tmp_path / "grid_search_params.json"
+    small = {k: np.linspace(*r, 2) for k, r in
+             {"alpha": (0, 1.5), "beta": (0, 1.5), "epsilon": (-5, 5),
+              "uncertainty_threshold": (0.04, 0.15)}.items()}
+    best = run_grid_search("tvsum", results, ground_truths=annos, grid=small,
+                           save_path=str(params_path), seed=0)
+    assert "alpha" in best and params_path.exists()
+
+    # stage 3: evaluate via the CLI function
+    from aha_tpu.cli import cmd_evaluate
+
+    out_file = tmp_path / "metrics.json"
+    cmd_evaluate([
+        "--func", "tvsum", "--pred_file", str(out), "--gold_file", str(anno_file),
+        "--params_file", str(params_path), "--output_file", str(out_file),
+    ])
+    metrics = json.loads(out_file.read_text())
+    assert "overall" in metrics and "mAP50" in metrics["overall"]
+    assert "GA" in metrics["per_category"]
+
+
+def test_streaming_qa_driver(session, video_dir, tmp_path):
+    test_file = tmp_path / "test.json"
+    test_file.write_text(json.dumps([
+        {"question_id": "q1", "video": "vidA.mp4",
+         "conversation": [{"role": "user", "content": "what?", "time": 0}]},
+        {"question_id": "q2", "video": "missing.mp4",
+         "conversation": [{"role": "user", "content": "what?", "time": 0}]},
+    ]))
+    out = tmp_path / "pred.jsonl"
+    results = benchmarks.run_streaming_qa(
+        session,
+        test_fname=str(test_file),
+        input_dir=str(video_dir),
+        output_fname=str(out),
+        frame_fps=1.0,
+        max_num_frames=10,
+        grounding_mode=True,
+    )
+    assert len(results) == 1  # missing video skipped
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert lines[0]["question_id"] == "q1"
+    assert len(lines[0]["debug_data"]) == 3
+
+
+def test_eval_dataset_auto_fps(video_dir):
+    # auto fps: fit max_num_frames over the video
+    import json as _json
+
+    tf = video_dir / "t.json"
+    tf.write_text(_json.dumps([
+        {"question_id": "q", "video": "vidA.mp4",
+         "conversation": [{"role": "user", "content": "hi"}]},
+    ]))
+    ds = StreamingVideoQADataset(str(tf), str(video_dir), output_fps="auto",
+                                 max_num_frames=6, output_resolution=32)
+    qid, frames, conv, fps, duration = ds[0]
+    assert qid == "q"
+    assert frames.shape[0] <= 6
+    assert conv[0]["role"] == "system"
+    assert fps == pytest.approx(6 / duration)
+
+
+def test_tvsum_degraded_runs(session, video_dir, tmp_path):
+    caption_file = tmp_path / "captions.tsv"
+    caption_file.write_text("c\ti\tt\tu\tl\nGA\tvidA\tx\tu\t0:24\n")
+    out = tmp_path / "pred_deg.json"
+    results = benchmarks.run_tvsum(
+        session,
+        input_dir=str(video_dir),
+        caption_file=str(caption_file),
+        video_metadata_file=str(tmp_path / "meta2.json"),
+        output_fname=str(out),
+        frame_fps=1.0,
+        degraded=True,
+        seed=0,
+    )
+    assert len(results) == 1

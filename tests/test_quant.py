@@ -1,0 +1,61 @@
+"""int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aha_tpu.config import aha_tiny
+from aha_tpu.models import aha, qwen2
+from aha_tpu.ops import quant
+from aha_tpu.ops.kv_cache import CachePolicy
+from aha_tpu.streaming.engine import StreamEngine
+
+
+def test_quantize_array_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(4, 32, 16)).astype(np.float32))
+    q = quant.quantize_array(w, contract_axis=1)
+    assert q["qvalue"].dtype == jnp.int8
+    assert q["scale"].shape == (4, 1, 16)
+    deq = quant.dequantize(q, jnp.float32)
+    err = np.abs(np.asarray(deq - w)).max()
+    scale_max = float(q["scale"].max())
+    assert err <= scale_max * 0.51  # quantization step/2 + rounding
+
+
+def test_quantized_model_close_to_dense():
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    qparams = quant.quantize_params(params)
+    assert quant.tree_nbytes(qparams) < 0.55 * quant.tree_nbytes(params)
+    # norms/heads untouched
+    assert not isinstance(qparams["heads"]["relevance"]["kernel"], dict)
+    assert isinstance(qparams["llm"]["layers"]["q_proj"]["kernel"], dict)
+
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 100, (1, 12)))
+    emb_d = qwen2.embed_tokens(params["llm"], ids)
+    emb_q = qwen2.embed_tokens(qparams["llm"], ids, dtype=jnp.float32)
+    h_d = qwen2.forward_hidden(params["llm"], cfg.llm, emb_d)
+    h_q = qwen2.forward_hidden(qparams["llm"], cfg.llm, emb_q)
+    # int8 noise compounds through layers: check correlation, not exactness
+    a, b = np.asarray(h_d).ravel(), np.asarray(h_q).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.98, cos
+
+
+def test_quantized_streaming_engine_runs():
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    qparams = quant.quantize_params(params)
+    engine = StreamEngine(qparams, cfg, CachePolicy(kind="sink", window=32, num_sink=4))
+    cache = engine.new_cache(dtype=jnp.float32)
+    r = cfg.frame_resolution
+    frames = np.random.default_rng(0).integers(0, 255, (3, r, r, 3), dtype=np.uint8)
+    embeds = engine.encode_frames(frames)
+    cache, scores = engine.append_frames(cache, embeds[0][None])
+    assert np.isfinite(np.asarray(scores)).all()
+    cache, out_ids, out_len, _, _ = engine.generate(
+        cache, [tok.apply_chat_template([{"role": "system", "content": "s"}])],
+        engine.new_rep_counts(),
+    )
+    assert int(out_len[0]) >= 1
