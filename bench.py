@@ -110,31 +110,33 @@ def run_bench(preset: str) -> dict:
     cache = engine.new_cache()
     # pre-encode all frames (vision path measured separately below)
     embeds = engine.encode_frames(frames)  # [T, F, H]
-    jax.block_until_ready(embeds)
+    jax.device_get(embeds[0, 0, 0])
 
     # warmup/compile
     for i in range(2):
         cache, scores = engine.append_frames(cache, embeds[i][None])
-    jax.block_until_ready(scores)
+    jax.device_get(scores)
 
-    # full pipeline timing: vision encode + per-frame decoder scoring
+    # full pipeline timing: vision encode + per-frame decoder scoring.
+    # NOTE: end with device_get, not block_until_ready — the latter does not
+    # reliably wait through the axon TPU tunnel and reports fantasy numbers.
     cache = engine.new_cache()
     t0 = time.perf_counter()
     embeds = engine.encode_frames(frames)
     for i in range(BENCH_FRAMES):
         cache, scores = engine.append_frames(cache, embeds[i][None])
-    jax.block_until_ready(scores)
+    jax.device_get(scores)
     elapsed = time.perf_counter() - t0
     fps = BENCH_FRAMES / elapsed
 
     # scan fast path (the no-generation benchmark mode)
     cache2 = engine.new_cache()
     _, s = engine.score_stream(cache2, embeds[None, :8])
-    jax.block_until_ready(s)
+    jax.device_get(s)
     cache2 = engine.new_cache()
     t0 = time.perf_counter()
     _, s = engine.score_stream(cache2, embeds[None])
-    jax.block_until_ready(s)
+    jax.device_get(s)
     scan_fps = BENCH_FRAMES / (time.perf_counter() - t0)
 
     return {
