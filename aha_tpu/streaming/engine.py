@@ -34,7 +34,7 @@ from aha_tpu.models import aha, qwen2
 from aha_tpu.ops.kv_cache import CachePolicy, KVCache, init_cache, reset_cache
 
 
-ID_BUCKETS = (16, 32, 64, 128, 256, 512)
+ID_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 def _bucket(n: int, buckets=ID_BUCKETS) -> int:
