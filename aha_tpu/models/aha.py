@@ -68,19 +68,21 @@ def init_aha_params(cfg: AhaConfig, key: jax.Array, dtype=None) -> AhaParams:
 # ---------------------------------------------------------------------------
 
 
-def _proj_kernel(p: dict, dtype) -> jnp.ndarray:
+def _proj_linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     k = p["kernel"]
     if isinstance(k, dict):  # int8 weight-only quantization (ops/quant.py)
-        k = (k["qvalue"].astype(jnp.float32) * k["scale"]).astype(dtype)
-    return k
+        from aha_tpu.ops.quant import qlinear
+
+        return qlinear(x, k) + p["bias"]
+    return jnp.einsum("...i,io->...o", x, k) + p["bias"]
 
 
 def project_features(params: AhaParams, feats: jnp.ndarray) -> jnp.ndarray:
     """llava-style mlp2x_gelu projector: Linear -> GELU -> Linear."""
     p = params["projector"]
-    x = jnp.einsum("...i,io->...o", feats, _proj_kernel(p["fc1"], feats.dtype)) + p["fc1"]["bias"]
+    x = _proj_linear(feats, p["fc1"])
     x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(feats.dtype)
-    return jnp.einsum("...i,io->...o", x, _proj_kernel(p["fc2"], x.dtype)) + p["fc2"]["bias"]
+    return _proj_linear(x, p["fc2"])
 
 
 def visual_embed(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray) -> jnp.ndarray:

@@ -85,8 +85,11 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float = 0.0) -> jnp.ndarray:
     kernel = p["kernel"]
     if isinstance(kernel, dict):  # int8 weight-only quantization (ops/quant.py)
-        kernel = (kernel["qvalue"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
-    y = jnp.einsum("...i,io->...o", x, kernel)
+        from aha_tpu.ops.quant import qlinear
+
+        y = qlinear(x, kernel)
+    else:
+        y = jnp.einsum("...i,io->...o", x, kernel)
     if lora is not None:
         # y += scale * (x @ A) @ B — computed at low rank, never materializing W+ΔW
         y = y + lora_scale * jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, lora["a"]), lora["b"])
@@ -223,5 +226,7 @@ def lm_logits(params: dict, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray
         return jnp.einsum("...h,vh->...v", hidden, w)
     k = params["lm_head"]["kernel"]
     if isinstance(k, dict):
-        k = (k["qvalue"].astype(jnp.float32) * k["scale"]).astype(hidden.dtype)
+        from aha_tpu.ops.quant import qlinear
+
+        return qlinear(hidden, k)
     return jnp.einsum("...h,hv->...v", hidden, k)

@@ -58,7 +58,9 @@ def layer_norm(x, p, eps):
 def _dense(x, p):
     kernel = p["kernel"]
     if isinstance(kernel, dict):  # int8 weight-only quantization (ops/quant.py)
-        kernel = (kernel["qvalue"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
+        from aha_tpu.ops.quant import qlinear
+
+        return qlinear(x, kernel) + p["bias"]
     return jnp.einsum("...i,io->...o", x, kernel) + p["bias"]
 
 

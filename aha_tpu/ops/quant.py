@@ -43,6 +43,31 @@ def resolve_kernel(kernel, dtype=None):
     return kernel if dtype is None else kernel.astype(dtype)
 
 
+def use_pallas_matmul() -> bool:
+    import os
+
+    mode = os.environ.get("AHA_QUANT_MATMUL", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "jnp":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def qlinear(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
+    """x [..., K] times a quantized kernel {qvalue [K, N], scale}.
+
+    Dispatches to the fused Pallas int8 kernel on TPU (streams int8 from
+    HBM, dequantizes in VMEM — ops/pallas/quant_matmul.py) and to the
+    dequantize-then-einsum path elsewhere."""
+    if use_pallas_matmul():
+        from aha_tpu.ops.pallas.quant_matmul import quant_matmul
+
+        return quant_matmul(x, qkernel["qvalue"], qkernel["scale"])
+    kernel = dequantize(qkernel, x.dtype)
+    return jnp.einsum("...i,io->...o", x, kernel)
+
+
 _QUANT_KEYS = ("kernel", "weight")
 # param subtrees that stay dense: tiny, precision-sensitive, or gathered
 _SKIP_SUBSTRINGS = ("norm", "ln1", "ln2", "post_ln", "bias", "scale", "pos_embed",

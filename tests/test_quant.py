@@ -59,3 +59,32 @@ def test_quantized_streaming_engine_runs():
         engine.new_rep_counts(),
     )
     assert int(out_len[0]) >= 1
+
+
+def test_pallas_quant_matmul_matches_jnp():
+    import os
+
+    from aha_tpu.ops.pallas.quant_matmul import quant_matmul
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 7, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(96, 160)).astype(np.float32))
+    q = quant.quantize_array(w, contract_axis=0)
+    want = np.asarray(jnp.einsum("...i,io->...o", x, quant.dequantize(q, jnp.float32)))
+    got = np.asarray(quant_matmul(x, q["qvalue"], q["scale"]))
+    # kernel computes in bf16 (the TPU compute dtype); bound the error
+    # relative to the output scale rather than per element
+    assert np.abs(got - want).max() <= 0.02 * np.abs(want).max()
+
+
+def test_qlinear_dispatch_modes(monkeypatch):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    q = quant.quantize_array(w, contract_axis=0)
+    monkeypatch.setenv("AHA_QUANT_MATMUL", "jnp")
+    a = quant.qlinear(x, q)
+    monkeypatch.setenv("AHA_QUANT_MATMUL", "pallas")
+    b = quant.qlinear(x, q)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).max() <= 0.02 * np.abs(a).max()
