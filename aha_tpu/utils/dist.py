@@ -1,0 +1,98 @@
+"""Multi-host runtime helpers.
+
+Replaces `/root/reference/utils/dist_utils.py`: seeding (:10-16), rank
+helpers (:20-27), rank-0 print gating (:30-43), and
+`init_deepspeed_distributed_mode`'s NCCL bring-up (:46-78) — which becomes
+`jax.distributed.initialize()`: XLA collectives ride ICI/DCN, so there is
+no backend/timeout/barrier configuration to manage (the reference sets a
+365-day NCCL timeout to effectively never time out; JAX has no per-
+collective timeout to tune).
+"""
+
+from __future__ import annotations
+
+import builtins
+import functools
+import os
+import random
+
+
+def set_seed(seed: int):
+    """Seed python/numpy (+ torch if importable, for data-side parity)."""
+    random.seed(seed)
+    import numpy as np
+
+    np.random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except Exception:
+        pass
+
+
+def process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return int(os.environ.get("RANK", 0))
+
+
+def process_count() -> int:
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:
+        return int(os.environ.get("WORLD_SIZE", 1))
+
+
+def is_main_process() -> bool:
+    return process_index() == 0
+
+
+def setup_for_distributed(is_master: bool):
+    """Gate print() to the main process (ref dist_utils.py:30-43)."""
+    builtin_print = builtins.print
+
+    @functools.wraps(builtin_print)
+    def print_(*args, force=False, **kwargs):
+        if is_master or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> dict:
+    """Multi-host bring-up. On single-host (or TPU pods with automatic
+    environment detection) argument-free initialize() is correct."""
+    import jax
+
+    if process_count() > 1 or coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    info = {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+    setup_for_distributed(info["process_index"] == 0)
+    return info
+
+
+def shard_iterable(items, num_shards: int | None = None, shard_id: int | None = None):
+    """Stride-sharded host work partition (the reference's submitit
+    `i % num_tasks != global_rank` pattern, data/utils.py:115-151)."""
+    n = num_shards if num_shards is not None else process_count()
+    r = shard_id if shard_id is not None else process_index()
+    for i, item in enumerate(items):
+        if i % n == r:
+            yield item

@@ -1,0 +1,123 @@
+"""Auxiliary subsystem tests: telemetry, dist helpers, live-video demo,
+visualization."""
+
+import json
+
+import numpy as np
+import pytest
+
+from aha_tpu.config import InferConfig, aha_tiny
+from aha_tpu.drivers import live_video, visualize
+from aha_tpu.models import aha
+from aha_tpu.streaming.session import build_session
+from aha_tpu.utils import dist, telemetry
+
+
+def test_device_monitor():
+    import jax
+
+    mon = telemetry.DeviceMonitor(sample_interval_seconds=0.01).start()
+    x = jax.numpy.ones((256, 256))
+    (x @ x).block_until_ready()
+    mon.stop()
+    rep = mon.report()
+    assert rep["samples"] >= 1
+    assert rep["peak_ram_gb"] > 0
+
+
+def test_step_timer():
+    t = telemetry.StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    s = t.summary()
+    assert s["n"] == 3 and s["p50_ms"] >= 0
+
+
+def test_dist_helpers():
+    assert dist.process_index() == 0
+    assert dist.process_count() == 1
+    assert dist.is_main_process()
+    items = list(dist.shard_iterable(range(10), num_shards=3, shard_id=1))
+    assert items == [1, 4, 7]
+    dist.set_seed(0)
+
+
+def test_tag_important_segments():
+    segs = [
+        {"start": 0, "end": 2, "text": "ok"},
+        {"start": 2, "end": 5, "text": "take a photo of the door"},
+        {"start": 5, "end": 6, "text": "yes okay"},
+    ]
+    tagged = live_video.tag_important_segments(segs)
+    assert [s["important"] for s in tagged] == [False, True, False]
+    ticks = live_video.segments_to_gt_ticks(tagged)
+    assert ticks == [3.5]
+
+
+@pytest.fixture(scope="module")
+def tiny_session():
+    cfg = aha_tiny(vocab_size=256)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    return build_session(params, cfg, tok, InferConfig(
+        frame_fps=2.0, frame_resolution=cfg.frame_resolution,
+        grounding_mode=True, kv_cache_policy="sink", kv_window=64, num_sink_tokens=4))
+
+
+def test_infer_on_live_video(tiny_session, tmp_path):
+    cfg = tiny_session.cfg
+    r = cfg.frame_resolution
+    frames = np.random.default_rng(0).integers(0, 255, (20, r, r, 3), dtype=np.uint8)
+    mon = telemetry.DeviceMonitor(0.05)
+    out = live_video.infer_on_live_video(
+        tiny_session, frames, "what is happening?", fps=2.0,
+        output_dir=str(tmp_path), gt_ticks=[3.0], monitor=mon,
+    )
+    assert len(out["debug_data"]) == 20
+    assert "telemetry" in out
+    assert (tmp_path / "live_scores.json").exists()
+    assert (tmp_path / "live_scores.png").exists()
+
+
+def test_render_demo_video(tmp_path):
+    pytest.importorskip("cv2")
+    frames = np.random.default_rng(0).integers(0, 255, (12, 48, 64, 3), dtype=np.uint8)
+    scores = np.random.default_rng(1).random(12)
+    out = live_video.render_demo_video(frames, scores, 2.0,
+                                       str(tmp_path / "demo.mp4"), ticks=[2.0])
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == 12
+    assert cap.get(cv2.CAP_PROP_FRAME_HEIGHT) == 48 + 160
+    cap.release()
+
+
+def test_visualize_benchmark(tmp_path):
+    pred = {
+        "video_uuid": "vidA",
+        "debug_data": [
+            dict(time=float(t), informative_score=0.5, relevance_score=0.5,
+                 uncertainty_score=0.1) for t in range(10)
+        ],
+    }
+    pred_file = tmp_path / "pred.json"
+    pred_file.write_text(json.dumps([pred]))
+    params_file = tmp_path / "params.json"
+    params_file.write_text(json.dumps(
+        {"tvsum": {"alpha": 0.5, "beta": 1.0, "epsilon": 0.0,
+                   "uncertainty_threshold": 0.1}}))
+    gt = np.random.default_rng(0).random(10)
+    out = visualize.visualize_benchmark(
+        str(pred_file), str(params_file), "tvsum", lambda v: gt, str(tmp_path / "plots"))
+    assert len(out) == 1
+    import os
+
+    assert os.path.exists(out[0])
+
+
+def test_tick_table_roundtrip(tmp_path):
+    table = {"arl_scout": {"ticks": [10.0, 55.0], "label": "demo"}}
+    p = tmp_path / "ticks.json"
+    p.write_text(json.dumps(table))
+    assert live_video.load_tick_table(str(p), "arl_scout") == [10.0, 55.0]
