@@ -143,7 +143,7 @@ def decode_video(
     dropout_intervals: list | None = None,
     rng: np.random.Generator | None = None,
 ) -> tuple[np.ndarray, list[int]]:
-    """Sequential cv2 decode resampled to output_fps with letterboxing.
+    """Sequential decode resampled to output_fps with letterboxing.
 
     Returns (frames [T, S, S, 3] uint8 RGB, true_frame_indices mapping each
     output frame to its source frame index — needed by tvsum alignment and
@@ -151,7 +151,24 @@ def decode_video(
 
     dropout_intervals: [(start_s, end_s, type)] applied during decode
     (ref data/HIHD.py:97-130).
+
+    Uses the native libav decoder (aha_tpu/native) when built — identical
+    frame selection and letterbox geometry — and falls back to cv2. The
+    corruption-simulation path always decodes via cv2 (corruption applies
+    to the pre-letterbox frame).
     """
+    if dropout_intervals is None:
+        try:
+            from aha_tpu import native
+
+            if native.available():
+                frames, idx = native.decode_video_native(
+                    path, output_fps=output_fps, output_size=output_size,
+                    max_frames=max_frames,
+                )
+                return frames, idx
+        except Exception:
+            pass  # fall through to cv2
     import cv2
 
     cap = cv2.VideoCapture(path)
