@@ -44,14 +44,13 @@ def resolve_kernel(kernel, dtype=None):
 
 
 def use_pallas_matmul() -> bool:
+    """Measured on v5e-1 (BENCH r1): XLA's fused dequant-einsum sustains
+    34 fps on the 7B scorer vs 18 fps for the first-cut Pallas kernel, so
+    the jnp path is the default; set AHA_QUANT_MATMUL=pallas to use the
+    kernel (ops/pallas/quant_matmul.py) while tuning it."""
     import os
 
-    mode = os.environ.get("AHA_QUANT_MATMUL", "auto")
-    if mode == "pallas":
-        return True
-    if mode == "jnp":
-        return False
-    return jax.default_backend() in ("tpu", "axon")
+    return os.environ.get("AHA_QUANT_MATMUL", "jnp") == "pallas"
 
 
 def qlinear(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:

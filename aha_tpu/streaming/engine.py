@@ -139,10 +139,13 @@ class StreamEngine:
             logits = qwen2.lm_logits(params["llm"], cfg.llm, last_h).astype(jnp.float32)
             return cache, logits
 
-        def append_frames(params, cache, frame_embeds):
-            # frame_embeds: [B, F, H]
+        def append_frames(params, cache, frame_embeds, active=None):
+            # frame_embeds: [B, F, H]; active: [B] bool (finished rows write
+            # zero valid tokens — the junk slot absorbs them)
             B, F = frame_embeds.shape[:2]
             valid_len = jnp.full((B,), F, jnp.int32)
+            if active is not None:
+                valid_len = jnp.where(active, valid_len, 0)
             hidden, cache = qwen2.decode_chunk(
                 params["llm"], cfg.llm, policy, cache, frame_embeds, valid_len,
                 lora=lora, lora_scale=lora_scale,
@@ -150,13 +153,17 @@ class StreamEngine:
             scores = _scores_from_hidden(params, cfg, hidden[:, -1])
             return cache, scores
 
-        def score_stream(params, cache, frames):
+        def score_stream(params, cache, frames, active=None):
             # frames: [B, T, F, H] -> scores [B, T, 3]; no host syncs.
-            def step(c, fe):
-                c, s = append_frames(params, c, fe)
+            # active: [B, T] bool for ragged multi-stream batches.
+            def step(c, xs):
+                fe, act = xs
+                c, s = append_frames(params, c, fe, act)
                 return c, s
 
-            cache, scores = jax.lax.scan(step, cache, frames.swapaxes(0, 1))
+            act = (active.swapaxes(0, 1) if active is not None
+                   else jnp.ones(frames.shape[:2], bool).swapaxes(0, 1))
+            cache, scores = jax.lax.scan(step, cache, (frames.swapaxes(0, 1), act))
             return cache, scores.swapaxes(0, 1)
 
         def encode_frames(params, frames):
@@ -239,11 +246,11 @@ class StreamEngine:
         ids, lens = self.pad_ids(ids_list)
         return self._append_ids(self.params, cache, ids, lens)
 
-    def append_frames(self, cache: KVCache, frame_embeds: jnp.ndarray):
-        return self._append_frames(self.params, cache, frame_embeds)
+    def append_frames(self, cache: KVCache, frame_embeds: jnp.ndarray, active=None):
+        return self._append_frames(self.params, cache, frame_embeds, active)
 
-    def score_stream(self, cache: KVCache, frames: jnp.ndarray):
-        return self._score_stream(self.params, cache, frames)
+    def score_stream(self, cache: KVCache, frames: jnp.ndarray, active=None):
+        return self._score_stream(self.params, cache, frames, active)
 
     def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray):
         ids, lens = self.pad_ids(ids_list)
