@@ -211,6 +211,34 @@ def decode_video(
     return np.stack(frames), true_idx
 
 
+def load_frame_folder(
+    frame_folder: str,
+    *,
+    output_size: int = 384,
+    output_fps: float = 1.0,
+    start: int | None = None,
+    end: int | None = None,
+    exts=(".jpg", ".jpeg", ".png"),
+) -> tuple[np.ndarray, float, float]:
+    """Load a directory of frame images (demo path; ref
+    load_individual_frames_for_testing, test/inference.py:379-417).
+    Returns (frames [T, S, S, 3] RGB, fps, duration)."""
+    import cv2
+
+    names = sorted(n for n in os.listdir(frame_folder) if n.lower().endswith(exts))
+    names = names[start:end]
+    frames = []
+    for name in names:
+        img = cv2.imread(os.path.join(frame_folder, name))
+        if img is None:
+            continue
+        img = resize_and_pad_frame(img, output_size)
+        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    arr = (np.stack(frames) if frames
+           else np.zeros((0, output_size, output_size, 3), np.uint8))
+    return arr, output_fps, arr.shape[0] / output_fps
+
+
 def probe_video(path: str) -> dict:
     """Single-file metadata probe (fps/duration/validity)."""
     import cv2

@@ -232,6 +232,43 @@ def run_hisum(
     return results
 
 
+def run_offline_baseline(
+    session: StreamSession,
+    *,
+    test_fname: str,
+    input_dir: str,
+    output_fname: str,
+    frame_fps: float,
+    max_num_frames: int,
+    start_idx: int = 0,
+    end_idx: int | None = None,
+) -> list[dict]:
+    """Offline single-answer baseline driver (ref test/inference.py:910-951):
+    whole video + question -> one generated response per example. JSONL of
+    {question_id, model_response, question, video_duration}."""
+    dataset = StreamingVideoQADataset(
+        test_fname, input_dir,
+        start_idx=start_idx, end_idx=end_idx,
+        output_fps=frame_fps, output_resolution=session.args.frame_resolution,
+        max_num_frames=max_num_frames, system_prompt=session.args.system_prompt,
+    )
+    results = []
+    with open(output_fname, "w") as f_out:
+        for i in range(len(dataset)):
+            question_id, frames, conversation, fps, duration = dataset[i]
+            if question_id is None:
+                continue
+            question = next(t["content"] for t in conversation if t["role"] == "user")
+            response = session.offline_generate(frames, question, fps=fps)
+            res = {"question_id": question_id, "model_response": [response],
+                   "question": question, "video_duration": duration}
+            results.append(res)
+            f_out.write(json.dumps(res) + "\n")
+            if i % 10 == 0:
+                f_out.flush()
+    return results
+
+
 def run_streaming_qa(
     session: StreamSession,
     *,

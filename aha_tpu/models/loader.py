@@ -155,6 +155,80 @@ def _cast(tree, dtype):
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), tree)
 
 
+def convert_peft_lora(sd: dict, cfg: QwenConfig, dtype=jnp.float32) -> dict:
+    """peft LoRA adapter state dict -> our stacked lora tree.
+
+    The reference publishes adapter-only checkpoints
+    (`/root/reference/models/modeling_live.py:149-151`); peft keys look like
+    `base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight`
+    ([r, in]) / `...lora_B.weight` ([out, r]). Ours: a [L, in, r],
+    b [L, r, out].
+    """
+    projs = {
+        "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+        "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+        "down_proj": "mlp.down_proj",
+    }
+    # locate the per-layer prefix (varies with wrapping depth)
+    sample = next((k for k in sd if ".lora_A." in k and "layers.0." in k), None)
+    assert sample is not None, "no lora_A keys found"
+    prefix = sample.split("layers.0.")[0]
+    tree = {}
+    for name, hf_name in projs.items():
+        a_tmpl = prefix + "layers.{i}." + hf_name + ".lora_A.weight"
+        b_tmpl = prefix + "layers.{i}." + hf_name + ".lora_B.weight"
+        if a_tmpl.format(i=0) not in sd:
+            continue
+        a = _stack(sd, a_tmpl, cfg.num_layers, transpose=True)   # [L, in, r]
+        b = _stack(sd, b_tmpl, cfg.num_layers, transpose=True)   # [L, r, out]
+        tree[name] = {"a": jnp.asarray(a, dtype), "b": jnp.asarray(b, dtype)}
+    return tree
+
+
+def convert_peft_modules_to_save(sd: dict, dtype=jnp.float32) -> dict:
+    """Dense modules saved alongside the adapters (mm_projector, heads,
+    lm_head — ref modules_to_save, modeling_live.py:156-163). Returns
+    partial param overrides keyed like AhaParams."""
+    def find(suffix):
+        for k in sd:
+            if k.endswith(suffix):
+                return _np(sd[k])
+        return None
+
+    out: dict = {}
+    proj0 = find("mm_projector.0.weight")
+    if proj0 is not None:
+        out["projector"] = {
+            "fc1": {"kernel": proj0.T, "bias": find("mm_projector.0.bias")},
+            "fc2": {"kernel": find("mm_projector.2.weight").T,
+                    "bias": find("mm_projector.2.bias")},
+        }
+    heads = {}
+    for name in ("informative", "relevance", "uncertainty"):
+        w = find(f"{name}_head.weight")
+        if w is not None:
+            heads[name] = {"kernel": w.T}
+    if heads:
+        out["heads"] = heads
+    lm = find("lm_head.weight")
+    if lm is not None:
+        out["llm"] = {"lm_head": {"kernel": lm.T}}
+    return _cast(out, dtype)
+
+
+def apply_overrides(params: dict, overrides: dict) -> dict:
+    """Deep-merge partial param overrides into a full tree."""
+    out = dict(params)
+    for k, v in overrides.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict) and "kernel" not in v \
+                and "weight" not in v and "a" not in v:
+            out[k] = apply_overrides(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 # ---------------------------------------------------------------------------
 # File loading
 # ---------------------------------------------------------------------------

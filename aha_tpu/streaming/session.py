@@ -254,6 +254,29 @@ class StreamSession:
         self.video_time += 1.0 / self.frame_fps
         return ret
 
+    def offline_generate(self, video_frames: np.ndarray, question: str,
+                         fps: float | None = None) -> str:
+        """Offline (non-streaming) baseline: system + whole video + question
+        -> one greedy answer. The analog of the reference's LLaVA-OneVision
+        offline path (test/inference.py:910-951) running on the same model."""
+        self.reset()
+        if fps is not None:
+            self.set_fps(fps=fps)
+        self.cache, _ = self.engine.append_ids(self.cache, [self._start_ids])
+        embeds = self.engine.encode_frames(video_frames)
+        self.cache, _ = self.engine.score_stream(self.cache, embeds[None])
+        q_ids = self.tokenizer.apply_chat_template(
+            [{"role": "user", "content": question}],
+            add_stream_query_prompt=True, add_generation_prompt=True,
+        )
+        cache, out_ids, out_len, counts, _ = self.engine.generate(
+            self.cache, [q_ids], self.rep_counts
+        )
+        self.cache = cache
+        self.rep_counts = counts
+        n = int(out_len[0])
+        return self.tokenizer.decode(np.asarray(out_ids[0, :n]), skip_special_tokens=True)
+
     # ------------------------------------------------------------------
     # TPU fast path: scan-scored stream (no generation possible)
     # ------------------------------------------------------------------

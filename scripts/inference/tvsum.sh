@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# TVSum 3-stage pipeline (ref scripts/inference/tvsum.sh):
+# infer -> grid-search calibration -> evaluate.
+set -euo pipefail
+OUT=${OUT:-outputs/tvsum}
+mkdir -p "$OUT"
+
+python -m aha_tpu.cli infer \
+  --test_dataset tvsum \
+  --model_preset 7b --int8 \
+  --llm_pretrained "${LLM_PRETRAINED:-}" \
+  --input_dir "${TVSUM_VIDEOS:-datasets/tvsum/videos}" \
+  --caption_metadata_file "${TVSUM_INFO:-datasets/tvsum/data/ydata-tvsum50-info.tsv}" \
+  --video_metadata_file "$OUT/videos_metadata.json" \
+  --output_fname "$OUT/pred.json" \
+  --frame_fps 1 "$@"
+
+python -m aha_tpu.cli grid-search \
+  --test_dataset tvsum \
+  --pred_file "$OUT/pred.json" \
+  --gold_file "${TVSUM_ANNO:-datasets/tvsum/data/ydata-tvsum50-anno.tsv}" \
+  --save_path "$OUT/grid_search_params.json"
+
+python -m aha_tpu.cli evaluate \
+  --func tvsum \
+  --pred_file "$OUT/pred.json" \
+  --gold_file "${TVSUM_ANNO:-datasets/tvsum/data/ydata-tvsum50-anno.tsv}" \
+  --params_file "$OUT/grid_search_params.json" \
+  --output_file "$OUT/metrics.json"

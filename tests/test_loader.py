@@ -1,0 +1,105 @@
+"""Checkpoint conversion tests with synthetic HF/peft state dicts."""
+
+import numpy as np
+import pytest
+
+from aha_tpu.config import aha_tiny, qwen2_tiny
+from aha_tpu.models import aha, loader, qwen2
+from aha_tpu.train import lora as lora_lib
+
+
+def test_convert_peft_lora_roundtrip():
+    cfg = qwen2_tiny()
+    rng = np.random.default_rng(0)
+    r = 4
+    sd = {}
+    dims = lora_lib.proj_dims(cfg)
+    prefix = "base_model.model.model."
+    for name, hf in {
+        "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+        "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+        "down_proj": "mlp.down_proj",
+    }.items():
+        din, dout = dims[name]
+        for i in range(cfg.num_layers):
+            sd[f"{prefix}layers.{i}.{hf}.lora_A.weight"] = rng.normal(
+                size=(r, din)).astype(np.float32)
+            sd[f"{prefix}layers.{i}.{hf}.lora_B.weight"] = rng.normal(
+                size=(dout, r)).astype(np.float32)
+    tree = loader.convert_peft_lora(sd, cfg)
+    assert set(tree) == set(dims)
+    L = cfg.num_layers
+    assert tree["q_proj"]["a"].shape == (L, dims["q_proj"][0], r)
+    assert tree["q_proj"]["b"].shape == (L, r, dims["q_proj"][1])
+    # delta equivalence for layer 1: B @ A (torch layout) == (a @ b).T-ish
+    want = sd[f"{prefix}layers.1.self_attn.q_proj.lora_B.weight"] @ \
+        sd[f"{prefix}layers.1.self_attn.q_proj.lora_A.weight"]  # [out, in]
+    got = np.asarray(tree["q_proj"]["a"][1] @ tree["q_proj"]["b"][1])  # [in, out]
+    np.testing.assert_allclose(got, want.T, rtol=1e-5)
+
+
+def test_convert_modules_to_save_and_apply():
+    cfg = aha_tiny(vocab_size=64)
+    params, cfg, _ = aha.build_model_and_tokenizer(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    H, Hv, V = cfg.llm.hidden_size, cfg.vision.hidden_size, cfg.llm.vocab_size
+    sd = {
+        "base_model.model.model.mm_projector.0.weight": rng.normal(size=(H, Hv)).astype(np.float32),
+        "base_model.model.model.mm_projector.0.bias": np.zeros(H, np.float32),
+        "base_model.model.model.mm_projector.2.weight": rng.normal(size=(H, H)).astype(np.float32),
+        "base_model.model.model.mm_projector.2.bias": np.zeros(H, np.float32),
+        "base_model.model.informative_head.weight": rng.normal(size=(2, H)).astype(np.float32),
+        "base_model.model.relevance_head.weight": rng.normal(size=(1, H)).astype(np.float32),
+        "base_model.model.uncertainty_head.weight": rng.normal(size=(1, H)).astype(np.float32),
+        "base_model.model.lm_head.weight": rng.normal(size=(V, H)).astype(np.float32),
+    }
+    overrides = loader.convert_peft_modules_to_save(sd)
+    merged = loader.apply_overrides(params, overrides)
+    np.testing.assert_allclose(
+        np.asarray(merged["projector"]["fc1"]["kernel"]),
+        sd["base_model.model.model.mm_projector.0.weight"].T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["heads"]["relevance"]["kernel"]),
+        sd["base_model.model.relevance_head.weight"].T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["llm"]["lm_head"]["kernel"]),
+        sd["base_model.model.lm_head.weight"].T,
+    )
+    # untouched leaves survive the merge
+    np.testing.assert_array_equal(
+        np.asarray(merged["llm"]["embed"]["weight"]),
+        np.asarray(params["llm"]["embed"]["weight"]),
+    )
+    assert "vision" in merged
+
+
+def test_offline_generate():
+    from aha_tpu.config import InferConfig
+    from aha_tpu.streaming.session import build_session
+
+    cfg = aha_tiny(vocab_size=256)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    sess = build_session(params, cfg, tok, InferConfig(
+        frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+        grounding_mode=True, kv_cache_policy="none", kv_window=1024,
+        max_new_tokens=8))
+    frames = np.random.default_rng(0).integers(
+        0, 255, (4, cfg.frame_resolution, cfg.frame_resolution, 3), dtype=np.uint8)
+    out = sess.offline_generate(frames, "what is shown?")
+    assert isinstance(out, str)
+
+
+def test_load_frame_folder(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from aha_tpu.data.media import load_frame_folder
+
+    for i in range(5):
+        img = np.full((40, 60, 3), i * 40, np.uint8)
+        cv2.imwrite(str(tmp_path / f"frame_{i:03d}.jpg"), img)
+    frames, fps, duration = load_frame_folder(str(tmp_path), output_size=32,
+                                              output_fps=2.0, start=1, end=4)
+    assert frames.shape == (3, 32, 32, 3)
+    assert duration == pytest.approx(1.5)
