@@ -170,6 +170,9 @@ def run_bench(preset: str) -> dict:
 
 def main():
     last_err = None
+    if "--smoke" in sys.argv:  # tiny model, any backend — CI/verify smoke
+        print(json.dumps(run_bench("tiny")))
+        return
     # 7b-int8 is the single-v5e deployment config (bf16 7B does not fit 16 GB)
     for preset in ("7b-int8", "2b", "tiny"):
         try:
