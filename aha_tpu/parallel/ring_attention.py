@@ -59,9 +59,11 @@ def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float):
     B, Tl, H, D = q.shape
     q_pos = idx * Tl + jnp.arange(Tl)
 
-    m = jnp.full((B, H, Tl), NEG_INF, jnp.float32)
-    l = jnp.zeros((B, H, Tl), jnp.float32)
-    acc = jnp.zeros((B, Tl, H, D), jnp.float32)
+    # accumulators start device-varying (they will depend on axis_index)
+    vary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+    m = vary(jnp.full((B, H, Tl), NEG_INF, jnp.float32))
+    l = vary(jnp.zeros((B, H, Tl), jnp.float32))
+    acc = vary(jnp.zeros((B, Tl, H, D), jnp.float32))
     perm = [(i, (i + 1) % p) for i in range(p)]
 
     def body(i, carry):
