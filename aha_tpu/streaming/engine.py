@@ -222,9 +222,14 @@ class StreamEngine:
             last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
             return cache, out_ids, out_len, counts, last_tok
 
-        self._append_ids = jax.jit(append_ids)
-        self._append_frames = jax.jit(append_frames)
-        self._score_stream = jax.jit(score_stream)
+        # the cache argument is donated on the per-chunk hot paths: the ring
+        # buffer updates in place instead of being copied every frame.
+        # `generate` deliberately does NOT donate — the session keeps the
+        # pre-generation cache for remove_assistant_turns rollback, and the
+        # judge reuses its rubric prefix cache across evaluations.
+        self._append_ids = jax.jit(append_ids, donate_argnums=(1,))
+        self._append_frames = jax.jit(append_frames, donate_argnums=(1,))
+        self._score_stream = jax.jit(score_stream, donate_argnums=(1,))
         self._encode_frames = jax.jit(encode_frames)
         self._generate = jax.jit(generate)
         self._reset_cache = jax.jit(reset_cache)

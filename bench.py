@@ -130,9 +130,11 @@ def run_bench(preset: str) -> dict:
     elapsed = time.perf_counter() - t0
     fps = BENCH_FRAMES / elapsed
 
-    # scan fast path (the no-generation benchmark mode)
+    # scan fast path (the no-generation benchmark mode).
+    # warmup MUST use the timed shape — scan length is part of the
+    # compiled program, a different length recompiles inside the timing.
     cache2 = engine.new_cache()
-    _, s = engine.score_stream(cache2, embeds[None, :8])
+    _, s = engine.score_stream(cache2, embeds[None])
     jax.device_get(s)
     cache2 = engine.new_cache()
     t0 = time.perf_counter()
@@ -150,7 +152,7 @@ def run_bench(preset: str) -> dict:
     stacked = jnp.broadcast_to(embeds[None, :mb_frames],
                                (B, mb_frames, *embeds.shape[1:]))
     mcache = multi.new_cache()
-    _, ms = multi.score_stream(mcache, stacked[:, :2])
+    _, ms = multi.score_stream(mcache, stacked)   # warmup at timed shape
     jax.device_get(ms)
     mcache = multi.new_cache()
     t0 = time.perf_counter()
