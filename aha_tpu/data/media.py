@@ -239,6 +239,42 @@ def load_frame_folder(
     return arr, output_fps, arr.shape[0] / output_fps
 
 
+def reencode_video(src: str, dst: str, *, fps: float | None = None,
+                   size: tuple[int, int] | None = None) -> int:
+    """Re-encode a video via cv2 (the reference shells out to ffmpeg,
+    data/utils.py:97-113; no ffmpeg binary here). Shard across hosts with
+    `aha_tpu.utils.dist.shard_iterable`. Returns frames written."""
+    import cv2
+
+    cap = cv2.VideoCapture(src)
+    if not cap.isOpened():
+        raise IOError(f"cannot open {src}")
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    out_fps = fps or src_fps
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    out_size = size or (w, h)
+    writer = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), out_fps, out_size)
+    written = 0
+    step = src_fps / out_fps
+    next_keep = 0.0
+    i = 0
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if i >= next_keep:
+            if out_size != (w, h):
+                frame = cv2.resize(frame, out_size)
+            writer.write(frame)
+            written += 1
+            next_keep += step
+        i += 1
+    cap.release()
+    writer.release()
+    return written
+
+
 def probe_video(path: str) -> dict:
     """Single-file metadata probe (fps/duration/validity)."""
     import cv2

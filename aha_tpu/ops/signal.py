@@ -59,23 +59,29 @@ def savgol_filter(x: np.ndarray, window_length: int = 15, polyorder: int = 3) ->
 
 
 def savgol_filter_jnp(x, window_length: int = 15, polyorder: int = 3):
-    """Device-side SavGol: fixed conv with 'reflect'-free interp edges folded
-    into two small matmuls. x: [..., T] jnp array."""
-    kernel = jnp.asarray(savgol_coeffs(window_length, polyorder))
+    """Device-side SavGol over the last axis of [..., T]: the interior is a
+    fixed 1-D convolution, the edges are small fit-evaluate matmuls —
+    everything jit/vmap-friendly so smoothing can live in the on-device
+    decision loop (SURVEY §7 'on-device decision + smoothing')."""
+    kernel = jnp.asarray(savgol_coeffs(window_length, polyorder), x.dtype)
     h = window_length // 2
+    lead = x.shape[:-1]
     T = x.shape[-1]
-    mid = jnp.convolve(x, kernel[::-1], mode="valid") if x.ndim == 1 else None
-    if mid is None:
-        raise NotImplementedError("batched device savgol: vmap over the last axis")
-    # edge projections as linear maps: head = P_head @ x[:W], tail = P_tail @ x[-W:]
+    flat = x.reshape(-1, T)
+    # interior: valid convolution via sliding windows matmul
+    idx = jnp.arange(T - 2 * h)[:, None] + jnp.arange(window_length)[None, :]
+    windows = flat[:, idx]                                   # [N, T-2h, W]
+    mid = jnp.einsum("ntw,w->nt", windows, kernel)
+    # edge projections: head = P_head @ x[:W], tail = P_tail @ x[-W:]
     t = np.arange(window_length, dtype=np.float64)
     A = np.vander(t, polyorder + 1, increasing=True)
     proj = A @ np.linalg.pinv(A)                              # [W, W] fit-evaluate
-    P_head = jnp.asarray(proj[:h])
-    P_tail = jnp.asarray(proj[h + 1:])
-    head = P_head @ x[:window_length]
-    tail = P_tail @ x[-window_length:]
-    return jnp.concatenate([head, mid, tail])
+    P_head = jnp.asarray(proj[:h], x.dtype)
+    P_tail = jnp.asarray(proj[h + 1:], x.dtype)
+    head = jnp.einsum("hw,nw->nh", P_head, flat[:, :window_length])
+    tail = jnp.einsum("hw,nw->nh", P_tail, flat[:, -window_length:])
+    out = jnp.concatenate([head, mid, tail], axis=-1)
+    return out.reshape(*lead, T)
 
 
 def find_peaks(

@@ -279,6 +279,36 @@ class StreamTokenizer:
         return self.backend.decode(ids, **kw)
 
 
+def chat_template_jinja() -> str:
+    """The stream chat template as a Jinja string, for users who want to
+    attach it to a raw HF tokenizer (`tok.chat_template = ...`) instead of
+    going through :class:`StreamTokenizer`. Renders identically to
+    :func:`render_chat` (same semantics as the reference's
+    `chat_template_llava`, tokenization_live.py:34-63)."""
+    return (
+        "{% if messages[0]['role'] == 'system' %}"
+        "{{ '<|im_start|>system\\n' + messages[0]['content'] + '<|im_end|>' }}"
+        "{% set messages = messages[1:] %}{% endif %}"
+        "{% for message in messages %}"
+        "{% if message['role'] == 'user' %}"
+        "{% if add_stream_query_prompt %}"
+        "{{ '<|im_end|>\\n<|im_start|>user\\n' + message['content'] + '<|im_end|>' }}"
+        "{% else %}"
+        "{{ '\\n<|im_start|>user\\n' + message['content'] + '<|im_end|>' }}"
+        "{% endif %}"
+        "{% elif message['role'] == 'assistant' %}"
+        "{{ '\\n<|im_start|>assistant\\n' + message['content'] + '<|im_end|>' }}"
+        "{% elif message['role'] == 'stream' and message['num_frames'] > 0 %}"
+        "{{ '\\n<|im_start|>stream\\n' + '<image>' * (frame_num_tokens * message['num_frames']) + '<|im_end|>' }}"
+        "{% endif %}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '\\n<|im_start|>assistant\\n' }}"
+        "{% elif add_stream_prompt %}{{ '\\n<|im_start|>stream\\n' }}"
+        "{% elif add_stream_generation_prompt %}{{ '<|im_end|>\\n<|im_start|>assistant\\n' }}"
+        "{% endif %}"
+    )
+
+
 def build_stream_tokenizer(
     pretrained: str | None = None,
     *,

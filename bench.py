@@ -130,6 +130,17 @@ def run_bench(preset: str) -> dict:
     elapsed = time.perf_counter() - t0
     fps = BENCH_FRAMES / elapsed
 
+    # p50 per-frame scoring latency with a per-frame host fetch (the
+    # interactive decision loop pattern — ref syncs 3 floats per frame)
+    lat = []
+    cache_l = engine.new_cache()
+    for i in range(16):
+        t1 = time.perf_counter()
+        cache_l, s = engine.append_frames(cache_l, embeds[i][None])
+        jax.device_get(s)
+        lat.append(time.perf_counter() - t1)
+    p50_ms = float(np.percentile(np.asarray(lat), 50) * 1e3)
+
     # scan fast path (the no-generation benchmark mode).
     # warmup MUST use the timed shape — scan length is part of the
     # compiled program, a different length recompiles inside the timing.
@@ -166,6 +177,7 @@ def run_bench(preset: str) -> dict:
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "scan_fps": round(scan_fps, 3),
+        "p50_frame_latency_ms": round(p50_ms, 2),
         "multi_stream_8x_aggregate_fps": round(multi_fps, 3),
     }
 

@@ -332,3 +332,14 @@ def test_find_ticks_matches_reference_recipe():
     want, _ = scipy_find_peaks(smoothed, height=thresh, prominence=0.02,
                                distance=int(10 * fps))
     np.testing.assert_allclose(got, list(want / fps))
+
+
+def test_savgol_jnp_matches_host():
+    import jax.numpy as jnp
+
+    from scipy.signal import savgol_filter as scipy_savgol
+
+    x = rng.normal(size=(3, 60)).cumsum(axis=-1)
+    got = np.asarray(signal.savgol_filter_jnp(jnp.asarray(x), 15, 3))
+    want = scipy_savgol(x, 15, 3, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
