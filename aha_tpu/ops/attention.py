@@ -21,14 +21,6 @@ from .rope import rotate_by_positions
 NEG_INF = -1e30
 
 
-def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
-    """[B, T, KVH, D] -> [B, T, KVH * n_rep, D] (GQA head expansion)."""
-    if n_rep == 1:
-        return x
-    b, t, h, d = x.shape
-    return jnp.broadcast_to(x[:, :, :, None, :], (b, t, h, n_rep, d)).reshape(b, t, h * n_rep, d)
-
-
 def cached_attention(
     q: jnp.ndarray,        # [B, S, NH, Dh] (unrotated)
     k_cache: jnp.ndarray,  # [B, W+1, KVH, Dh] (unrotated, chunk already written)
@@ -46,19 +38,19 @@ def cached_attention(
     q_rot = rotate_by_positions(q, plan.q_pos, rope_theta)
     k_rot = rotate_by_positions(k_cache, key_pos, rope_theta)
 
-    k_rot = _repeat_kv(k_rot, n_rep)     # [B, W+1, NH, Dh]
-    v_all = _repeat_kv(v_cache, n_rep)
-
+    # GQA without materializing repeated K/V: group the query heads
+    # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]
+    qg = q_rot.reshape(B, S, KVH, n_rep, Dh)
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-    # [B, NH, S, W+1]
-    scores = jnp.einsum("bsnd,bwnd->bnsw", q_rot.astype(jnp.float32), k_rot.astype(jnp.float32))
-    scores = scores * scale
+    scores = jnp.einsum(
+        "bsgrd,bwgd->bgrsw", qg.astype(jnp.float32), k_rot.astype(jnp.float32)
+    ) * scale                                             # [B, KVH, rep, S, W+1]
 
-    mask = attention_slot_mask(plan)[:, None, :, :]      # [B, 1, S, W+1]
+    mask = attention_slot_mask(plan)[:, None, None, :, :]  # [B, 1, 1, S, W+1]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bnsw,bwnd->bsnd", probs.astype(v_all.dtype), v_all)
-    return out.astype(q.dtype)
+    out = jnp.einsum("bgrsw,bwgd->bsgrd", probs.astype(v_cache.dtype), v_cache)
+    return out.reshape(B, S, NH, Dh).astype(q.dtype)
 
 
 def causal_attention(
@@ -78,17 +70,19 @@ def causal_attention(
 
     q = rotate_by_positions(q, positions, rope_theta)
     k = rotate_by_positions(k, positions, rope_theta)
-    k = _repeat_kv(k, NH // KVH)
-    v = _repeat_kv(v, NH // KVH)
+    n_rep = NH // KVH
+    qg = q.reshape(B, T, KVH, n_rep, Dh)
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-    scores = jnp.einsum("bsnd,btnd->bnst", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    scores = jnp.einsum(
+        "bsgrd,btgd->bgrst", qg.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale                                             # [B, KVH, rep, T, T]
 
-    causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    causal = jnp.tril(jnp.ones((T, T), bool))[None, None, None]
     mask = causal
     if attn_mask is not None:
-        mask = mask & attn_mask[:, None, None, :]
+        mask = mask & attn_mask[:, None, None, None, :]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bnst,btnd->bsnd", probs.astype(v.dtype), v)
-    return out.astype(q.dtype)
+    out = jnp.einsum("bgrst,btgd->bsgrd", probs.astype(v.dtype), v)
+    return out.reshape(B, T, NH, Dh).astype(q.dtype)
