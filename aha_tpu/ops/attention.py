@@ -53,6 +53,79 @@ def cached_attention(
     return out.reshape(B, S, NH, Dh).astype(q.dtype)
 
 
+def blockwise_causal_attention(
+    q: jnp.ndarray,  # [B, T, NH, Dh] (already rotated)
+    k: jnp.ndarray,  # [B, T, KVH, Dh]
+    v: jnp.ndarray,
+    *,
+    attn_mask: jnp.ndarray | None = None,   # [B, T] bool
+    block_size: int = 512,
+) -> jnp.ndarray:
+    """Memory-bounded causal attention: lax.scan over query blocks, inner
+    scan over KV blocks with flash-style online softmax — peak score memory
+    is O(T * block) instead of O(T^2), which is what makes 100-frame
+    (5k-token) training sequences fit (SURVEY §7: the full-sequence path
+    would otherwise materialize a [B, H, T, T] f32 tensor per layer).
+
+    T must be a multiple of block_size (pad + mask at the call site).
+    """
+    B, T, NH, Dh = q.shape
+    KVH = k.shape[2]
+    n_rep = NH // KVH
+    assert T % block_size == 0, (T, block_size)
+    nb = T // block_size
+    scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+
+    qb = q.reshape(B, nb, block_size, KVH, n_rep, Dh).swapaxes(0, 1)
+    kb = k.reshape(B, nb, block_size, KVH, Dh).swapaxes(0, 1)
+    vb = v.reshape(B, nb, block_size, KVH, Dh).swapaxes(0, 1)
+    if attn_mask is None:
+        key_valid = jnp.ones((nb, B, block_size), bool)
+    else:
+        key_valid = attn_mask.reshape(B, nb, block_size).swapaxes(0, 1)
+    tri = jnp.tril(jnp.ones((block_size, block_size), bool))
+
+    def q_block(carry, xs):
+        qi, i = xs                                  # qi: [B, bs, KVH, rep, Dh]
+        qf = qi.astype(jnp.float32)
+
+        def kv_block(acc_state, ys):
+            kj, vj, kv_j, j = ys
+            m, l, acc = acc_state
+            scores = jnp.einsum("bsgrd,btgd->bgrst", qf, kj.astype(jnp.float32)) * scale
+            # causal across blocks: j < i full, j == i triangular, j > i none
+            blk_mask = jnp.where(
+                j < i, jnp.ones_like(tri), jnp.where(j == i, tri, jnp.zeros_like(tri))
+            ).astype(bool)
+            mask = blk_mask[None, None, None] & kv_j[:, None, None, None, :]
+            scores = jnp.where(mask, scores, NEG_INF)
+            m_blk = scores.max(axis=-1)
+            m_new = jnp.maximum(m, m_blk)
+            safe = m_new > NEG_INF / 2
+            alpha = jnp.where(safe, jnp.exp(m - m_new), 0.0)
+            p = jnp.exp(scores - m_new[..., None])
+            p = jnp.where(safe[..., None], p, 0.0)
+            l_new = l * alpha + p.sum(axis=-1)
+            acc_new = acc * alpha[..., None] + jnp.einsum(
+                "bgrst,btgd->bgrsd", p, vj.astype(jnp.float32))
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((B, KVH, n_rep, block_size), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, KVH, n_rep, block_size), jnp.float32)
+        a0 = jnp.zeros((B, KVH, n_rep, block_size, Dh), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            kv_block, (m0, l0, a0),
+            (kb, vb, key_valid, jnp.arange(nb)),
+        )
+        out = acc / jnp.maximum(l, 1e-30)[..., None]       # [B,g,r,s,Dh]
+        out = out.transpose(0, 3, 1, 2, 4)                 # [B,s,g,r,Dh]
+        return carry, out
+
+    _, outs = jax.lax.scan(q_block, None, (qb, jnp.arange(nb)))
+    out = outs.swapaxes(0, 1).reshape(B, T, NH, Dh)        # [B, T, NH, Dh]
+    return out.astype(q.dtype)
+
+
 def causal_attention(
     q: jnp.ndarray,  # [B, T, NH, Dh] (unrotated)
     k: jnp.ndarray,  # [B, T, KVH, Dh]
@@ -70,6 +143,12 @@ def causal_attention(
 
     q = rotate_by_positions(q, positions, rope_theta)
     k = rotate_by_positions(k, positions, rope_theta)
+
+    # long sequences: blockwise online-softmax path bounds score memory to
+    # O(T * block) — the collator's power-of-two buckets are all divisible
+    if T >= 1024 and T % 512 == 0:
+        return blockwise_causal_attention(q, k, v, attn_mask=attn_mask)
+
     n_rep = NH // KVH
     qg = q.reshape(B, T, KVH, n_rep, Dh)
 

@@ -229,3 +229,58 @@ def test_forward_train_shapes_and_heads():
     assert out.log_variance.shape == (B, T)
     assert bool(jnp.isfinite(out.logits).all())
     assert (np.asarray(out.relevance) >= 0).all() and (np.asarray(out.relevance) <= 1).all()
+
+
+def test_blockwise_causal_matches_dense():
+    import jax.numpy as jnp
+
+    from aha_tpu.ops.attention import blockwise_causal_attention, causal_attention
+    from aha_tpu.ops.rope import rotate_by_positions
+
+    rng = np.random.default_rng(0)
+    B, T, NH, KVH, Dh = 2, 128, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, T, NH, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, KVH, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, KVH, Dh)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, :17] = False  # left padding
+    mask = jnp.asarray(mask)
+
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    qr = rotate_by_positions(q, pos, 10000.0)
+    kr = rotate_by_positions(k, pos, 10000.0)
+    got = blockwise_causal_attention(qr, kr, v, attn_mask=mask, block_size=32)
+    want = causal_attention(q, k, v, rope_theta=10000.0, attn_mask=mask)
+    # padded rows produce garbage (fully-masked); compare valid positions
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 17:], np.asarray(want)[:, 17:], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_forward_hidden_long_sequence_blockwise(hf_qwen):
+    """T=1024 routes through the blockwise path; logits still match HF."""
+    params = loader.convert_qwen2(hf_qwen.state_dict(), TINY)
+    ids = np.random.default_rng(3).integers(0, TINY.vocab_size, (1, 1024))
+    with torch.no_grad():
+        want = hf_qwen(torch.tensor(ids)).logits.numpy()
+    emb = qwen2.embed_tokens(params, jnp.asarray(ids))
+    hidden = qwen2.forward_hidden(params, TINY, emb)
+    got = np.asarray(qwen2.lm_logits(params, TINY, hidden))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_blockwise_attention_grads_finite():
+    from aha_tpu.ops.attention import blockwise_causal_attention
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(1, 64, 4, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 64, 2, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 64, 2, 8)).astype(np.float32))
+
+    def loss(q, k, v):
+        return blockwise_causal_attention(q, k, v, block_size=16).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
