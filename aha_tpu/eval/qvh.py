@@ -242,6 +242,67 @@ def eval_highlight(submission, ground_truth) -> dict:
     return out
 
 
+def find_continuous_positive_segments(relevance_scores, min_relevance_frames: int):
+    """Runs of positive scores at least min_relevance_frames long ->
+    (start_idx, end_idx, mean_score) (ref evaluate.py:147-163)."""
+    scores = np.asarray(relevance_scores, np.float64)
+    segments = []
+    start = None
+    for i in range(len(scores)):
+        if scores[i] > 0:
+            if start is None:
+                start = i
+        else:
+            if start is not None and i - start >= min_relevance_frames:
+                segments.append((start, i - 1, float(scores[start:i].mean())))
+            start = None
+    if start is not None and len(scores) - start >= min_relevance_frames:
+        segments.append((start, len(scores) - 1, float(scores[start:].mean())))
+    return segments
+
+
+def submission_from_debug_data(
+    pred_examples: list[dict],
+    *,
+    alpha: float, beta: float, epsilon: float, uncertainty_threshold: float,
+    relevance_threshold: float = 0.1,
+    min_relevance_frames: int = 5,
+) -> list[dict]:
+    """Build a QVHighlights submission from per-frame score traces: combined
+    scores above `relevance_threshold` become positive, continuous positive
+    runs become pred_relevant_windows (scored by their mean), and the raw
+    per-2s-clip combined score becomes pred_saliency_scores."""
+    from aha_tpu.eval.scoring import combined_score, traces_from_debug_data
+
+    out = []
+    for ex in pred_examples:
+        tr = traces_from_debug_data(ex["debug_data"])
+        s = combined_score(tr["informative"], tr["relevance"], tr["uncertainty"],
+                           alpha, beta, epsilon, uncertainty_threshold)
+        times = tr["time"]
+        positive = np.where(s >= relevance_threshold, s, 0.0)
+        windows = []
+        for start, end, mean_score in find_continuous_positive_segments(
+                positive, min_relevance_frames):
+            windows.append([float(times[start]), float(times[end]), mean_score])
+        windows.sort(key=lambda w: -w[2])
+        if not windows:  # submission format requires at least one window
+            windows = [[0.0, float(times[-1]) if len(times) else 0.0, 0.0]]
+        # saliency per 2-second clip: mean combined score within each clip
+        duration = float(times[-1]) + 1e-9 if len(times) else 0.0
+        n_clips = max(int(duration / 2), 1)
+        saliency = []
+        for c in range(n_clips):
+            in_clip = (times >= 2 * c) & (times < 2 * (c + 1))
+            saliency.append(float(s[in_clip].mean()) if in_clip.any() else 0.0)
+        out.append({
+            "qid": ex["question_id"],
+            "pred_relevant_windows": windows,
+            "pred_saliency_scores": saliency,
+        })
+    return out
+
+
 def eval_submission(submission, ground_truth, match_number: bool = True) -> OrderedDict:
     pred_qids = {e["qid"] for e in submission}
     gt_qids = {e["qid"] for e in ground_truth}

@@ -208,3 +208,25 @@ def test_qvh_eval_submission():
     assert "MR-full-mAP" in out["brief"]
     assert "HL-min-VeryGood-mAP" in out["brief"]
     assert 0 <= out["brief"]["MR-full-mAP"] <= 100
+
+
+def test_find_continuous_positive_segments():
+    segs = qvh.find_continuous_positive_segments(
+        [0, 1, 1, 1, 0, 1, 0, 1, 1], min_relevance_frames=2)
+    assert [(s, e) for s, e, _ in segs] == [(1, 3), (7, 8)]
+    assert segs[0][2] == pytest.approx(1.0)
+
+
+def test_submission_from_debug_data():
+    dd = [dict(time=float(t), informative_score=0.0,
+               relevance_score=1.0 if 4 <= t <= 12 else 0.0,
+               uncertainty_score=0.0) for t in range(30)]
+    subs = qvh.submission_from_debug_data(
+        [{"question_id": 7, "debug_data": dd}],
+        alpha=0.0, beta=1.0, epsilon=0.0, uncertainty_threshold=1.0,
+        relevance_threshold=0.5, min_relevance_frames=3,
+    )
+    assert subs[0]["qid"] == 7
+    w = subs[0]["pred_relevant_windows"][0]
+    assert w[0] == 4.0 and w[1] == 12.0 and w[2] == pytest.approx(1.0)
+    assert len(subs[0]["pred_saliency_scores"]) == 14  # 29s / 2s clips
