@@ -42,14 +42,17 @@ def cached_attention(
     # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]
     qg = q_rot.reshape(B, S, KVH, n_rep, Dh)
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+    # matmuls stay in the storage dtype (bf16 on TPU -> full-rate MXU) with
+    # f32 accumulation; only softmax runs in f32
     scores = jnp.einsum(
-        "bsgrd,bwgd->bgrsw", qg.astype(jnp.float32), k_rot.astype(jnp.float32)
+        "bsgrd,bwgd->bgrsw", qg, k_rot, preferred_element_type=jnp.float32
     ) * scale                                             # [B, KVH, rep, S, W+1]
 
     mask = attention_slot_mask(plan)[:, None, None, :, :]  # [B, 1, 1, S, W+1]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bgrsw,bwgd->bsgrd", probs.astype(v_cache.dtype), v_cache)
+    out = jnp.einsum("bgrsw,bwgd->bsgrd", probs.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, S, NH, Dh).astype(q.dtype)
 
 
@@ -87,12 +90,12 @@ def blockwise_causal_attention(
 
     def q_block(carry, xs):
         qi, i = xs                                  # qi: [B, bs, KVH, rep, Dh]
-        qf = qi.astype(jnp.float32)
 
         def kv_block(acc_state, ys):
             kj, vj, kv_j, j = ys
             m, l, acc = acc_state
-            scores = jnp.einsum("bsgrd,btgd->bgrst", qf, kj.astype(jnp.float32)) * scale
+            scores = jnp.einsum("bsgrd,btgd->bgrst", qi, kj,
+                                preferred_element_type=jnp.float32) * scale
             # causal across blocks: j < i full, j == i triangular, j > i none
             blk_mask = jnp.where(
                 j < i, jnp.ones_like(tri), jnp.where(j == i, tri, jnp.zeros_like(tri))
@@ -107,7 +110,8 @@ def blockwise_causal_attention(
             p = jnp.where(safe[..., None], p, 0.0)
             l_new = l * alpha + p.sum(axis=-1)
             acc_new = acc * alpha[..., None] + jnp.einsum(
-                "bgrst,btgd->bgrsd", p, vj.astype(jnp.float32))
+                "bgrst,btgd->bgrsd", p.astype(vj.dtype), vj,
+                preferred_element_type=jnp.float32)
             return (m_new, l_new, acc_new), None
 
         m0 = jnp.full((B, KVH, n_rep, block_size), NEG_INF, jnp.float32)
@@ -154,7 +158,7 @@ def causal_attention(
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
     scores = jnp.einsum(
-        "bsgrd,btgd->bgrst", qg.astype(jnp.float32), k.astype(jnp.float32)
+        "bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32
     ) * scale                                             # [B, KVH, rep, T, T]
 
     causal = jnp.tril(jnp.ones((T, T), bool))[None, None, None]
@@ -163,5 +167,6 @@ def causal_attention(
         mask = mask & attn_mask[:, None, None, None, :]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bgrst,btgd->bsgrd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bgrst,btgd->bsgrd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, NH, Dh).astype(q.dtype)
