@@ -169,6 +169,48 @@ class StreamEngine:
         def encode_frames(params, frames):
             return aha.visual_embed(params, cfg, frames)
 
+        def score_until_trigger(params, cache, frames, n_frames, score_sum,
+                                prob_threshold, sum_threshold, head_mask):
+            """Score up to n_frames frames (frames: [T, F, H], batch 1) with
+            the trigger decision evaluated ON DEVICE each frame; stops at the
+            first trigger. One dispatch instead of one per frame — the
+            interactive loop runs at scan throughput between responses.
+
+            Trigger semantics are the reference's exactly
+            (test/inference.py:304-319): stream_end_score = sum of selected
+            heads; fire if score > prob_threshold OR running sum >
+            sum_threshold (sum resets to 0 on a sum-trigger). Thresholds are
+            traced operands; pass +inf to disable one.
+
+            Returns (cache, scores [T, 3], n_processed, new_score_sum,
+            triggered).
+            """
+            T = frames.shape[0]
+            scores_buf = jnp.zeros((T, 3), jnp.float32)
+
+            def cond(state):
+                i, _, _, _, triggered = state
+                return (i < n_frames) & ~triggered
+
+            def body(state):
+                i, cache, scores_buf, score_sum, _ = state
+                fe = jax.lax.dynamic_slice_in_dim(frames, i, 1, axis=0)  # [1,F,H]
+                cache, s = append_frames(params, cache, fe)
+                scores_buf = jax.lax.dynamic_update_slice_in_dim(
+                    scores_buf, s.astype(jnp.float32), i, axis=0)
+                # stream_end_score over the configured heads (info, rel)
+                stream_end = (s[0, 0] * head_mask[0] + s[0, 1] * head_mask[1])
+                score_sum = score_sum + stream_end
+                sum_hit = score_sum > sum_threshold
+                prob_hit = stream_end > prob_threshold
+                score_sum = jnp.where(sum_hit, 0.0, score_sum)
+                return (i + 1, cache, scores_buf, score_sum, sum_hit | prob_hit)
+
+            state = (jnp.int32(0), cache, scores_buf, score_sum, jnp.bool_(False))
+            i, cache, scores_buf, score_sum, triggered = jax.lax.while_loop(
+                cond, body, state)
+            return cache, scores_buf, i, score_sum, triggered
+
         def generate(params, cache, prompt_ids, valid_len, counts):
             """Greedy decode (ref fast_greedy_generate). Returns
             (cache, out_ids [B, N], out_len [B], counts)."""
@@ -230,6 +272,7 @@ class StreamEngine:
         self._append_ids = jax.jit(append_ids, donate_argnums=(1,))
         self._append_frames = jax.jit(append_frames, donate_argnums=(1,))
         self._score_stream = jax.jit(score_stream, donate_argnums=(1,))
+        self._score_until_trigger = jax.jit(score_until_trigger, donate_argnums=(1,))
         self._encode_frames = jax.jit(encode_frames)
         self._generate = jax.jit(generate)
         self._reset_cache = jax.jit(reset_cache)
@@ -256,6 +299,31 @@ class StreamEngine:
 
     def score_stream(self, cache: KVCache, frames: jnp.ndarray, active=None):
         return self._score_stream(self.params, cache, frames, active)
+
+    def score_until_trigger(self, cache: KVCache, frames: jnp.ndarray,
+                            n_frames: int, score_sum: float,
+                            prob_threshold: float | None,
+                            sum_threshold: float | None,
+                            score_heads: tuple[str, ...]):
+        """frames: [T, F, H] (batch 1). Pads T to a frame bucket so chunks of
+        different lengths share one compiled program."""
+        T = frames.shape[0]
+        Tp = _bucket(max(T, 1), (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
+        if Tp > T:
+            pad = jnp.zeros((Tp - T, *frames.shape[1:]), frames.dtype)
+            frames = jnp.concatenate([frames, pad], axis=0)
+        head_mask = jnp.asarray([
+            1.0 if "informative_score" in score_heads else 0.0,
+            1.0 if "relevance_score" in score_heads else 0.0,
+        ], jnp.float32)
+        inf = jnp.float32(jnp.inf)
+        return self._score_until_trigger(
+            self.params, cache, frames, jnp.int32(n_frames),
+            jnp.float32(score_sum),
+            inf if prob_threshold is None else jnp.float32(prob_threshold),
+            inf if sum_threshold is None else jnp.float32(sum_threshold),
+            head_mask,
+        )
 
     def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray):
         ids, lens = self.pad_ids(ids_list)

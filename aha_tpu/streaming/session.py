@@ -210,10 +210,20 @@ class StreamSession:
     # Main loops
     # ------------------------------------------------------------------
 
-    def inference(self, verbose: bool = False) -> list[dict]:
+    def inference(self, verbose: bool = False, chunked: bool = True) -> list[dict]:
         """The benchmark loop (ref: test/inference.py:283-334). Returns the
         conversation with generated assistant turns; per-frame score traces
-        land in ``self.debug_data_list``."""
+        land in ``self.debug_data_list``.
+
+        chunked=True (default) evaluates the trigger ON DEVICE and scores
+        whole runs of frames per dispatch (`engine.score_until_trigger`) —
+        identical outputs to the stepwise loop, one host round-trip per
+        response instead of per frame."""
+        if chunked:
+            return self._inference_chunked()
+        return self._inference_stepwise()
+
+    def _inference_stepwise(self) -> list[dict]:
         model_response_list = [
             {"time": q[0], "content": q[1], "role": "user"} for q in self.query_queue
         ]
@@ -235,6 +245,91 @@ class StreamSession:
                 self.consecutive_n_frames = 0
 
             self.video_time += 1.0 / self.frame_fps
+        return sorted(model_response_list, key=lambda x: x["time"])
+
+    def _frame_prefix_ids(self) -> list[int]:
+        """Role-transition ids owed before the next frame (the ref's
+        last_ids selection in _encode_frame)."""
+        if not self.init_vision_time:
+            self.init_vision_time = True
+            return list(self._start_ids)
+        if self.last_role == "assistant" and not self.remove_assistant_turns:
+            return self._pending_last_ids + self._added_stream_prompt_ids
+        return []
+
+    def _inference_chunked(self) -> list[dict]:
+        import jax.numpy as jnp
+
+        model_response_list = [
+            {"time": q[0], "content": q[1], "role": "user"} for q in self.query_queue
+        ]
+        while self.frame_embeds_queue:
+            if self.query_queue and self.video_time >= self.query_queue[0][0]:
+                self._encode_query()
+
+            # contiguous frames until the next query is due
+            next_q = self.query_queue[0][0] if self.query_queue else None
+            chunk: list = []
+            times: list[float] = []
+            t = self.video_time
+            for time_f, emb in self.frame_embeds_queue:
+                if next_q is not None and t >= next_q:
+                    break
+                chunk.append(emb)
+                times.append(t)
+                t += 1.0 / self.frame_fps
+            if not chunk:
+                # a query is due exactly now; loop back to encode it
+                continue
+            for _ in chunk:
+                self.frame_embeds_queue.popleft()
+
+            embeds = jnp.stack(chunk)                    # [T, F, H]
+            k = 0
+            while k < len(chunk):
+                prefix = self._frame_prefix_ids()
+                if prefix:
+                    self.cache, _ = self.engine.append_ids(self.cache, [prefix])
+                self.cache, scores, n, new_sum, triggered = self.engine.score_until_trigger(
+                    self.cache, embeds[k:], len(chunk) - k,
+                    self.stream_end_score_sum,
+                    self.stream_end_prob_threshold,
+                    self.stream_end_score_sum_threshold,
+                    tuple(self.score_heads),
+                )
+                n = int(n)
+                triggered = bool(triggered)
+                s_host = np.asarray(jax.device_get(scores[:n]), np.float64)
+                self.stream_end_score_sum = float(new_sum)
+                self.last_role = "stream"
+                self.frame_idx += n
+                self.num_frames_no_reply += n
+                for j in range(n):
+                    self.debug_data_list.append(dict(
+                        time=times[k + j],
+                        informative_score=float(s_host[j, 0]),
+                        relevance_score=float(s_host[j, 1]),
+                        uncertainty_score=float(s_host[j, 2]),
+                    ))
+                    self.stream_end_prob_list.append(
+                        sum(v for key, v in (
+                            ("informative_score", float(s_host[j, 0])),
+                            ("relevance_score", float(s_host[j, 1])),
+                        ) if key in self.score_heads)
+                    )
+                if isinstance(self.running_list_length, int) and self.running_list_length > 0:
+                    self.stream_end_prob_list = self.stream_end_prob_list[-self.running_list_length:]
+                k += n
+                self.video_time = times[k - 1] + 1.0 / self.frame_fps if n else self.video_time
+                if triggered:
+                    self.video_time = times[k - 1]  # response stamped at the triggering frame
+                    response = self._generate_response()
+                    model_response_list.append(
+                        {"time": self.video_time, "content": response, "role": "assistant"}
+                    )
+                    self.num_frames_no_reply = 0
+                    self.consecutive_n_frames = 0
+                    self.video_time = times[k - 1] + 1.0 / self.frame_fps
         return sorted(model_response_list, key=lambda x: x["time"])
 
     def input_one_frame(self) -> dict:

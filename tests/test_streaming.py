@@ -207,3 +207,46 @@ def test_demo_input_one_frame(tiny_model):
     sess.input_frame_embeds(embeds[1], 1.0)
     ret2 = sess.input_one_frame()
     assert ret2["frame_idx"] == 2
+
+
+def test_chunked_inference_matches_stepwise(tiny_model):
+    """The on-device trigger loop must reproduce the stepwise host loop
+    exactly: same per-frame scores, same trigger frames, same responses."""
+    params, cfg, tokenizer = tiny_model
+    frames = frames_for(cfg, 8, seed=9)
+
+    step = make_session(tiny_model, stream_end_prob_threshold=0.5)
+    step.input_video_stream(frames)
+    step.input_query_stream([{"role": "user", "content": "q", "time": 0}])
+    resp_step = step.inference(chunked=False)
+
+    chunk = make_session(tiny_model, stream_end_prob_threshold=0.5)
+    chunk.input_video_stream(frames)
+    chunk.input_query_stream([{"role": "user", "content": "q", "time": 0}])
+    resp_chunk = chunk.inference(chunked=True)
+
+    assert len(step.debug_data_list) == len(chunk.debug_data_list) == 8
+    for a, b in zip(step.debug_data_list, chunk.debug_data_list):
+        assert a["time"] == b["time"]
+        for k in ("informative_score", "relevance_score", "uncertainty_score"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5)
+    assert [(r["role"], r["time"]) for r in resp_step] == \
+        [(r["role"], r["time"]) for r in resp_chunk]
+    assert [r["content"] for r in resp_step] == [r["content"] for r in resp_chunk]
+
+
+def test_chunked_inference_sum_threshold(tiny_model):
+    params, cfg, tokenizer = tiny_model
+    frames = frames_for(cfg, 10, seed=11)
+    a = make_session(tiny_model, stream_end_prob_threshold=None,
+                     stream_end_score_sum_threshold=2.0)
+    a.input_video_stream(frames)
+    ra = a.inference(chunked=False)
+    b = make_session(tiny_model, stream_end_prob_threshold=None,
+                     stream_end_score_sum_threshold=2.0)
+    b.input_video_stream(frames)
+    rb = b.inference(chunked=True)
+    assert [(r["role"], r["time"]) for r in ra] == [(r["role"], r["time"]) for r in rb]
+    np.testing.assert_allclose(
+        [d["relevance_score"] for d in a.debug_data_list],
+        [d["relevance_score"] for d in b.debug_data_list], rtol=2e-4, atol=2e-5)
