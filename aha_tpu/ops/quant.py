@@ -53,12 +53,42 @@ def use_pallas_matmul() -> bool:
     return os.environ.get("AHA_QUANT_MATMUL", "jnp") == "pallas"
 
 
+def use_w8a8() -> bool:
+    import os
+
+    return os.environ.get("AHA_QUANT_MATMUL", "jnp") == "w8a8"
+
+
+def qlinear_w8a8(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
+    """Dynamic per-token activation quantization + int8 x int8 matmul.
+
+    The v5e MXU runs int8 at 2x the bf16 rate and the weight never leaves
+    int8, so there is no dequant conversion at all:
+
+        x_q = round(x / s_x),  s_x = absmax(x, last axis) / 127
+        y   = (x_q @ w_q) * s_x * s_w        (int32 accumulate)
+
+    Accuracy: per-token activation scales keep the quantization error of
+    the standard W8A8 recipe (~1% relative on hidden states).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s_x = jnp.maximum(absmax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("...k,kn->...n", xq, qkernel["qvalue"],
+                     preferred_element_type=jnp.int32)
+    w_scale = qkernel["scale"].reshape(-1)[None, :]          # [1, N]
+    y = acc.astype(jnp.float32) * s_x * w_scale
+    return y.astype(x.dtype)
+
+
 def qlinear(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
     """x [..., K] times a quantized kernel {qvalue [K, N], scale}.
 
-    Dispatches to the fused Pallas int8 kernel on TPU (streams int8 from
-    HBM, dequantizes in VMEM — ops/pallas/quant_matmul.py) and to the
-    dequantize-then-einsum path elsewhere."""
+    AHA_QUANT_MATMUL selects the backend: 'jnp' (default — XLA fuses the
+    dequantize-then-einsum well), 'w8a8' (dynamic activation quantization,
+    int8 MXU), 'pallas' (the fused dequant kernel in ops/pallas)."""
+    if use_w8a8():
+        return qlinear_w8a8(x, qkernel)
     if use_pallas_matmul():
         from aha_tpu.ops.pallas.quant_matmul import quant_matmul
 

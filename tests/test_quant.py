@@ -88,3 +88,21 @@ def test_qlinear_dispatch_modes(monkeypatch):
     b = quant.qlinear(x, q)
     a, b = np.asarray(a), np.asarray(b)
     assert np.abs(a - b).max() <= 0.02 * np.abs(a).max()
+
+
+def test_w8a8_accuracy(monkeypatch):
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    qparams = quant.quantize_params(params)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 100, (1, 16)))
+    emb = qwen2.embed_tokens(qparams["llm"], ids, dtype=jnp.float32)
+
+    monkeypatch.setenv("AHA_QUANT_MATMUL", "jnp")
+    h_ref = qwen2.forward_hidden(qparams["llm"], cfg.llm, emb)
+    monkeypatch.setenv("AHA_QUANT_MATMUL", "w8a8")
+    h_w8a8 = qwen2.forward_hidden(qparams["llm"], cfg.llm, emb)
+
+    a = np.asarray(h_ref).ravel()
+    b = np.asarray(h_w8a8).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.97, cos
