@@ -239,6 +239,19 @@ def load_frame_folder(
     return arr, output_fps, arr.shape[0] / output_fps
 
 
+def write_video(frames_rgb: np.ndarray, path: str, fps: float) -> int:
+    """[T, H, W, 3] RGB uint8 -> mp4 (the reference's tensor-to-mp4 writer,
+    test/live_video/quality_dropout.py:153-173). Returns frames written."""
+    import cv2
+
+    T, H, W = frames_rgb.shape[:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H))
+    for t in range(T):
+        writer.write(cv2.cvtColor(frames_rgb[t], cv2.COLOR_RGB2BGR))
+    writer.release()
+    return T
+
+
 def reencode_video(src: str, dst: str, *, fps: float | None = None,
                    size: tuple[int, int] | None = None) -> int:
     """Re-encode a video via cv2 (the reference shells out to ffmpeg,

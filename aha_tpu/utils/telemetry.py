@@ -101,6 +101,25 @@ def profile_trace(logdir: str | None):
         jax.profiler.stop_trace()
 
 
+def flops_estimate(fn, *args, **kwargs) -> dict:
+    """Static cost analysis of a jittable fn (the working version of the
+    reference's unused `thop.profile` import, test/inference.py:14):
+    returns XLA's flops/bytes-accessed estimates without executing."""
+    import jax
+
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    try:
+        cost = lowered.compile().cost_analysis()
+    except Exception:
+        cost = lowered.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return {
+        "flops": float(cost.get("flops", 0.0)),
+        "bytes_accessed": float(cost.get("bytes accessed", 0.0)),
+    }
+
+
 class StepTimer:
     """Per-step wall-clock stats (p50/p90/max) for the frame hot loop."""
 

@@ -121,3 +121,28 @@ def test_tick_table_roundtrip(tmp_path):
     p = tmp_path / "ticks.json"
     p.write_text(json.dumps(table))
     assert live_video.load_tick_table(str(p), "arl_scout") == [10.0, 55.0]
+
+
+def test_flops_estimate():
+    import jax.numpy as jnp
+
+    def f(a, b):
+        return a @ b
+
+    x = jnp.ones((64, 128))
+    y = jnp.ones((128, 32))
+    cost = telemetry.flops_estimate(f, x, y)
+    # 2*M*N*K flops expected (allow backend fudge)
+    assert cost["flops"] >= 2 * 64 * 128 * 32 * 0.5
+
+
+def test_write_video(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from aha_tpu.data.media import write_video
+
+    frames = np.random.default_rng(0).integers(0, 255, (6, 32, 48, 3), dtype=np.uint8)
+    out = str(tmp_path / "w.mp4")
+    assert write_video(frames, out, 4.0) == 6
+    cap = cv2.VideoCapture(out)
+    assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == 6
+    cap.release()

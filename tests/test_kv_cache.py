@@ -255,3 +255,42 @@ def test_chunked_cached_attention_matches_full_causal():
         outs.append(np.asarray(out))
     streamed = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(streamed, np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_cache_policy_fuzz_random_chunks():
+    """Fuzz: random chunk sizes / valid lens across all policies must keep
+    invariants (length bounds, junk slot never valid, order monotone in
+    occupied slots, seen = sum of valids)."""
+    import numpy as np
+
+    from aha_tpu.ops.kv_cache import (
+        CachePolicy, advance, attention_slot_mask, init_cache, plan_update,
+        write_layer,
+    )
+
+    rng = np.random.default_rng(0)
+    for kind in ("none", "sliding", "sink", "static"):
+        # 'none' is unbounded growth: its window must cover the whole stream
+        W = 128 if kind == "none" else 24
+        policy = CachePolicy(kind=kind, window=W, num_sink=4)
+        cache = init_cache(policy, num_layers=1, batch=2, num_kv_heads=1,
+                           head_dim=4, dtype=jnp.float32)
+        total = np.zeros(2, np.int64)
+        for _ in range(12):
+            S = int(rng.integers(1, 7))
+            valid = jnp.asarray(rng.integers(0, S + 1, 2), jnp.int32)
+            plan = plan_update(cache, policy, valid, S)
+            k_new = jnp.asarray(rng.normal(size=(2, S, 1, 4)), jnp.float32)
+            k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, k_new, plan)
+            cache = advance(cache, plan, k_c[None], v_c[None])
+            total += np.asarray(valid)
+            mask = np.asarray(attention_slot_mask(plan))
+            order = np.asarray(cache.order)
+            length = np.asarray(cache.length)
+            assert (length <= W).all()
+            assert (order[:, W] == -1).all()          # junk slot never valid
+            assert (np.asarray(cache.seen) == total).all()
+            if kind == "none":
+                assert (length == total).all()
+            # visible slots never exceed logical length
+            assert (mask.sum(axis=-1).max(axis=-1) <= np.maximum(length, 1)).all()
