@@ -188,6 +188,22 @@ def run_bench(preset: str) -> dict:
     jax.device_get(ms)
     multi_fps = B * mb_frames / (time.perf_counter() - t0)
 
+    # greedy decode throughput (MAGQA/YouCook2 generation mode)
+    from aha_tpu.streaming.engine import StreamEngine as _SE2
+
+    dec_engine = _SE2(engine.params, cfg, engine.policy, max_new_tokens=32)
+    prompt = list(range(1, 17))
+    dcache = dec_engine.new_cache()
+    _, out_ids, out_len, _, _ = dec_engine.generate(dcache, [prompt],
+                                                    dec_engine.new_rep_counts())
+    jax.device_get(out_len)
+    dcache = dec_engine.new_cache()
+    t0 = time.perf_counter()
+    _, out_ids, out_len, _, _ = dec_engine.generate(dcache, [prompt],
+                                                    dec_engine.new_rep_counts())
+    n_tok = int(jax.device_get(out_len)[0])
+    decode_tps = max(n_tok, 1) / (time.perf_counter() - t0)
+
     headline = max(fps, trigger_loop_fps)
     return {
         "metric": f"streaming_scoring_fps[{preset}]",
@@ -198,6 +214,7 @@ def run_bench(preset: str) -> dict:
         "stepwise_fps": round(fps, 3),
         "scan_fps": round(scan_fps, 3),
         "p50_frame_latency_ms": round(p50_ms, 2),
+        "decode_tokens_per_sec": round(decode_tps, 3),
         "multi_stream_8x_aggregate_fps": round(multi_fps, 3),
     }
 
