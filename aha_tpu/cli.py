@@ -199,19 +199,53 @@ def cmd_evaluate(argv):
 
     p = argparse.ArgumentParser(prog="aha evaluate")
     p.add_argument("--func", required=True,
-                   choices=["tvsum", "hisum", "grounding"])
+                   choices=["tvsum", "hisum", "grounding", "magqa", "qvh",
+                            "dense_captioning"])
     p.add_argument("--pred_file", required=True)
     p.add_argument("--gold_file", required=True)
     p.add_argument("--params_file", default="outputs/grid_search_params.json")
     p.add_argument("--params_key", default=None)
     p.add_argument("--output_file", default=None)
+    p.add_argument("--judge_ckpt", default=None, help="magqa: converted judge dir")
+    p.add_argument("--relevance_threshold", type=float, default=0.1)
+    p.add_argument("--min_relevance_frames", type=int, default=5)
     args = p.parse_args(argv)
 
+    if args.func == "magqa":
+        return _evaluate_magqa(args)
+    if args.func == "dense_captioning":
+        from aha_tpu.eval.soda import eval_with_files
+
+        out = eval_with_files(args.pred_file, args.gold_file)
+        print(json.dumps(out, indent=2, default=float))
+        if args.output_file:
+            with open(args.output_file, "w") as f:
+                json.dump(out, f, indent=2, default=float)
+        return
+
     key = args.params_key or {"tvsum": "tvsum", "hisum": "hisum",
-                              "grounding": "charades"}[args.func]
+                              "grounding": "charades", "qvh": "charades"}[args.func]
     with open(args.params_file) as f:
         bp = json.load(f)[key]
     a, b, e, t = bp["alpha"], bp["beta"], bp["epsilon"], bp["uncertainty_threshold"]
+
+    if args.func == "qvh":
+        from aha_tpu.eval import qvh as qvh_mod
+
+        preds = [json.loads(l) for l in open(args.pred_file)]
+        golds = [json.loads(l) for l in open(args.gold_file)] \
+            if args.gold_file.endswith("l") else json.load(open(args.gold_file))
+        submission = qvh_mod.submission_from_debug_data(
+            preds, alpha=a, beta=b, epsilon=e, uncertainty_threshold=t,
+            relevance_threshold=args.relevance_threshold,
+            min_relevance_frames=args.min_relevance_frames,
+        )
+        out = qvh_mod.eval_submission(submission, golds, match_number=False)
+        print(json.dumps(out, indent=2, default=float))
+        if args.output_file:
+            with open(args.output_file, "w") as f:
+                json.dump(out, f, indent=2, default=float)
+        return
 
     if args.func == "tvsum":
         with open(args.pred_file) as f:
@@ -260,6 +294,88 @@ def cmd_evaluate(argv):
     if args.output_file:
         with open(args.output_file, "w") as f:
             json.dump(out, f, indent=2, default=float)
+
+
+def _evaluate_magqa(args):
+    from aha_tpu.eval import llm_judge
+
+    preds = [json.loads(l) for l in open(args.pred_file)]
+    with open(args.gold_file) as f:
+        gold = json.load(f)
+    if not args.judge_ckpt:
+        print("magqa needs --judge_ckpt (a converted Qwen2-style judge), or use "
+              "llm_judge.to_openai_batch_input for the remote-judge path")
+        return
+    import jax.numpy as jnp
+
+    from aha_tpu.config import qwen2_7b
+    from aha_tpu.models.loader import load_params
+    from aha_tpu.tokenization import build_stream_tokenizer
+
+    cfg = qwen2_7b()
+    params = load_params(args.judge_ckpt, cfg, dtype=jnp.bfloat16)
+    tok = build_stream_tokenizer(args.judge_ckpt)
+    judge = llm_judge.LocalJudge(params, cfg, tok)
+    scored = llm_judge.magqa_score_matrices(preds, gold, judge)
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            for ex in scored:
+                f.write(json.dumps(ex) + "\n")
+    print(json.dumps(llm_judge.analyze_magqa(scored), indent=2))
+
+
+def cmd_demo(argv):
+    """Live-video demo: score a video, detect ticks, write plot + stitched MP4."""
+    import numpy as np
+
+    from aha_tpu.data import media
+    from aha_tpu.drivers import live_video
+    from aha_tpu.utils import telemetry
+
+    p = argparse.ArgumentParser(prog="aha demo")
+    p.add_argument("--video", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--output_dir", default="outputs/demo")
+    p.add_argument("--frame_fps", type=float, default=1.0)
+    p.add_argument("--tick_table", default=None)
+    p.add_argument("--tick_name", default=None)
+    p.add_argument("--render_video", action="store_true")
+    p.add_argument("--model_preset", default="7b", choices=["7b", "tiny"])
+    p.add_argument("--llm_pretrained", default=None)
+    p.add_argument("--tokenizer_pretrained", default=None)
+    p.add_argument("--int8", action="store_true")
+    args = p.parse_args(argv)
+    args.grounding_mode = True
+    args.stream_end_prob_threshold = None
+    args.threshold_z = None
+    args.stream_end_score_sum_threshold = None
+    args.remove_assistant_turns = False
+    args.score_heads = "relevance_score,informative_score"
+    args.repetition_penalty = None
+    args.max_new_tokens = 200
+    args.kv_cache_policy = "sink"
+    args.kv_window = 2048
+    args.num_sink_tokens = 32
+    session = _build_session(args)
+
+    frames, _ = media.decode_video(args.video, output_fps=args.frame_fps,
+                                   output_size=session.args.frame_resolution)
+    gt_ticks = None
+    if args.tick_table and args.tick_name:
+        gt_ticks = live_video.load_tick_table(args.tick_table, args.tick_name)
+    result = live_video.infer_on_live_video(
+        session, frames, args.query, args.frame_fps,
+        output_dir=args.output_dir, gt_ticks=gt_ticks,
+        monitor=telemetry.DeviceMonitor(),
+    )
+    print(json.dumps({k: v for k, v in result.items() if k != "debug_data"},
+                     default=float))
+    if args.render_video:
+        scores = np.asarray([d["relevance_score"] for d in result["debug_data"]])
+        out = live_video.render_demo_video(
+            frames, scores, args.frame_fps,
+            f"{args.output_dir}/demo_stitched.mp4", ticks=result["ticks"])
+        print(f"stitched demo video: {out}")
 
 
 def cmd_highlight(argv):
@@ -351,6 +467,7 @@ COMMANDS = {
     "grid-search": cmd_grid_search,
     "evaluate": cmd_evaluate,
     "highlight": cmd_highlight,
+    "demo": cmd_demo,
     "train": cmd_train,
 }
 

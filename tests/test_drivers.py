@@ -167,3 +167,37 @@ def test_tvsum_degraded_runs(session, video_dir, tmp_path):
         seed=0,
     )
     assert len(results) == 1
+
+
+def test_cli_demo_and_qvh_evaluate(video_dir, tmp_path):
+    from aha_tpu.cli import cmd_demo, cmd_evaluate
+
+    out_dir = tmp_path / "demo"
+    cmd_demo([
+        "--video", str(video_dir / "vidA.mp4"), "--query", "what happens?",
+        "--output_dir", str(out_dir), "--frame_fps", "1.0",
+        "--model_preset", "tiny", "--render_video",
+    ])
+    assert (out_dir / "live_scores.json").exists()
+    assert (out_dir / "demo_stitched.mp4").exists()
+
+    # qvh evaluate on synthetic traces
+    preds = [{"question_id": 1, "debug_data": [
+        dict(time=float(t), informative_score=0.0,
+             relevance_score=1.0 if 4 <= t <= 14 else 0.0,
+             uncertainty_score=0.0) for t in range(40)]}]
+    pred_path = tmp_path / "qvh_pred.jsonl"
+    pred_path.write_text("\n".join(json.dumps(p) for p in preds))
+    gold = [{"qid": 1, "duration": 40, "relevant_windows": [[4, 14]],
+             "relevant_clip_ids": [2, 3], "saliency_scores": [[4, 4, 4]] * 2}]
+    gold_path = tmp_path / "qvh_gold.json"
+    gold_path.write_text(json.dumps(gold))
+    params_path = tmp_path / "params.json"
+    params_path.write_text(json.dumps({"charades": {
+        "alpha": 0.0, "beta": 1.0, "epsilon": 0.0, "uncertainty_threshold": 1.0}}))
+    out_file = tmp_path / "qvh_metrics.json"
+    cmd_evaluate(["--func", "qvh", "--pred_file", str(pred_path),
+                  "--gold_file", str(gold_path), "--params_file", str(params_path),
+                  "--relevance_threshold", "0.5", "--output_file", str(out_file)])
+    metrics = json.loads(out_file.read_text())
+    assert metrics["brief"]["MR-full-R1@0.7"] == 100.0
