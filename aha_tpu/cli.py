@@ -58,7 +58,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--int8", action="store_true", help="int8 weight quantization")
     p.add_argument("--test_dataset", required=True,
                    choices=["tvsum", "tvsum_degraded", "hisum", "youcook2",
-                            "magqa", "charades", "generic"])
+                            "magqa", "charades", "generic",
+                            "arl_scout", "hubble_space", "jkim_landing"])
+    p.add_argument("--query", default=None,
+                   help="live-video demo datasets: the running query")
+    p.add_argument("--tick_table", default="configs/tick_tables/demo_ticks.json")
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_fname", required=True)
     p.add_argument("--test_fname", default=None)
@@ -95,14 +99,55 @@ def cmd_infer(argv):
     p = argparse.ArgumentParser(prog="aha infer")
     _add_infer_flags(p)
     args = p.parse_args(argv)
-    if args.grounding_mode or args.test_dataset in ("tvsum", "tvsum_degraded", "hisum"):
+    if args.grounding_mode or args.test_dataset in (
+            "tvsum", "tvsum_degraded", "hisum",
+            "arl_scout", "hubble_space", "jkim_landing"):
         # scoring-only passes need no stopping criterion
         if (args.stream_end_prob_threshold is None and args.threshold_z is None
                 and args.stream_end_score_sum_threshold is None):
             args.grounding_mode = True
     session = _build_session(args)
 
-    if args.test_dataset in ("tvsum", "tvsum_degraded"):
+    if args.test_dataset in ("arl_scout", "hubble_space", "jkim_landing"):
+        # live-video demo branch (ref test/inference.py:796-855): score the
+        # stream, detect ticks vs the hand-labeled table, report telemetry
+        import os
+
+        from aha_tpu.data import media
+        from aha_tpu.drivers import live_video
+        from aha_tpu.utils import telemetry
+
+        default_queries = {
+            "arl_scout": "what objects are in this room?",
+            "hubble_space": "Launch of the Hubble Space Telescope, April 24-29 1990",
+            "jkim_landing": "NASA Astronaut Jonny Kim Soyuz MS-27 Docking",
+        }
+        query = args.query or default_queries[args.test_dataset]
+        if os.path.isdir(args.input_dir):
+            frames, fps, _ = media.load_frame_folder(
+                args.input_dir, output_size=session.args.frame_resolution,
+                output_fps=args.frame_fps)
+        else:
+            frames, _ = media.decode_video(
+                args.input_dir, output_fps=args.frame_fps,
+                output_size=session.args.frame_resolution)
+            fps = args.frame_fps
+        gt_ticks = None
+        if args.tick_table and os.path.exists(args.tick_table):
+            try:
+                gt_ticks = live_video.load_tick_table(args.tick_table, args.test_dataset)
+            except KeyError:
+                pass
+        result = live_video.infer_on_live_video(
+            session, frames, query, fps,
+            output_dir=os.path.dirname(args.output_fname) or ".",
+            gt_ticks=gt_ticks, monitor=telemetry.DeviceMonitor(),
+        )
+        with open(args.output_fname, "w") as f:
+            json.dump(result, f)
+        print(json.dumps({k: v for k, v in result.items() if k != "debug_data"},
+                         default=float))
+    elif args.test_dataset in ("tvsum", "tvsum_degraded"):
         benchmarks.run_tvsum(
             session,
             input_dir=args.input_dir,

@@ -235,6 +235,13 @@ def analyze_magqa(
     }
 
 
+def format_latex_row(result: dict) -> str:
+    """The reference's paper-table row format (analyze_magqa_results.py:69-72):
+    `score & turns/turns(dedup.) & \\\\`."""
+    return (f"{round(result['in_span_score'], 2)} & "
+            f"{round(result['turns'], 2)}/{round(result['turns_dedup'], 2)} & \\\\")
+
+
 # ---------------------------------------------------------------------------
 # OpenAI Batch-format conversion (offline halves; submission gated)
 # ---------------------------------------------------------------------------

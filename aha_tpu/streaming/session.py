@@ -349,6 +349,13 @@ class StreamSession:
         self.video_time += 1.0 / self.frame_fps
         return ret
 
+    def find_ticks(self, scores, fps: float | None = None, **kw) -> list[float]:
+        """Highlight tick times from a score trace (demo API parity with
+        LiveInferForDemo.find_ticks, live_infer_for_video.py:195-228)."""
+        from aha_tpu.ops.signal import find_ticks as _find_ticks
+
+        return _find_ticks(np.asarray(scores), fps or self.frame_fps, **kw)
+
     def offline_generate(self, video_frames: np.ndarray, question: str,
                          fps: float | None = None) -> str:
         """Offline (non-streaming) baseline: system + whole video + question

@@ -201,3 +201,23 @@ def test_cli_demo_and_qvh_evaluate(video_dir, tmp_path):
                   "--relevance_threshold", "0.5", "--output_file", str(out_file)])
     metrics = json.loads(out_file.read_text())
     assert metrics["brief"]["MR-full-R1@0.7"] == 100.0
+
+
+def test_cli_infer_live_demo_branch(video_dir, tmp_path):
+    from aha_tpu.cli import cmd_infer
+
+    out = tmp_path / "arl.json"
+    ticks = tmp_path / "ticks.json"
+    ticks.write_text(json.dumps({"arl_scout": {"ticks": [1.0], "label": "t"}}))
+    cmd_infer([
+        "--test_dataset", "arl_scout",
+        "--model_preset", "tiny",
+        "--input_dir", str(video_dir / "vidA.mp4"),
+        "--output_fname", str(out),
+        "--frame_fps", "1.0",
+        "--tick_table", str(ticks),
+    ])
+    data = json.loads(out.read_text())
+    assert data["gt_ticks"] == [1.0]
+    assert len(data["debug_data"]) == 3
+    assert "telemetry" in data
