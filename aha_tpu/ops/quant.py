@@ -29,7 +29,50 @@ def quantize_array(w: jnp.ndarray, contract_axis: int) -> dict:
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and "qvalue" in p
+    return isinstance(p, dict) and ("qvalue" in p or "q4value" in p)
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-wise, packed two nibbles per byte)
+# ---------------------------------------------------------------------------
+
+
+def quantize_array_int4(w: jnp.ndarray, contract_axis: int, group: int = 128) -> dict:
+    """Symmetric int4 with one scale per (group of `group` contraction rows,
+    output channel). Values in [-8, 7] stored offset-by-8 in [0, 15], packed
+    two per uint8 along the contraction axis. Memory = K*N/2 bytes + bf16
+    group scales — the 7B decoder drops to ~4.2 GB."""
+    wf = jnp.moveaxis(w.astype(jnp.float32), contract_axis, -2)  # [.., K, N]
+    *lead, K, N = wf.shape
+    assert K % group == 0 and K % 2 == 0, (K, group)
+    grouped = wf.reshape(*lead, K // group, group, N)
+    absmax = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax / 7.0, 1e-12)                  # [.., K/G, 1, N]
+    q = jnp.clip(jnp.round(grouped / scale), -8, 7) + 8       # [0, 15]
+    assert contract_axis % w.ndim == w.ndim - 2, \
+        "int4 kernels must contract on axis -2 (the [.., K, N] layout)"
+    q = q.astype(jnp.uint8).reshape(*lead, K, N)
+    packed = (q[..., 0::2, :] | (q[..., 1::2, :] << 4))       # [.., K/2, N]
+    # no scalar metadata in the tree (it must scan/tree_map cleanly):
+    # K = 2 * packed.shape[-2], group = K // scale4.shape[-2]
+    return {
+        "q4value": packed,
+        "scale4": scale.squeeze(-2).astype(jnp.bfloat16),     # [.., K/G, N]
+    }
+
+
+def dequantize_int4(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    packed = p["q4value"]
+    *lead, Kh, N = packed.shape
+    K = Kh * 2
+    G = K // p["scale4"].shape[-2]
+    low = (packed & 0xF).astype(jnp.int8) - 8
+    high = (packed >> 4).astype(jnp.int8) - 8
+    q = jnp.stack([low, high], axis=-2)                       # [.., K/2, 2, N]
+    q = q.reshape(*lead, K, N).astype(jnp.float32)
+    scale = p["scale4"].astype(jnp.float32)                   # [.., K/G, N]
+    q = q.reshape(*lead, K // G, G, N) * scale[..., :, None, :]
+    return q.reshape(*lead, K, N).astype(dtype)
 
 
 def dequantize(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -82,11 +125,15 @@ def qlinear_w8a8(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
 
 
 def qlinear(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
-    """x [..., K] times a quantized kernel {qvalue [K, N], scale}.
+    """x [..., K] times a quantized kernel ({qvalue [K, N], scale} int8 or
+    {q4value, scale4, ...} int4).
 
-    AHA_QUANT_MATMUL selects the backend: 'jnp' (default — XLA fuses the
-    dequantize-then-einsum well), 'w8a8' (dynamic activation quantization,
-    int8 MXU), 'pallas' (the fused dequant kernel in ops/pallas)."""
+    AHA_QUANT_MATMUL selects the int8 backend: 'jnp' (default — XLA fuses
+    the dequantize-then-einsum well), 'w8a8' (dynamic activation
+    quantization, int8 MXU), 'pallas' (the fused dequant kernel)."""
+    if "q4value" in qkernel:
+        kernel = dequantize_int4(qkernel, x.dtype)
+        return jnp.einsum("...i,io->...o", x, kernel)
     if use_w8a8():
         return qlinear_w8a8(x, qkernel)
     if use_pallas_matmul():
@@ -103,13 +150,15 @@ _SKIP_SUBSTRINGS = ("norm", "ln1", "ln2", "post_ln", "bias", "scale", "pos_embed
                     "heads", "patch_embed")
 
 
-def quantize_params(params: dict, *, quantize_embed: bool = True) -> dict:
+def quantize_params(params: dict, *, quantize_embed: bool = True,
+                    bits: int = 8, group: int = 128) -> dict:
     """Quantize every large matmul kernel in an Aha param tree.
 
-    Embedding tables quantize along the hidden axis (per-token scales would
-    be [V] anyway; per-hidden keeps the gather cheap and accurate enough for
-    bf16 compute).
+    bits=8: per-channel int8 (default). bits=4: group-wise packed int4 for
+    matmul kernels (embedding tables stay int8 — the gather path).
+    Embedding tables quantize along the hidden axis (per-row scales).
     """
+    assert bits in (4, 8), bits
 
     def visit(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
@@ -124,6 +173,11 @@ def quantize_params(params: dict, *, quantize_embed: bool = True) -> dict:
             return quantize_array(leaf, contract_axis=1)  # per-row scales
         if leaf.ndim < 2:
             return leaf
+        if bits == 4:
+            K = leaf.shape[-2]
+            g = group if K % group == 0 else K  # tiny configs: one group
+            if K % 2 == 0:
+                return quantize_array_int4(leaf, contract_axis=leaf.ndim - 2, group=g)
         return quantize_array(leaf, contract_axis=leaf.ndim - 2)
 
     return jax.tree_util.tree_map_with_path(visit, params)

@@ -33,7 +33,7 @@ def build(preset: str):
     from aha_tpu.ops.kv_cache import CachePolicy
     from aha_tpu.streaming.engine import StreamEngine
 
-    if preset in ("7b", "7b-int8"):
+    if preset in ("7b", "7b-int8", "7b-int4"):
         cfg = aha_7b()
     elif preset == "2b":
         cfg = AhaConfig(
@@ -56,13 +56,15 @@ def build(preset: str):
     cfg = cfg.replace(
         v_placeholder_id=tokenizer.v_placeholder_id, eos_token_id=tokenizer.eos_token_id
     )
-    params = _random_params(cfg, quantized=preset.endswith("-int8"))
+    mode = "int8" if preset.endswith("-int8") else (
+        "int4" if preset.endswith("-int4") else None)
+    params = _random_params(cfg, mode)
     policy = CachePolicy(kind="sink", window=2048, num_sink=32)
     engine = StreamEngine(params, cfg, policy)
     return engine, cfg
 
 
-def _random_params(cfg, quantized: bool):
+def _random_params(cfg, mode):
     """Materialize benchmark params leaf-by-leaf directly on device in their
     final dtype — a full-precision 7B tree would not fit a 16 GB v5e, and the
     single host core makes CPU-side init + transfer impractical. Values are
@@ -74,8 +76,10 @@ def _random_params(cfg, quantized: bool):
     from aha_tpu.ops import quant
 
     struct = jax.eval_shape(lambda: init_aha_params(cfg, jax.random.PRNGKey(0)))
-    if quantized:
+    if mode == "int8":
         struct = jax.eval_shape(quant.quantize_params, struct)
+    elif mode == "int4":
+        struct = jax.eval_shape(lambda p: quant.quantize_params(p, bits=4), struct)
 
     counter = [0]
 
@@ -83,6 +87,12 @@ def _random_params(cfg, quantized: bool):
         counter[0] += 1
         key = jax.random.PRNGKey(counter[0])
         name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if leaf.dtype == jnp.uint8:  # packed int4 nibbles
+            make = jax.jit(lambda k: jax.random.randint(k, leaf.shape, 0, 256, jnp.int32)
+                           .astype(jnp.uint8))
+            return make(key)
+        if name.endswith("/scale4"):
+            return jnp.full(leaf.shape, 0.02 / 7.0, leaf.dtype)
         if leaf.dtype == jnp.int8:
             make = jax.jit(lambda k: jax.random.randint(k, leaf.shape, -127, 128, jnp.int32)
                            .astype(jnp.int8))
@@ -141,8 +151,9 @@ def run_bench(preset: str) -> dict:
     jax.device_get(s)
     cache_t = engine.new_cache()
     t0 = time.perf_counter()
+    emb_t = engine.encode_frames(frames)   # vision included in the loop cost
     _, s, n, _, _ = engine.score_until_trigger(
-        cache_t, embeds, BENCH_FRAMES, 0.0, None, None,
+        cache_t, emb_t, BENCH_FRAMES, 0.0, None, None,
         ("informative_score", "relevance_score"))
     jax.device_get(s)
     trigger_loop_fps = int(n) / (time.perf_counter() - t0)

@@ -103,3 +103,91 @@ def test_load_frame_folder(tmp_path):
                                               output_fps=2.0, start=1, end=4)
     assert frames.shape == (3, 32, 32, 3)
     assert duration == pytest.approx(1.5)
+
+
+def test_load_params_from_files(tmp_path, monkeypatch):
+    """File-level checkpoint roundtrip: write a torch-style .bin state dict
+    for the tiny composite model, load via load_params, check forward parity
+    with the in-memory conversion."""
+    import torch
+
+    from aha_tpu.config import aha_tiny
+
+    cfg = aha_tiny(vocab_size=64)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=3)
+
+    # build an HF-style state dict from our params (reverse layout)
+    sd = {}
+    llm = params["llm"]
+    L = cfg.llm.num_layers
+    sd["model.embed_tokens.weight"] = torch.tensor(np.asarray(llm["embed"]["weight"]))
+    sd["model.norm.weight"] = torch.tensor(np.asarray(llm["final_norm"]["scale"]))
+    sd["lm_head.weight"] = torch.tensor(np.asarray(llm["lm_head"]["kernel"]).T)
+    names = {
+        "input_norm": "input_layernorm.weight",
+        "post_norm": "post_attention_layernorm.weight",
+    }
+    for i in range(L):
+        lyr = llm["layers"]
+        sd[f"model.layers.{i}.input_layernorm.weight"] = torch.tensor(
+            np.asarray(lyr["input_norm"]["scale"][i]))
+        sd[f"model.layers.{i}.post_attention_layernorm.weight"] = torch.tensor(
+            np.asarray(lyr["post_norm"]["scale"][i]))
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[f"model.layers.{i}.self_attn.{proj}.weight"] = torch.tensor(
+                np.asarray(lyr[proj]["kernel"][i]).T)
+            if "bias" in lyr[proj]:
+                sd[f"model.layers.{i}.self_attn.{proj}.bias"] = torch.tensor(
+                    np.asarray(lyr[proj]["bias"][i]))
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            sd[f"model.layers.{i}.mlp.{proj}.weight"] = torch.tensor(
+                np.asarray(lyr[proj]["kernel"][i]).T)
+    vis = params["vision"]
+    Lv = cfg.vision.num_layers
+    sd["vision_model.embeddings.patch_embedding.weight"] = torch.tensor(
+        np.asarray(vis["patch_embed"]["kernel"]).transpose(3, 2, 0, 1))
+    sd["vision_model.embeddings.patch_embedding.bias"] = torch.tensor(
+        np.asarray(vis["patch_embed"]["bias"]))
+    sd["vision_model.embeddings.position_embedding.weight"] = torch.tensor(
+        np.asarray(vis["pos_embed"]))
+    sd["vision_model.post_layernorm.weight"] = torch.tensor(np.asarray(vis["post_ln"]["scale"]))
+    sd["vision_model.post_layernorm.bias"] = torch.tensor(np.asarray(vis["post_ln"]["bias"]))
+    vl = vis["layers"]
+    vmap = {"ln1": "layer_norm1", "ln2": "layer_norm2",
+            "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+            "v_proj": "self_attn.v_proj", "out_proj": "self_attn.out_proj",
+            "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    for i in range(Lv):
+        for ours, theirs in vmap.items():
+            if "kernel" in vl[ours]:
+                sd[f"vision_model.encoder.layers.{i}.{theirs}.weight"] = torch.tensor(
+                    np.asarray(vl[ours]["kernel"][i]).T)
+            else:
+                sd[f"vision_model.encoder.layers.{i}.{theirs}.weight"] = torch.tensor(
+                    np.asarray(vl[ours]["scale"][i]))
+            sd[f"vision_model.encoder.layers.{i}.{theirs}.bias"] = torch.tensor(
+                np.asarray(vl[ours]["bias"][i]))
+    proj = params["projector"]
+    sd["model.mm_projector.0.weight"] = torch.tensor(np.asarray(proj["fc1"]["kernel"]).T)
+    sd["model.mm_projector.0.bias"] = torch.tensor(np.asarray(proj["fc1"]["bias"]))
+    sd["model.mm_projector.2.weight"] = torch.tensor(np.asarray(proj["fc2"]["kernel"]).T)
+    sd["model.mm_projector.2.bias"] = torch.tensor(np.asarray(proj["fc2"]["bias"]))
+    for name in ("informative", "relevance", "uncertainty"):
+        sd[f"{name}_head.weight"] = torch.tensor(
+            np.asarray(params["heads"][name]["kernel"]).T)
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    torch.save(sd, ckpt_dir / "pytorch_model.bin")
+
+    import jax.numpy as jnp
+
+    loaded = loader.load_params(str(ckpt_dir), cfg, dtype=jnp.float32)
+    # forward parity on a frame batch
+    from aha_tpu.models.aha import visual_embed
+
+    frames = np.random.default_rng(0).integers(
+        0, 255, (2, cfg.frame_resolution, cfg.frame_resolution, 3), dtype=np.uint8)
+    a = np.asarray(visual_embed(params, cfg, frames))
+    b = np.asarray(visual_embed(loaded, cfg, frames))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

@@ -106,3 +106,43 @@ def test_w8a8_accuracy(monkeypatch):
     b = np.asarray(h_w8a8).ravel()
     cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.97, cos
+
+
+def test_int4_roundtrip_and_accuracy():
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    q4 = quant.quantize_array_int4(w, contract_axis=1, group=32)
+    assert q4["q4value"].shape == (2, 32, 32) and q4["q4value"].dtype == jnp.uint8
+    deq = quant.dequantize_int4(q4, jnp.float32)
+    assert deq.shape == w.shape
+    err = np.abs(np.asarray(deq - w))
+    # int4 step = scale; max error <= scale/2 per group
+    assert err.max() <= float(q4["scale4"].astype(jnp.float32).max()) * 0.51
+
+    # full model: int4 forward still correlates with dense
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    q4params = quant.quantize_params(params, bits=4)
+    assert quant.tree_nbytes(q4params) < quant.tree_nbytes(
+        quant.quantize_params(params))
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 100, (1, 12)))
+    h_d = qwen2.forward_hidden(params["llm"], cfg.llm,
+                               qwen2.embed_tokens(params["llm"], ids))
+    h_q = qwen2.forward_hidden(q4params["llm"], cfg.llm,
+                               qwen2.embed_tokens(q4params["llm"], ids, dtype=jnp.float32))
+    a, b = np.asarray(h_d).ravel(), np.asarray(h_q).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.95, cos
+
+
+def test_int4_streaming_engine_runs():
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    q4params = quant.quantize_params(params, bits=4)
+    engine = StreamEngine(q4params, cfg, CachePolicy(kind="sink", window=32, num_sink=4))
+    cache = engine.new_cache(dtype=jnp.float32)
+    r = cfg.frame_resolution
+    frames = np.random.default_rng(0).integers(0, 255, (2, r, r, 3), dtype=np.uint8)
+    embeds = engine.encode_frames(frames)
+    cache, scores = engine.append_frames(cache, embeds[0][None])
+    assert np.isfinite(np.asarray(scores)).all()
