@@ -221,3 +221,48 @@ def test_cli_infer_live_demo_branch(video_dir, tmp_path):
     assert data["gt_ticks"] == [1.0]
     assert len(data["debug_data"]) == 3
     assert "telemetry" in data
+
+
+def test_streaming_qa_with_generation(video_dir, tmp_path):
+    """Full streaming QA pass with generation triggers (magqa/youcook2 mode)."""
+    cfg = aha_tiny(vocab_size=256)
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(cfg, seed=0)
+    gen_session = build_session(params, cfg, tokenizer, InferConfig(
+        frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+        stream_end_prob_threshold=0.0,  # fire every frame
+        kv_cache_policy="sink", kv_window=128, num_sink_tokens=8,
+        max_new_tokens=8, remove_assistant_turns=True,
+    ))
+    test_file = tmp_path / "gen_test.json"
+    test_file.write_text(json.dumps([
+        {"question_id": "g1", "video": "vidA.mp4",
+         "conversation": [{"role": "user", "content": "narrate", "time": 0}]},
+    ]))
+    out = tmp_path / "gen_pred.jsonl"
+    results = benchmarks.run_streaming_qa(
+        gen_session, test_fname=str(test_file), input_dir=str(video_dir),
+        output_fname=str(out), frame_fps=1.0, max_num_frames=5,
+        grounding_mode=False,
+    )
+    assert len(results) == 1
+    turns = results[0]["model_response_list"]
+    assert sum(t["role"] == "assistant" for t in turns) == 3  # one per frame
+    assert all(isinstance(t["content"], str) for t in turns)
+    assert len(results[0]["debug_data"]) == 3
+
+
+def test_tvsum_title_ablation(session, video_dir, tmp_path):
+    caption_file = tmp_path / "cap.tsv"
+    caption_file.write_text("c\ti\tt\tu\tl\nGA\tvidA\treal title\tu\t0:24\n")
+    table = tmp_path / "titles.json"
+    table.write_text(json.dumps({
+        "vidA": {"ambiguous_title": "something happens",
+                 "unrelated_title": "baking bread"}}))
+    out = tmp_path / "pred_abl.json"
+    results = benchmarks.run_tvsum(
+        session, input_dir=str(video_dir), caption_file=str(caption_file),
+        video_metadata_file=str(tmp_path / "m.json"), output_fname=str(out),
+        frame_fps=1.0, title_ablation="ambiguous", title_table=str(table),
+        seed=0,
+    )
+    assert len(results) == 1 and len(results[0]["debug_data"]) == 3
