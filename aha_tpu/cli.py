@@ -488,7 +488,8 @@ def cmd_train(argv):
         seed=args.seed,
     )
     dataset = build_mixture_from_config(args.dataset_config, tokenizer,
-                                        system_prompt=train_cfg.system_prompt)
+                                        system_prompt=train_cfg.system_prompt,
+                                        frame_size=cfg.frame_resolution)
 
     def batches():
         import random as _r

@@ -330,7 +330,7 @@ class StreamDataset:
         )
         return frames[load_range.start : load_range.stop]
 
-    def __getitem__(self, index: int) -> Example:
+    def __getitem__(self, index: int, _tries: int = 0) -> Example:
         use_info, use_rel = self.LABEL_USE[self.kind]
         try:
             anno = self.annos[index]
@@ -354,8 +354,12 @@ class StreamDataset:
             return ex
         except Exception:
             # corrupt-sample fallback: substitute a random example
-            # (ref dvc.py:77-87 — deliberate training-robustness behavior)
-            return self[self.rng.randrange(len(self))]
+            # (ref dvc.py:77-87 — deliberate training-robustness behavior),
+            # but bounded: an all-corrupt dataset must fail loudly, not
+            # recurse forever
+            if _tries >= 10:
+                raise
+            return self.__getitem__(self.rng.randrange(len(self)), _tries + 1)
 
 
 class ConcatDataset:

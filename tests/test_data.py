@@ -2,6 +2,8 @@
 dataset builders on synthetic annotations, media utilities, and an
 end-to-end synthetic batch through the jitted train step."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -304,3 +306,65 @@ def test_dropout_segments_seeded():
     assert 0.04 * 300 <= total <= 0.21 * 300
     for (s1, e1, _), (s2, e2, _) in zip(segs1, segs1[1:]):
         assert e1 <= s2  # sorted, non-overlapping
+
+
+def test_dataset_corrupt_fallback_bounded(tok):
+    """All-corrupt dataset raises instead of recursing forever."""
+    from aha_tpu.data.datasets import StreamDataset
+
+    annos = [{"conversation": [{"role": "user", "content": "q"}],
+              "load_range": range(0, 3), "video_uid": "missing"}] * 3
+
+    def bad_loader(uid, rng):
+        raise IOError("decode failed")
+
+    ds = StreamDataset("grounding", annos, tok, frame_loader=bad_loader,
+                       frame_fps=1.0, frame_size=32, max_num_frames=4)
+    with pytest.raises(Exception):
+        ds[0]
+
+
+def test_cli_train_end_to_end(tmp_path):
+    """The full train CLI: synthetic videos + grounding annos + mixture
+    config -> a few optimizer steps with checkpoints + adapter export."""
+    cv2 = pytest.importorskip("cv2")
+    from aha_tpu.cli import cmd_train
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for name in ("v0", "v1"):
+        w = cv2.VideoWriter(str(vids / f"{name}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 4.0, (48, 32))
+        for i in range(16):
+            w.write(np.full((32, 48, 3), (i * 16) % 255, np.uint8))
+        w.release()
+
+    annos = [{"video_uid": f"v{i}.mp4", "query": f"thing {i}",
+              "timestamps": [[1.0, 3.0]]} for i in range(2)]
+    anno_file = tmp_path / "train.json"
+    anno_file.write_text(json.dumps(annos))
+    config = [{
+        "dataset_cls": "GroundingStreamDataset",
+        "video_root": str(vids),
+        "anno_file": str(anno_file),
+        "metadata_path": str(tmp_path / "meta.json"),
+        "frame_fps": 1.0,
+        "max_num_frames": 4,
+    }]
+    cfg_file = tmp_path / "mixture.json"
+    cfg_file.write_text(json.dumps(config))
+    out_dir = tmp_path / "train_out"
+
+    cmd_train([
+        "--model_preset", "tiny",
+        "--dataset_config", str(cfg_file),
+        "--output_dir", str(out_dir),
+        "--num_steps", "2",
+        "--batch_size", "1",
+        "--grad_accum_steps", "1",
+        "--learning_rate", "1e-3",
+    ])
+    assert (out_dir / "metrics.jsonl").exists()
+    ckpts = list((out_dir / "checkpoints").iterdir())
+    assert ckpts
+    assert (out_dir / "adapter").exists()
