@@ -63,6 +63,9 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--query", default=None,
                    help="live-video demo datasets: the running query")
     p.add_argument("--tick_table", default="configs/tick_tables/demo_ticks.json")
+    p.add_argument("--start_sec", type=float, default=0.0,
+                   help="live-video demos: drop the stream before this time "
+                        "(the reference trims jkim_landing at 14:38)")
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_fname", required=True)
     p.add_argument("--test_fname", default=None)
@@ -132,6 +135,8 @@ def cmd_infer(argv):
                 args.input_dir, output_fps=args.frame_fps,
                 output_size=session.args.frame_resolution)
             fps = args.frame_fps
+        if args.start_sec > 0:
+            frames = frames[int(args.start_sec * fps):]
         gt_ticks = None
         if args.tick_table and os.path.exists(args.tick_table):
             try:

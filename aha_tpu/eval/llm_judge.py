@@ -279,6 +279,43 @@ def to_openai_batch_input(pred_examples, gold_examples, *, model: str = "gpt-4o-
     return requests
 
 
+def write_batch_input(requests: list[dict], path: str) -> str:
+    """Serialize Batch API request lines to a jsonl file."""
+    with open(path, "w") as f:
+        for r in requests:
+            f.write(json.dumps(r) + "\n")
+    return path
+
+
+def submit_openai_batch(batch_input_path: str, description: str = "aha-magqa-judge"):
+    """Upload + submit a Batch API job (ref openai_send_batch,
+    openai_batch.py:178-197). Requires the openai client + OPENAI_API_KEY;
+    zero-egress environments use LocalJudge instead."""
+    from openai import OpenAI  # gated: optional dependency + network
+
+    client = OpenAI()
+    with open(batch_input_path, "rb") as f:
+        batch_file = client.files.create(file=f, purpose="batch")
+    return client.batches.create(
+        input_file_id=batch_file.id,
+        endpoint="/v1/chat/completions",
+        completion_window="24h",
+        metadata={"description": description},
+    )
+
+
+def fetch_openai_batch(output_file_id: str, output_path: str) -> list[dict]:
+    """Download Batch API results to jsonl + parsed lines (ref
+    openai_get_batch, openai_batch.py:253+)."""
+    from openai import OpenAI
+
+    client = OpenAI()
+    content = client.files.content(output_file_id).text
+    with open(output_path, "w") as f:
+        f.write(content)
+    return [json.loads(l) for l in content.splitlines() if l.strip()]
+
+
 def from_openai_batch_output(lines: list[dict], pred_examples, gold_examples) -> list[dict]:
     """Batch API responses -> eval-example format with score matrices."""
     gold_dict = {e["question_id"]: e for e in gold_examples}
