@@ -71,9 +71,13 @@ def _mha(x, lp, num_heads):
     k = _dense(x, lp["k_proj"]).reshape(B, T, num_heads, d)
     v = _dense(x, lp["v_proj"]).reshape(B, T, num_heads, d)
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    scores = jnp.einsum("bsnd,btnd->bnst", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    # matmuls at storage dtype (bf16 MXU), f32 accumulate/softmax
+    scores = jnp.einsum("bsnd,btnd->bnst", q, k,
+                        preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bnst,btnd->bsnd", probs, v).reshape(B, T, H)
+    out = jnp.einsum("bnst,btnd->bsnd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, T, H)
     return _dense(out, lp["out_proj"])
 
 

@@ -151,18 +151,26 @@ _SKIP_SUBSTRINGS = ("norm", "ln1", "ln2", "post_ln", "bias", "scale", "pos_embed
 
 
 def quantize_params(params: dict, *, quantize_embed: bool = True,
-                    bits: int = 8, group: int = 128) -> dict:
+                    bits: int = 8, group: int = 128,
+                    quantize_vision: bool = False) -> dict:
     """Quantize every large matmul kernel in an Aha param tree.
 
     bits=8: per-channel int8 (default). bits=4: group-wise packed int4 for
     matmul kernels (embedding tables stay int8 — the gather path).
     Embedding tables quantize along the hidden axis (per-row scales).
+
+    quantize_vision=False (default): the SigLIP tower stays dense — it is
+    compute-bound (weights are read once per 32-frame batch, ~0.6 GB bf16),
+    so int8 there only adds dequant conversions to the per-frame hot path
+    (measured: vision-inclusive scoring 38 -> 6x faster tower dense).
     """
     assert bits in (4, 8), bits
 
     def visit(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         joined = "/".join(keys)
+        if not quantize_vision and keys and keys[0] == "vision":
+            return leaf
         if any(s in joined for s in _SKIP_SUBSTRINGS):
             return leaf
         if keys[-1] not in _QUANT_KEYS:

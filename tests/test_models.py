@@ -284,3 +284,29 @@ def test_blockwise_attention_grads_finite():
     for g in grads:
         assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 4, 16), (2, 100, 6, 32)])
+def test_pallas_flash_attention_matches_dense(shape):
+    from aha_tpu.ops.pallas.flash_attention import flash_causal_attention
+
+    B, T, NH, D = shape
+    KVH = NH // 2
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, T, NH, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32))
+
+    got = flash_causal_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+
+    # dense reference with GQA grouping
+    n_rep = NH // KVH
+    qg = np.asarray(q).reshape(B, T, KVH, n_rep, D)
+    scores = np.einsum("bsgrd,btgd->bgrst", qg, np.asarray(k)) / np.sqrt(D)
+    mask = np.tril(np.ones((T, T), bool))
+    scores = np.where(mask[None, None, None], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bgrst,btgd->bsgrd", p, np.asarray(v)).reshape(B, T, NH, D)
+
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
