@@ -9,9 +9,13 @@ head repetition.
 
 Numerics: QK and PV matmuls run on the MXU in the input dtype with f32
 accumulation; m/l accumulators live in VMEM scratch in f32. Parity-tested
-against the dense reference in interpret mode; on-device it is an opt-in
-alternative to the XLA path — benchmark before switching defaults, XLA's
-fused attention is strong on TPU.
+against the dense reference in interpret mode AND compiled on v5e
+(max abs err 0.0075 bf16 at T=512).
+
+Status: correct but not yet faster than XLA — measured on v5e-1 at
+T=4096/28h/GQA4: this kernel 13.6 ms vs 8.6 ms for the jnp blockwise
+online-softmax path (ops/attention.blockwise_causal_attention), which is
+therefore the default. Keep for tuning (block sizes, pipelining).
 """
 
 from __future__ import annotations
