@@ -55,9 +55,11 @@ class QwenConfig:
 
 @dataclass(frozen=True)
 class SiglipConfig:
-    """SigLIP-style ViT vision tower shape (ref: google/siglip-large-patch16-384
-    selected at `/root/reference/models/arguments_live.py:13` and encoded by
-    `/root/reference/models/vision_live.py:11-31`)."""
+    """ViT vision tower shape. arch='siglip' (default:
+    google/siglip-large-patch16-384, ref `/root/reference/models/arguments_live.py:13`,
+    `/root/reference/models/vision_live.py:11-31`) or arch='clip' (the
+    factory's CLIP-L option, `vision_live.py:34-64` — CLS token, pre-LN,
+    quick-gelu, OpenAI normalization)."""
 
     image_size: int = 384
     patch_size: int = 16
@@ -66,6 +68,7 @@ class SiglipConfig:
     num_layers: int = 24
     num_heads: int = 16
     layer_norm_eps: float = 1e-6
+    arch: str = "siglip"  # "siglip" | "clip"
 
     @property
     def grid_size(self) -> int:
@@ -141,6 +144,29 @@ def siglip_tiny() -> SiglipConfig:
         intermediate_size=64,
         num_layers=2,
         num_heads=2,
+    )
+
+
+def clip_large_336() -> SiglipConfig:
+    """openai/clip-vit-large-patch14-336 (ref vision_live.py:60-62)."""
+    return SiglipConfig(
+        image_size=336,
+        patch_size=14,
+        layer_norm_eps=1e-5,
+        arch="clip",
+    )
+
+
+def clip_tiny() -> SiglipConfig:
+    return SiglipConfig(
+        image_size=32,
+        patch_size=16,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=2,
+        layer_norm_eps=1e-5,
+        arch="clip",
     )
 
 

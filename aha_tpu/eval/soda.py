@@ -287,4 +287,13 @@ def eval_with_files(pred_file: str, gt_file: str) -> dict:
         predicted_segments, gt_segments, predicted_captions, gt_captions,
         splits, keys, soda=True)
     metrics.update(evaluate_para(predicted_paras, [[g] for g in gt_paras]))
+    # surfaced in the output (not just the docstring): METEOR here is the
+    # pure-python METEOR-lite (exact+stem alignment, no WordNet synonym /
+    # paraphrase stages — the reference's meteor-1.5.jar is git-LFS-missing
+    # upstream too), so absolute METEOR values are not comparable to
+    # published Java-METEOR numbers.
+    metrics["METEOR_note"] = (
+        "METEOR-lite (exact+stem matcher, no WordNet synonyms/paraphrases); "
+        "not comparable to Java meteor-1.5.jar scores"
+    )
     return metrics

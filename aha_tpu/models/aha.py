@@ -48,8 +48,14 @@ def init_aha_params(cfg: AhaConfig, key: jax.Array, dtype=None) -> AhaParams:
         return (0.02 * jax.random.normal(kk, shape)).astype(dtype)
 
     kp1, kp2, kh1, kh2, kh3 = jax.random.split(kp, 5)
+    if cfg.vision.arch == "clip":
+        from aha_tpu.models import clip
+
+        vision_params = clip.init_params(cfg.vision, kv, dtype)
+    else:
+        vision_params = siglip.init_params(cfg.vision, kv, dtype)
     return {
-        "vision": siglip.init_params(cfg.vision, kv, dtype),
+        "vision": vision_params,
         "projector": {
             "fc1": {"kernel": dense(kp1, (Hv, H)), "bias": jnp.zeros((H,), dtype)},
             "fc2": {"kernel": dense(kp2, (H, H)), "bias": jnp.zeros((H,), dtype)},
@@ -85,6 +91,33 @@ def project_features(params: AhaParams, feats: jnp.ndarray) -> jnp.ndarray:
     return _proj_linear(x, p["fc2"])
 
 
+def encode_vision_tokens(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray,
+                         dtype) -> jnp.ndarray:
+    """Tower dispatch (the reference's `build_live_vision` factory,
+    vision_live.py:57-64): frames [N, H, W, 3] -> [N, F, Hv] pooled features,
+    CLS (if enabled) first — ref `cat([cls_token, spatial_tokens], dim=1)`."""
+    if cfg.vision.arch == "clip":
+        from aha_tpu.models import clip
+
+        pixels = clip.preprocess_frames(frames, dtype)
+        tokens = clip.forward(params["vision"], cfg.vision, pixels)  # [N, 1+P, Hv]
+        cls_tok, spatial = tokens[:, :1], tokens[:, 1:]
+    else:
+        pixels = siglip.preprocess_frames(frames, dtype)
+        spatial = siglip.forward(params["vision"], cfg.vision, pixels)  # [N, P, Hv]
+        cls_tok = None
+    feats = pool_patch_tokens(spatial, cfg.vision.grid_size, cfg.frame_token_pooled,
+                              cfg.pooling_mode)
+    if cfg.frame_token_cls:
+        if cls_tok is None:
+            raise NotImplementedError(
+                "frame_token_cls with the SigLIP tower needs the attention-pool "
+                "probe head (ref pooler_output, vision_live.py:28); use arch='clip'"
+            )
+        feats = jnp.concatenate([cls_tok, feats], axis=1)
+    return feats
+
+
 def visual_embed(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray) -> jnp.ndarray:
     """frames [N, H, W, 3] (uint8 or float pixel values) -> [N, F, H_llm]
     where F = frame_num_tokens. Order matches the reference vision-inside
@@ -92,9 +125,7 @@ def visual_embed(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray) -> jnp.
     modeling_live.py:31-37)."""
     k = params["projector"]["fc1"]["kernel"]
     dtype = jnp.dtype(cfg.dtype) if isinstance(k, dict) else k.dtype
-    pixels = siglip.preprocess_frames(frames, dtype)
-    feats = siglip.forward(params["vision"], cfg.vision, pixels)  # [N, P, Hv]
-    feats = pool_patch_tokens(feats, cfg.vision.grid_size, cfg.frame_token_pooled, cfg.pooling_mode)
+    feats = encode_vision_tokens(params, cfg, frames, dtype)
     return project_features(params, feats)  # [N, F, H]
 
 

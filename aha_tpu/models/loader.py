@@ -128,6 +128,62 @@ def convert_siglip(sd: dict, cfg: SiglipConfig, prefix: str = "vision_model.", d
     return _cast(out, dtype)
 
 
+def convert_clip(sd: dict, cfg: SiglipConfig, prefix: str = "vision_model.", dtype=jnp.float32) -> dict:
+    """HF CLIPVisionModel state dict -> models/clip.py param tree
+    (the reference's CLIP tower option, vision_live.py:34-64). CLIP's patch
+    conv has no bias; CLS + pre-LN are extra vs SigLIP; post_layernorm is
+    dropped (the reference consumes the un-normalized last_hidden_state)."""
+    L = cfg.num_layers
+    p = prefix
+    lyr = p + "encoder.layers.{i}."
+    layers = {
+        "ln1": {
+            "scale": _stack(sd, lyr + "layer_norm1.weight", L),
+            "bias": _stack(sd, lyr + "layer_norm1.bias", L),
+        },
+        "q_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.q_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.q_proj.bias", L),
+        },
+        "k_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.k_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.k_proj.bias", L),
+        },
+        "v_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.v_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.v_proj.bias", L),
+        },
+        "out_proj": {
+            "kernel": _stack(sd, lyr + "self_attn.out_proj.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "self_attn.out_proj.bias", L),
+        },
+        "ln2": {
+            "scale": _stack(sd, lyr + "layer_norm2.weight", L),
+            "bias": _stack(sd, lyr + "layer_norm2.bias", L),
+        },
+        "fc1": {
+            "kernel": _stack(sd, lyr + "mlp.fc1.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "mlp.fc1.bias", L),
+        },
+        "fc2": {
+            "kernel": _stack(sd, lyr + "mlp.fc2.weight", L, transpose=True),
+            "bias": _stack(sd, lyr + "mlp.fc2.bias", L),
+        },
+    }
+    patch_w = _np(sd[p + "embeddings.patch_embedding.weight"])  # [H, 3, P, P]
+    out = {
+        "cls_embed": _np(sd[p + "embeddings.class_embedding"]),
+        "patch_embed": {"kernel": patch_w.transpose(2, 3, 1, 0)},  # -> HWIO
+        "pos_embed": _np(sd[p + "embeddings.position_embedding.weight"]),
+        "pre_ln": {
+            "scale": _np(sd[p + "pre_layrnorm.weight"]),
+            "bias": _np(sd[p + "pre_layrnorm.bias"]),
+        },
+        "layers": layers,
+    }
+    return _cast(out, dtype)
+
+
 def convert_projector_heads(sd: dict, dtype=jnp.float32) -> tuple[dict, dict]:
     """mm_projector (Sequential Linear/GELU/Linear) + three score heads
     (ref keys: model.mm_projector.{0,2}.*, {informative,relevance,uncertainty}_head.weight)."""
@@ -266,9 +322,10 @@ def load_params(path: str, cfg: AhaConfig, dtype=jnp.float32) -> dict:
          if k.endswith("embeddings.patch_embedding.weight")),
         "vision_model.",
     )
+    convert_vision = convert_clip if cfg.vision.arch == "clip" else convert_siglip
     params = {
         "llm": convert_qwen2(sd, cfg.llm, prefix=llm_prefix, dtype=dtype),
-        "vision": convert_siglip(sd, cfg.vision, prefix=vis_prefix, dtype=dtype),
+        "vision": convert_vision(sd, cfg.vision, prefix=vis_prefix, dtype=dtype),
     }
     params["projector"], params["heads"] = convert_projector_heads(sd, dtype=dtype)
     return params

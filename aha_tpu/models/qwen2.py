@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from aha_tpu.config import QwenConfig
 from aha_tpu.ops.attention import cached_attention, causal_attention
+from aha_tpu.ops.rope import rope_cos_sin
 from aha_tpu.ops.kv_cache import (
     CachePolicy,
     KVCache,
@@ -140,13 +141,19 @@ def forward_hidden(
 ) -> jnp.ndarray:
     """Final hidden states [B, T, H] via scan over stacked layers."""
     x = inputs_embeds
+    B, T = x.shape[:2]
+    # cos/sin are layer-invariant: compute once, not once per scanned layer
+    pos = positions if positions is not None else jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    rope_tables = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
 
     def layer_fn(x, scanned):
         lp, lora_l = scanned
         h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
         attn = causal_attention(
-            q, k, v, rope_theta=cfg.rope_theta, positions=positions, attn_mask=attn_mask
+            q, k, v, rope_theta=cfg.rope_theta, positions=positions,
+            attn_mask=attn_mask, rope_tables=rope_tables,
         )
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
@@ -184,13 +191,19 @@ def decode_chunk(
     """
     S = inputs_embeds.shape[1]
     plan: UpdatePlan = plan_update(cache, policy, valid_len, S)
+    # positions are identical across layers — one cos/sin table per chunk
+    # instead of one per layer (28x fewer transcendentals on the 7B)
+    q_cos, q_sin = rope_cos_sin(plan.q_pos, cfg.head_dim, cfg.rope_theta)
+    k_cos, k_sin = rope_cos_sin(plan.new_key_pos, cfg.head_dim, cfg.rope_theta)
+    rope_tables = (q_cos, q_sin, k_cos, k_sin)
 
     def layer_fn(x, scanned):
         lp, k_cache_l, v_cache_l, lora_l = scanned
         h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
         k_c, v_c = write_layer(k_cache_l, v_cache_l, k, v, plan)
-        attn = cached_attention(q, k_c, v_c, plan.new_key_pos, plan, rope_theta=cfg.rope_theta)
+        attn = cached_attention(q, k_c, v_c, plan.new_key_pos, plan,
+                                rope_theta=cfg.rope_theta, rope_tables=rope_tables)
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
         h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)

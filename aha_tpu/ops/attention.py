@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .kv_cache import UpdatePlan, attention_slot_mask
-from .rope import rotate_by_positions
+from .rope import apply_rope, rope_cos_sin, rotate_by_positions
 
 NEG_INF = -1e30
 
@@ -29,14 +29,25 @@ def cached_attention(
     plan: UpdatePlan,
     *,
     rope_theta: float,
+    rope_tables: tuple | None = None,  # (q_cos, q_sin, k_cos, k_sin), layer-invariant
 ) -> jnp.ndarray:
-    """One chunk of streaming attention against the cache. Returns [B, S, NH, Dh]."""
+    """One chunk of streaming attention against the cache. Returns [B, S, NH, Dh].
+
+    rope_tables lets the caller hoist the cos/sin computation out of the
+    layer scan: positions are identical for all layers, so the tables are
+    computed once per chunk instead of once per layer (28x fewer
+    transcendentals on the 7B decode hot path)."""
     B, S, NH, Dh = q.shape
     KVH = k_cache.shape[2]
     n_rep = NH // KVH
 
-    q_rot = rotate_by_positions(q, plan.q_pos, rope_theta)
-    k_rot = rotate_by_positions(k_cache, key_pos, rope_theta)
+    if rope_tables is None:
+        q_rot = rotate_by_positions(q, plan.q_pos, rope_theta)
+        k_rot = rotate_by_positions(k_cache, key_pos, rope_theta)
+    else:
+        q_cos, q_sin, k_cos, k_sin = rope_tables
+        q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(q.dtype)
+        k_rot = apply_rope(k_cache.astype(jnp.float32), k_cos, k_sin).astype(k_cache.dtype)
 
     # GQA without materializing repeated K/V: group the query heads
     # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]
@@ -138,15 +149,19 @@ def causal_attention(
     rope_theta: float,
     positions: jnp.ndarray | None = None,   # [B, T]; defaults to arange
     attn_mask: jnp.ndarray | None = None,   # [B, T] bool, False = padding
+    rope_tables: tuple | None = None,       # (cos, sin) [B, T, Dh], layer-invariant
 ) -> jnp.ndarray:
     """Full-sequence causal attention for training and prefill."""
     B, T, NH, Dh = q.shape
     KVH = k.shape[2]
-    if positions is None:
-        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-
-    q = rotate_by_positions(q, positions, rope_theta)
-    k = rotate_by_positions(k, positions, rope_theta)
+    if rope_tables is not None:
+        cos, sin = rope_tables
+    else:
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+        cos, sin = rope_cos_sin(positions, Dh, rope_theta)
+    q = apply_rope(q.astype(jnp.float32), cos, sin).astype(q.dtype)
+    k = apply_rope(k.astype(jnp.float32), cos, sin).astype(k.dtype)
 
     # long sequences: blockwise online-softmax path bounds score memory to
     # O(T * block) — the collator's power-of-two buckets are all divisible

@@ -275,7 +275,8 @@ class StreamEngine:
         self._score_until_trigger = jax.jit(score_until_trigger, donate_argnums=(1,))
         self._encode_frames = jax.jit(encode_frames)
         self._generate = jax.jit(generate)
-        self._reset_cache = jax.jit(reset_cache)
+        # donated: k/v pass through aliased, metadata buffers reset in place
+        self._reset_cache = jax.jit(reset_cache, donate_argnums=(0,))
 
     # -- host-facing wrappers ---------------------------------------------
 

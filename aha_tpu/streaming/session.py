@@ -48,6 +48,7 @@ class StreamSession:
         self.stream_end_prob_threshold = infer_cfg.stream_end_prob_threshold
         self.stream_end_score_sum_threshold = infer_cfg.stream_end_score_sum_threshold
         self.threshold_z = infer_cfg.threshold_z
+        self.first_n_frames_no_generate = infer_cfg.first_n_frames_no_generate
         self.running_list_length = infer_cfg.running_list_length
         self.remove_assistant_turns = infer_cfg.remove_assistant_turns
 
@@ -93,7 +94,13 @@ class StreamSession:
         self.consecutive_n_frames = 0
         self.debug_data_list: list[dict] = []
         self._pending_last_ids: list[int] = []
-        self.cache = self.engine.new_cache()
+        # reuse the allocated ring buffer across videos (metadata-only reset;
+        # a fresh new_cache() would churn ~120 MB of HBM per video on the 7B
+        # and defeat donation in multi-video drivers)
+        if getattr(self, "cache", None) is not None:
+            self.cache = self.engine.reset_cache(self.cache)
+        else:
+            self.cache = self.engine.new_cache()
         self.rep_counts = self.engine.new_rep_counts()
 
     # ------------------------------------------------------------------
@@ -204,7 +211,25 @@ class StreamSession:
             and stream_end_score > self.stream_end_prob_threshold
         ):
             need_response = True
+        if self.threshold_z is not None and self._z_trigger(stream_end_score):
+            need_response = True
         return need_response
+
+    def _z_trigger(self, stream_end_score: float) -> bool:
+        """z-score stopping rule. The reference accepts/validates the flag
+        (test/inference.py:76,84-87: requires first_n_frames_no_generate,
+        keeps a running list of length running_list_length) but its main
+        loop never evaluates it — this implements the rule those knobs
+        describe: fire when the current score is more than threshold_z
+        standard deviations above the running-list mean, once
+        first_n_frames_no_generate frames have been scored."""
+        hist = self.stream_end_prob_list  # includes the current score
+        if self.frame_idx < max(self.first_n_frames_no_generate, 2) or len(hist) < 2:
+            return False
+        mean = sum(hist) / len(hist)
+        var = sum((x - mean) ** 2 for x in hist) / len(hist)
+        z = (stream_end_score - mean) / max(var ** 0.5, 1e-6)
+        return z > self.threshold_z
 
     # ------------------------------------------------------------------
     # Main loops
@@ -218,8 +243,9 @@ class StreamSession:
         chunked=True (default) evaluates the trigger ON DEVICE and scores
         whole runs of frames per dispatch (`engine.score_until_trigger`) —
         identical outputs to the stepwise loop, one host round-trip per
-        response instead of per frame."""
-        if chunked:
+        response instead of per frame. The z-score rule needs the host-side
+        running-list statistics, so threshold_z always runs stepwise."""
+        if chunked and self.threshold_z is None:
             return self._inference_chunked()
         return self._inference_stepwise()
 

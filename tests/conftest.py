@@ -26,6 +26,29 @@ sys.path.insert(0, str(REPO_ROOT))
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="also run tests marked slow (the full ~15 min tier); "
+             "default is the <2 min smoke tier",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy parity/e2e tests; skipped unless --full or AHA_FULL_TESTS=1"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full") or os.environ.get("AHA_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier (run with --full or AHA_FULL_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def reference_root():
     """Path to the read-only reference repo; tests that use it as a golden

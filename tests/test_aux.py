@@ -64,6 +64,7 @@ def tiny_session():
         grounding_mode=True, kv_cache_policy="sink", kv_window=64, num_sink_tokens=4))
 
 
+@pytest.mark.slow
 def test_infer_on_live_video(tiny_session, tmp_path):
     cfg = tiny_session.cfg
     r = cfg.frame_resolution

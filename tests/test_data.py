@@ -211,6 +211,7 @@ def test_build_hihd():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_dataset_to_train_step(tok):
     cfg = aha_tiny(vocab_size=512)
     params, cfg, tok2 = aha.build_model_and_tokenizer(cfg, seed=0)
@@ -324,6 +325,7 @@ def test_dataset_corrupt_fallback_bounded(tok):
         ds[0]
 
 
+@pytest.mark.slow
 def test_cli_train_end_to_end(tmp_path):
     """The full train CLI: synthetic videos + grounding annos + mixture
     config -> a few optimizer steps with checkpoints + adapter export."""

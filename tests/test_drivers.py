@@ -223,6 +223,7 @@ def test_cli_infer_live_demo_branch(video_dir, tmp_path):
     assert "telemetry" in data
 
 
+@pytest.mark.slow
 def test_streaming_qa_with_generation(video_dir, tmp_path):
     """Full streaming QA pass with generation triggers (magqa/youcook2 mode)."""
     cfg = aha_tiny(vocab_size=256)

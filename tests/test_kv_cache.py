@@ -257,6 +257,7 @@ def test_chunked_cached_attention_matches_full_causal():
     np.testing.assert_allclose(streamed, np.asarray(full), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cache_policy_fuzz_random_chunks():
     """Fuzz: random chunk sizes / valid lens across all policies must keep
     invariants (length bounds, junk slot never valid, order monotone in

@@ -3,6 +3,7 @@ value is arbitrary but the machinery — prefix cache reuse, span gating,
 matrix assembly, in-span aggregation — is exact)."""
 
 import numpy as np
+import pytest
 
 from aha_tpu.config import aha_tiny
 from aha_tpu.eval import llm_judge
@@ -87,6 +88,7 @@ def test_openai_batch_roundtrip():
     assert m[0, 1] == 1 and m[1, 0] == 1
 
 
+@pytest.mark.slow
 def test_local_judge_runs():
     cfg = aha_tiny(vocab_size=256)
     params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)

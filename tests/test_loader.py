@@ -76,6 +76,7 @@ def test_convert_modules_to_save_and_apply():
     assert "vision" in merged
 
 
+@pytest.mark.slow
 def test_offline_generate():
     from aha_tpu.config import InferConfig
     from aha_tpu.streaming.session import build_session

@@ -45,6 +45,7 @@ def hf_qwen():
     return model
 
 
+@pytest.mark.slow
 def test_qwen2_logit_parity(hf_qwen):
     params = loader.convert_qwen2(hf_qwen.state_dict(), TINY)
     rng = np.random.default_rng(0)
@@ -58,6 +59,7 @@ def test_qwen2_logit_parity(hf_qwen):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_qwen2_left_padded_parity(hf_qwen):
     """Left padding + attention mask must reproduce HF masked logits on the
     real tokens (the reference batches left-padded, data_collator.py:19)."""
@@ -79,6 +81,7 @@ def test_qwen2_left_padded_parity(hf_qwen):
     np.testing.assert_allclose(ours[1], ref[1], rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_decode_chunks_match_full_forward():
     """Streaming decode over an unbounded cache == full-sequence forward."""
     cfg = TINY
@@ -105,6 +108,7 @@ def test_decode_chunks_match_full_forward():
     np.testing.assert_allclose(streamed, np.asarray(full), rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_decode_chunk_with_padding_matches():
     """A chunk padded beyond valid_len must produce identical states for the
     valid prefix (padding goes to the junk slot)."""
@@ -169,6 +173,53 @@ def test_siglip_feature_parity(hf_siglip):
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
 
 
+# ---------------------------------------------------------------------------
+# CLIP tower variant (ref vision_live.py:34-64)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_feature_parity():
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from aha_tpu.models import clip
+
+    vcfg = C.clip_tiny()
+    torch.manual_seed(0)
+    hf_cfg = CLIPVisionConfig(
+        image_size=vcfg.image_size,
+        patch_size=vcfg.patch_size,
+        hidden_size=vcfg.hidden_size,
+        intermediate_size=vcfg.intermediate_size,
+        num_hidden_layers=vcfg.num_layers,
+        num_attention_heads=vcfg.num_heads,
+        layer_norm_eps=vcfg.layer_norm_eps,
+        hidden_act="quick_gelu",
+        attn_implementation="eager",
+    )
+    model = CLIPVisionModel(hf_cfg)
+    model.eval()
+    params = loader.convert_clip(model.state_dict(), vcfg, prefix="vision_model.")
+    rng = np.random.default_rng(0)
+    pix = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.tensor(pix)).last_hidden_state.numpy()
+    ours = np.asarray(clip.forward(params, vcfg, jnp.asarray(pix.transpose(0, 2, 3, 1))))
+    # the reference consumes un-post-layernormed tokens: CLS first, then grid
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_clip_tower_in_visual_embed_with_cls():
+    cfg = C.aha_tiny(vocab_size=256).replace(vision=C.clip_tiny(), frame_token_cls=True)
+    params = aha.init_aha_params(cfg, jax.random.PRNGKey(0))
+    frames = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, size=(2, 32, 32, 3)), jnp.uint8)
+    out = aha.visual_embed(params, cfg, frames)
+    # 1x1 pooled grid + CLS = 2 tokens per frame
+    assert out.shape == (2, cfg.frame_num_tokens, cfg.llm.hidden_size)
+    assert cfg.frame_num_tokens == 2
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_adaptive_pool_matches_torch():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2, 24 * 24, 5)).astype(np.float32)
@@ -208,6 +259,7 @@ def test_joint_embed_scatters_frames():
     np.testing.assert_array_equal(np.asarray(out[0])[~mask], tok_emb[~mask])
 
 
+@pytest.mark.slow
 def test_forward_train_shapes_and_heads():
     cfg = C.aha_tiny(vocab_size=256)
     params, cfg, tok = aha.build_model_and_tokenizer(cfg)
@@ -231,6 +283,7 @@ def test_forward_train_shapes_and_heads():
     assert (np.asarray(out.relevance) >= 0).all() and (np.asarray(out.relevance) <= 1).all()
 
 
+@pytest.mark.slow
 def test_blockwise_causal_matches_dense():
     import jax.numpy as jnp
 
@@ -257,6 +310,7 @@ def test_blockwise_causal_matches_dense():
     )
 
 
+@pytest.mark.slow
 def test_forward_hidden_long_sequence_blockwise(hf_qwen):
     """T=1024 routes through the blockwise path; logits still match HF."""
     params = loader.convert_qwen2(hf_qwen.state_dict(), TINY)
@@ -269,6 +323,7 @@ def test_forward_hidden_long_sequence_blockwise(hf_qwen):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_blockwise_attention_grads_finite():
     from aha_tpu.ops.attention import blockwise_causal_attention
 
@@ -287,6 +342,7 @@ def test_blockwise_attention_grads_finite():
 
 
 @pytest.mark.parametrize("shape", [(1, 64, 4, 16), (2, 100, 6, 32)])
+@pytest.mark.slow
 def test_pallas_flash_attention_matches_dense(shape):
     from aha_tpu.ops.pallas.flash_attention import flash_causal_attention
 

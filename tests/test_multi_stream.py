@@ -24,6 +24,7 @@ def _infer_cfg(cfg):
     )
 
 
+@pytest.mark.slow
 def test_multi_stream_matches_single(model):
     params, cfg, tok = model
     rng = np.random.default_rng(0)

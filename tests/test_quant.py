@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aha_tpu.config import aha_tiny
 from aha_tpu.models import aha, qwen2
@@ -23,6 +24,7 @@ def test_quantize_array_roundtrip():
     assert err <= scale_max * 0.51  # quantization step/2 + rounding
 
 
+@pytest.mark.slow
 def test_quantized_model_close_to_dense():
     cfg = aha_tiny(vocab_size=128)
     params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
@@ -108,6 +110,7 @@ def test_w8a8_accuracy(monkeypatch):
     assert cos > 0.97, cos
 
 
+@pytest.mark.slow
 def test_int4_roundtrip_and_accuracy():
     rng = np.random.default_rng(5)
     w = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))

@@ -75,6 +75,7 @@ def full_forward_scores(params, cfg, id_chunks, frame_embeds_seq):
     return np.asarray(info[idx]), np.asarray(rel[idx]), np.asarray(unc[idx])
 
 
+@pytest.mark.slow
 def test_session_matches_full_forward(tiny_model):
     params, cfg, tokenizer = tiny_model
     sess = make_session(tiny_model)
@@ -101,6 +102,7 @@ def test_session_matches_full_forward(tiny_model):
     np.testing.assert_allclose([d["uncertainty_score"] for d in got], unc, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_score_video_matches_inference_loop(tiny_model):
     params, cfg, tokenizer = tiny_model
     frames = frames_for(cfg, 6, seed=3)
@@ -118,6 +120,7 @@ def test_score_video_matches_inference_loop(tiny_model):
             np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sink_policy_session_runs(tiny_model):
     """Small sink cache forces eviction + re-rotation mid-stream."""
     _, cfg, _ = tiny_model
@@ -130,6 +133,7 @@ def test_sink_policy_session_runs(tiny_model):
     assert int(sess.cache.length[0]) <= 24
 
 
+@pytest.mark.slow
 def test_generation_trigger_and_rollback(tiny_model):
     _, cfg, _ = tiny_model
     # threshold 0 -> fires on every frame
@@ -146,6 +150,7 @@ def test_generation_trigger_and_rollback(tiny_model):
     assert int(sess.cache.length[0]) == expected
 
 
+@pytest.mark.slow
 def test_generation_kept_turns_extend_cache(tiny_model):
     _, cfg, _ = tiny_model
     sess = make_session(tiny_model, stream_end_prob_threshold=0.0, remove_assistant_turns=False)
@@ -157,6 +162,7 @@ def test_generation_kept_turns_extend_cache(tiny_model):
     assert int(sess.cache.length[0]) > min_len
 
 
+@pytest.mark.slow
 def test_greedy_decode_matches_naive_reforward(tiny_model):
     """while_loop decode over the cache == argmax over a full re-forward at
     every step (the reference decode semantics, modeling_live.py:64-90)."""
@@ -193,6 +199,7 @@ def test_repetition_penalty_semantics():
     np.testing.assert_allclose(np.asarray(out[0]), [1.0, -2.0, 0.5])
 
 
+@pytest.mark.slow
 def test_demo_input_one_frame(tiny_model):
     _, cfg, _ = tiny_model
     sess = make_session(tiny_model, stream_end_prob_threshold=0.0)
@@ -209,6 +216,7 @@ def test_demo_input_one_frame(tiny_model):
     assert ret2["frame_idx"] == 2
 
 
+@pytest.mark.slow
 def test_chunked_inference_matches_stepwise(tiny_model):
     """The on-device trigger loop must reproduce the stepwise host loop
     exactly: same per-frame scores, same trigger frames, same responses."""
@@ -235,6 +243,7 @@ def test_chunked_inference_matches_stepwise(tiny_model):
     assert [r["content"] for r in resp_step] == [r["content"] for r in resp_chunk]
 
 
+@pytest.mark.slow
 def test_chunked_inference_sum_threshold(tiny_model):
     params, cfg, tokenizer = tiny_model
     frames = frames_for(cfg, 10, seed=11)
@@ -250,3 +259,40 @@ def test_chunked_inference_sum_threshold(tiny_model):
     np.testing.assert_allclose(
         [d["relevance_score"] for d in a.debug_data_list],
         [d["relevance_score"] for d in b.debug_data_list], rtol=2e-4, atol=2e-5)
+
+
+def test_threshold_z_decision_rule():
+    """The z-score stopping rule (InferConfig.threshold_z): fires when the
+    current stream-end score exceeds mean + z*std of the running list, only
+    after first_n_frames_no_generate frames. Pure host decision logic —
+    exercised without an engine."""
+    s = StreamSession.__new__(StreamSession)
+    s.score_heads = ["informative_score"]
+    s.stream_end_prob_threshold = None
+    s.stream_end_score_sum_threshold = None
+    s.threshold_z = 2.0
+    s.first_n_frames_no_generate = 3
+    s.running_list_length = 20
+    s.stream_end_prob_list = []
+    s.stream_end_score_sum = 0.0
+    s.frame_idx = 0
+
+    fired = []
+    for score in [0.1, 0.12, 0.11, 0.1, 0.09, 0.11, 0.9, 0.1]:
+        s.frame_idx += 1
+        fired.append(s._check_trigger({"informative_score": score}))
+    # flat prefix never fires; the 0.9 outlier does; back-to-baseline doesn't
+    assert fired[:6] == [False] * 6
+    assert fired[6] is True
+    assert fired[7] is False
+
+    # before first_n_frames_no_generate nothing fires even for outliers
+    s2 = StreamSession.__new__(StreamSession)
+    s2.__dict__.update({k: getattr(s, k) for k in (
+        "score_heads", "stream_end_prob_threshold", "stream_end_score_sum_threshold",
+        "threshold_z", "running_list_length")})
+    s2.first_n_frames_no_generate = 10
+    s2.stream_end_prob_list = [0.1, 0.1, 0.1, 0.1]
+    s2.stream_end_score_sum = 0.0
+    s2.frame_idx = 5
+    assert s2._check_trigger({"informative_score": 5.0}) is False

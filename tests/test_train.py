@@ -225,6 +225,7 @@ def make_batch(cfg, tok, rng, B=2, n_frames=3):
     }
 
 
+@pytest.mark.slow
 def test_overfit_tiny(tiny):
     params, cfg, tok = tiny
     rng = np.random.default_rng(0)
@@ -249,6 +250,7 @@ def test_overfit_tiny(tiny):
     assert np.abs(np.asarray(state.tree["lora"]["q_proj"]["b"])).max() > 0
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_single_device(tiny):
     params, cfg, tok = tiny
     rng = np.random.default_rng(1)
@@ -272,6 +274,7 @@ def test_fsdp_step_matches_single_device(tiny):
     np.testing.assert_allclose(float(parts1.total), float(parts2.total), rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny, tmp_path):
     params, cfg, tok = tiny
     train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1)
