@@ -15,10 +15,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .kv_cache import UpdatePlan, attention_slot_mask
 from .rope import apply_rope, rope_cos_sin, rotate_by_positions
 
 NEG_INF = -1e30
+
+
+def _decode_attn_backend() -> str:
+    """AHA_DECODE_ATTN: 'jnp' (default) or 'pallas' (the fused kernel,
+    interpret mode off-TPU). Measured on v5e-1 the XLA-fused jnp path runs
+    at 7.4 us/layer — ~1.4x off the K+V DMA roofline — vs 18+ us for the
+    kernel (see ops/pallas/decode_attention.py docstring), so jnp is the
+    default; the kernel stays as a validated alternative."""
+    return os.environ.get("AHA_DECODE_ATTN", "jnp")
+
+
+def _pallas_decode_ok(q, k_cache) -> bool:
+    Dh, Wp = q.shape[-1], k_cache.shape[1]
+    return Dh % 128 == 0 and Wp % 8 == 0
 
 
 def cached_attention(
@@ -42,12 +58,19 @@ def cached_attention(
     n_rep = NH // KVH
 
     if rope_tables is None:
-        q_rot = rotate_by_positions(q, plan.q_pos, rope_theta)
-        k_rot = rotate_by_positions(k_cache, key_pos, rope_theta)
+        q_cos, q_sin = rope_cos_sin(plan.q_pos, Dh, rope_theta)
+        k_cos, k_sin = rope_cos_sin(key_pos, Dh, rope_theta)
     else:
         q_cos, q_sin, k_cos, k_sin = rope_tables
-        q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(q.dtype)
-        k_rot = apply_rope(k_cache.astype(jnp.float32), k_cos, k_sin).astype(k_cache.dtype)
+    q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(q.dtype)
+
+    if _decode_attn_backend() == "pallas" and _pallas_decode_ok(q, k_cache):
+        from aha_tpu.ops.pallas.decode_attention import cached_decode_attention
+
+        return cached_decode_attention(
+            q_rot, k_cache, v_cache, k_cos, k_sin, plan.new_order, plan.g)
+
+    k_rot = apply_rope(k_cache.astype(jnp.float32), k_cos, k_sin).astype(k_cache.dtype)
 
     # GQA without materializing repeated K/V: group the query heads
     # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]

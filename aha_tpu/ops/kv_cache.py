@@ -43,25 +43,38 @@ class CachePolicy:
 
     window   — number of real slots (the junk slot is extra).
     num_sink — sink region size (sink policy only).
+    slot_pad — extra slots beyond the window (>= 1). Slot `window` is the
+        junk slot that absorbs padded-token writes; any further pad slots
+        are never written (order stays -1, so they are masked everywhere).
+        The engine rounds num_slots up to a multiple of 128 so the Pallas
+        decode-attention kernel gets tileable cache shapes.
     """
 
     kind: str = "sink"
     window: int = 2048
     num_sink: int = 32
+    slot_pad: int = 1
 
     def __post_init__(self):
         if self.kind not in ("none", "sliding", "sink", "static"):
             raise ValueError(f"unknown cache kind {self.kind}")
         if self.kind == "sink" and not 0 <= self.num_sink < self.window:
             raise ValueError("need 0 <= num_sink < window")
+        if self.slot_pad < 1:
+            raise ValueError("slot_pad must be >= 1 (the junk slot)")
 
     @property
     def num_slots(self) -> int:
-        return self.window + 1  # + junk slot
+        return self.window + self.slot_pad
 
     @property
     def junk(self) -> int:
         return self.window
+
+    def with_aligned_slots(self, multiple: int = 128) -> "CachePolicy":
+        """Round num_slots up to a multiple (kernel-tileable cache shape)."""
+        pad = max(1, (-(self.window + 1)) % multiple + 1)
+        return dataclasses.replace(self, slot_pad=pad)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Parity: the fused Pallas decode-attention kernel vs the jnp reference
+path (ops/attention.cached_attention) over the ring-buffer cache.
+
+Runs in interpret mode on CPU at kernel-compatible shapes (Dh=128,
+num_slots % block == 0); the real-chip A/B lives in bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aha_tpu.ops import attention
+from aha_tpu.ops.kv_cache import CachePolicy, advance, init_cache, plan_update, write_layer
+from aha_tpu.ops.pallas.decode_attention import cached_decode_attention
+from aha_tpu.ops.rope import apply_rope, rope_cos_sin
+
+THETA = 10_000.0
+
+
+def _run_chunk(cache, policy, k_new, v_new, q, valid_len):
+    """One layer-0 chunk through both attention backends."""
+    S = q.shape[1]
+    plan = plan_update(cache, policy, valid_len, S)
+    k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+
+    ref = attention.cached_attention(
+        q, k_c, v_c, plan.new_key_pos, plan, rope_theta=THETA)
+
+    q_cos, q_sin = rope_cos_sin(plan.q_pos, q.shape[-1], THETA)
+    k_cos, k_sin = rope_cos_sin(plan.new_key_pos, q.shape[-1], THETA)
+    q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(q.dtype)
+    out = cached_decode_attention(
+        q_rot, k_c, v_c, k_cos, k_sin, plan.new_order, plan.g, interpret=True)
+
+    cache = advance(cache, plan, cache.k.at[0].set(k_c), cache.v.at[0].set(v_c))
+    return cache, np.asarray(ref), np.asarray(out)
+
+
+@pytest.mark.parametrize("kind,window,pad", [
+    ("sliding", 192, 64),   # num_slots 256
+    ("sink", 192, 64),
+    ("none", 224, 32),
+])
+def test_pallas_decode_attention_matches_jnp(kind, window, pad):
+    policy = CachePolicy(kind, window=window, num_sink=16, slot_pad=pad)
+    rng = np.random.default_rng(0)
+    B, KVH, NH, Dh = 2, 2, 4, 128
+    cache = init_cache(policy, num_layers=1, batch=B, num_kv_heads=KVH,
+                       head_dim=Dh, dtype=jnp.float32)
+
+    # chunk 1: ragged valid lengths incl. padding rows
+    for S, vl in [(112, (100, 60)), (96, (96, 96)), (64, (40, 64))]:
+        k_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((B, S, NH, Dh)), jnp.float32)
+        cache, ref, out = _run_chunk(cache, policy, k_new, v_new, q,
+                                     jnp.asarray(vl, jnp.int32))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_decode_attention_single_token():
+    """The generate() path: S=1 chunks (M = n_rep rows, padded to 16)."""
+    policy = CachePolicy("sliding", window=120, slot_pad=8)  # num_slots 128
+    rng = np.random.default_rng(1)
+    B, KVH, NH, Dh = 1, 2, 6, 128
+    cache = init_cache(policy, num_layers=1, batch=B, num_kv_heads=KVH,
+                       head_dim=Dh, dtype=jnp.float32)
+    # prefill then 3 single-token steps
+    for S, vl in [(32, (32,)), (1, (1,)), (1, (1,)), (1, (0,))]:
+        k_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((B, S, NH, Dh)), jnp.float32)
+        cache, ref, out = _run_chunk(cache, policy, k_new, v_new, q,
+                                     jnp.asarray(vl, jnp.int32))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_aligned_slots_policy():
+    p = CachePolicy("sink", window=2048, num_sink=32).with_aligned_slots()
+    assert p.num_slots % 128 == 0 and p.num_slots > 2048
+    assert p.junk == 2048
+    tiny = CachePolicy("sliding", window=8).with_aligned_slots()
+    assert tiny.num_slots % 128 == 0
