@@ -252,6 +252,12 @@ class TrainConfig:
     mesh_data: int = -1   # -1: all remaining devices
     mesh_model: int = 1
 
+    # sequence-parallel ring attention (SURVEY §5 long-context): when on,
+    # batches whose padded length reaches ring_min_seq run attention
+    # sequence-sharded over the data axis (parallel/ring_attention.py)
+    ring_attention: bool = False
+    ring_min_seq: int = 2048
+
     system_prompt: str = (
         "A multimodal AI assistant is helping users with some activities."
         " Below is their conversation, interleaved with the list of video frames"

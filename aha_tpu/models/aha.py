@@ -186,8 +186,12 @@ def forward_train(
     lora: dict | None = None,
     lora_scale: float = 0.0,
     remat: bool = True,
+    ring: tuple | None = None,
 ) -> AhaOutputs:
-    """Full-sequence forward used by training and offline eval."""
+    """Full-sequence forward used by training and offline eval.
+
+    ring=(mesh, seq_axis): route attention through sequence-parallel ring
+    attention (long-context training past one device's memory)."""
     frame_embeds = None
     if frames is not None:
         fe = visual_embed(params, cfg, frames)          # [N, F, H]
@@ -200,7 +204,7 @@ def forward_train(
     hidden = qwen2.forward_hidden(
         params["llm"], cfg.llm, embeds,
         attn_mask=attn_mask, positions=positions, lora=lora, lora_scale=lora_scale,
-        remat=remat,
+        remat=remat, ring=ring,
     )
     return apply_heads(params, cfg, hidden)
 

@@ -83,19 +83,35 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (normed * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float = 0.0) -> jnp.ndarray:
+def _idx(a, layer):
+    """Static pass-through or dynamic layer slice of a stacked array."""
+    if layer is None:
+        return a
+    return jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+
+
+def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float = 0.0,
+           layer=None) -> jnp.ndarray:
+    """layer: optional traced int — p (and lora) carry stacked [L, ...]
+    leaves and this layer is selected. Quantized kernels pass the index all
+    the way into the Pallas kernel (scalar prefetch) so the scan never
+    copies a weight slice; dense kernels take a dynamic slice that XLA
+    fuses into the einsum."""
     kernel = p["kernel"]
-    if isinstance(kernel, dict):  # int8 weight-only quantization (ops/quant.py)
+    if isinstance(kernel, dict):  # int8/int4 quantization (ops/quant.py)
         from aha_tpu.ops.quant import qlinear
 
-        y = qlinear(x, kernel)
+        y = qlinear(x, kernel, layer=layer)
     else:
-        y = jnp.einsum("...i,io->...o", x, kernel)
+        y = jnp.einsum("...i,io->...o", x, _idx(kernel, layer))
     if lora is not None:
         # y += scale * (x @ A) @ B — computed at low rank, never materializing W+ΔW
-        y = y + lora_scale * jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, lora["a"]), lora["b"])
+        y = y + lora_scale * jnp.einsum(
+            "...r,ro->...o",
+            jnp.einsum("...i,ir->...r", x, _idx(lora["a"], layer)),
+            _idx(lora["b"], layer))
     if "bias" in p:
-        y = y + p["bias"]
+        y = y + _idx(p["bias"], layer)
     return y
 
 
@@ -105,18 +121,18 @@ def _layer_lora(lora: dict | None, name: str):
     return lora[name]
 
 
-def _mlp(x, lp, lora, lora_scale):
-    gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale)
-    up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale)
+def _mlp(x, lp, lora, lora_scale, layer=None):
+    gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale, layer)
+    up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale, layer)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear(act, {"kernel": lp["down_proj"]["kernel"]}, _layer_lora(lora, "down_proj"), lora_scale)
+    return linear(act, {"kernel": lp["down_proj"]["kernel"]}, _layer_lora(lora, "down_proj"), lora_scale, layer)
 
 
-def _qkv(x, lp, cfg: QwenConfig, lora, lora_scale):
+def _qkv(x, lp, cfg: QwenConfig, lora, lora_scale, layer=None):
     B, S, _ = x.shape
-    q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale)
-    k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale)
-    v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale)
+    q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale, layer)
+    k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale, layer)
+    v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale, layer)
     q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -138,8 +154,14 @@ def forward_hidden(
     lora: dict | None = None,
     lora_scale: float = 0.0,
     remat: bool = False,
+    ring: tuple | None = None,   # (mesh, seq_axis): sequence-parallel attention
 ) -> jnp.ndarray:
-    """Final hidden states [B, T, H] via scan over stacked layers."""
+    """Final hidden states [B, T, H] via scan over stacked layers.
+
+    ring=(mesh, axis): attention runs sequence-sharded over the mesh axis
+    via parallel/ring_attention.py (the SURVEY §5 long-context scaling path
+    beyond the cache window) — K/V shards rotate over ICI with overlapping
+    compute; everything else in the layer stays under GSPMD."""
     x = inputs_embeds
     B, T = x.shape[:2]
     # cos/sin are layer-invariant: compute once, not once per scanned layer
@@ -147,14 +169,31 @@ def forward_hidden(
         jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     rope_tables = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
 
+    def attention(q, k, v):
+        if ring is None:
+            return causal_attention(
+                q, k, v, rope_theta=cfg.rope_theta, positions=positions,
+                attn_mask=attn_mask, rope_tables=rope_tables,
+            )
+        from aha_tpu.ops.rope import apply_rope
+        from aha_tpu.parallel.ring_attention import ring_causal_attention
+
+        mesh, seq_axis = ring
+        cos, sin = rope_tables
+        q = apply_rope(q.astype(jnp.float32), cos, sin).astype(q.dtype)
+        k = apply_rope(k.astype(jnp.float32), cos, sin).astype(k.dtype)
+        # GQA: expand kv heads to match q (ring transfers at full width)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        return ring_causal_attention(q, k, v, mesh, seq_axis=seq_axis,
+                                     positions=pos, attn_mask=attn_mask)
+
     def layer_fn(x, scanned):
         lp, lora_l = scanned
         h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
         q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
-        attn = causal_attention(
-            q, k, v, rope_theta=cfg.rope_theta, positions=positions,
-            attn_mask=attn_mask, rope_tables=rope_tables,
-        )
+        attn = attention(q, k, v)
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
         h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
@@ -197,21 +236,29 @@ def decode_chunk(
     k_cos, k_sin = rope_cos_sin(plan.new_key_pos, cfg.head_dim, cfg.rope_theta)
     rope_tables = (q_cos, q_sin, k_cos, k_sin)
 
+    # weights stay STACKED and closed over; the scan carries only the layer
+    # index. Quantized matmuls take the index into their Pallas kernel via
+    # scalar prefetch — scanning sliced weight copies into a pallas_call
+    # measured 1.7x slower end-to-end (47.9 vs 80.9 scan fps on the 7B).
+    lyr = params["layers"]
+
     def layer_fn(x, scanned):
-        lp, k_cache_l, v_cache_l, lora_l = scanned
-        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
-        q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
+        k_cache_l, v_cache_l, i = scanned
+        h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
+        q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
         k_c, v_c = write_layer(k_cache_l, v_cache_l, k, v, plan)
         attn = cached_attention(q, k_c, v_c, plan.new_key_pos, plan,
                                 rope_theta=cfg.rope_theta, rope_tables=rope_tables)
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
-        x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
-        h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp(h, lp, lora_l, lora_scale)
+        x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),
+                       lora_scale, layer=i)
+        h = rms_norm(x, _idx(lyr["post_norm"]["scale"], i), cfg.rms_norm_eps)
+        x = x + _mlp(h, lyr, lora, lora_scale, layer=i)
         return x, (k_c, v_c)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, inputs_embeds, (params["layers"], cache.k, cache.v, lora)
+        layer_fn, inputs_embeds,
+        (cache.k, cache.v, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     new_cache = advance(cache, plan, new_k, new_v)

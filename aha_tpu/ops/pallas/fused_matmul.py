@@ -1,0 +1,267 @@
+"""Fused quantized matmul Pallas kernels (int8 and packed-int4 weights).
+
+The TPU-native replacement for the reference's bitsandbytes NF4 matmul
+(`/root/reference/models/modeling_live.py:114-133`). XLA's jnp paths
+materialize the dequantized weight matrix in HBM (measured on v5e-1,
+M=64 K=3584 N=18944: int8 dequant-einsum 0.317 ms = 214 GB/s effective,
+packed int4 2.9 ms — the f32 nibble-unpack round-trips HBM). These kernels
+stream the *quantized* tiles HBM -> VMEM once and dequantize in registers:
+
+  * int8 weights, per-output-channel scale: the scale factorizes out of the
+    contraction, so the kernel runs the matmul on raw int8-converted tiles
+    and applies the scale ONCE to the [M, BN] accumulator at the end —
+    zero per-element scale work.
+  * int4 weights, group-wise scales (ops/quant.quantize_array_int4 layout:
+    even K-rows in the low nibble, odd in the high): x is split even/odd
+    OUTSIDE the kernel, so the unpack needs no row interleave — per group
+    `acc += (x_even @ lo + x_odd @ hi) * scale_g`, with the group rescale
+    again applied to the small [M, BN] accumulator.
+  * a8=True variants quantize activations per token (int8 x int8 on the
+    MXU at 2x the bf16 rate); the per-token scale is applied on the final
+    accumulator. W8A8/W4A8 recipe, ~1% relative error on hidden states.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel_int8(l_ref, x_ref, w_ref, s_ref, sx_ref, o_ref, acc_ref, *, a8: bool):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+    w = w_ref[:].reshape(w_ref.shape[-2], w_ref.shape[-1])   # drop layer dim
+    s = s_ref[:].reshape(-1)                                 # [BN]
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if a8:
+        part = jax.lax.dot_general(
+            x_ref[:], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[:] += part.astype(jnp.float32)
+    else:
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w.astype(x_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        y = acc_ref[:] * s[None, :]             # per-channel weight scale
+        if a8:
+            y = y * sx_ref[:, :1]               # per-token activation scale
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _kernel_int4(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, sx_ref, o_ref, acc_ref,
+                 *, a8: bool, groups: int, gh: int):
+    """w_ref: [1, BK/2, BN] packed uint8 (gh = G/2 packed rows per group);
+    s_ref: [1, 1, groups, BN] group scales for this K tile."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    w2 = w_ref[:].reshape(w_ref.shape[-2], w_ref.shape[-1])
+    s2 = s_ref[:].reshape(groups, s_ref.shape[-1])
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for g in range(groups):
+        pg = w2[g * gh:(g + 1) * gh, :].astype(jnp.int32)      # [G/2, BN]
+        lo = ((pg & 0xF) - 8)
+        hi = ((pg >> 4) - 8)
+        xl = xlo_ref[:, g * gh:(g + 1) * gh]
+        xh = xhi_ref[:, g * gh:(g + 1) * gh]
+        if a8:
+            part = (
+                jax.lax.dot_general(xl, lo.astype(jnp.int8),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                + jax.lax.dot_general(xh, hi.astype(jnp.int8),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            ).astype(jnp.float32)
+        else:
+            part = (
+                jax.lax.dot_general(xl, lo.astype(xl.dtype),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(xh, hi.astype(xh.dtype),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            )
+        acc_ref[:] += part * s2[g:g + 1, :].astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        y = acc_ref[:]
+        if a8:
+            y = y * sx_ref[:, :1]
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _divisor(n: int, target: int) -> int:
+    best = n
+    for b in range(128, min(n, 4 * target) + 1, 128):
+        if n % b == 0 and abs(b - target) < abs(best - target):
+            best = b
+    return best
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """Per-token symmetric int8 (the W8A8 recipe, ops/quant.qlinear_w8a8)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def fused_compatible(K: int, N: int, group: int | None = None) -> bool:
+    if K % 256 or N % 128:
+        return False
+    if group is not None and (K % group or group % 2):
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("a8", "block_n", "block_k", "interpret"))
+def int8_matmul(x, qvalue, scale, layer=None, *, a8=False, block_n=512,
+                block_k=1024, interpret=None):
+    """x [..., K] @ int8 qvalue [K, N] * scale [1, N] -> [..., N].
+
+    layer: optional traced int32 — when given, qvalue/scale carry a leading
+    stacked-layer dim ([L, K, N] / [L, 1, N]) and the kernel DMAs layer
+    tiles straight out of the stacked array via scalar prefetch. This is
+    what makes the kernel usable inside the decoder's lax.scan without
+    per-layer weight-slice copies (a sliced 233 MB/layer feed measured
+    1.7x slower end-to-end than XLA's fused path)."""
+    *lead, K = x.shape
+    N = qvalue.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    bn, bk = _divisor(N, block_n), _divisor(K, block_k)
+    bm = 256 if M > 512 else max(-(-M // 32) * 32, 32)
+    MP = -(-M // bm) * bm
+
+    if layer is None:
+        qvalue = qvalue[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    L = qvalue.shape[0]
+    scale3 = scale.reshape(L, 1, N).astype(jnp.float32)
+
+    if a8:
+        xin, sx = _quantize_rows(x2)
+    else:
+        xin, sx = x2, jnp.ones((M, 1), jnp.float32)
+    if MP > M:
+        xin = jnp.pad(xin, ((0, MP - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, MP - M), (0, 0)), constant_values=1.0)
+    sx_r = jnp.broadcast_to(sx, (MP, 128)).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(MP // bm, N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda m, n, k, l: (l[0], 0, n)),
+            pl.BlockSpec((bm, 128), lambda m, n, k, l: (m, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, a8=a8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((MP, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer, xin, qvalue, scale3, sx_r)
+    return out[:M].reshape(*lead, N)
+
+
+@functools.partial(jax.jit, static_argnames=("a8", "block_n", "block_k", "interpret"))
+def int4_matmul(x, q4value, scale4, layer=None, *, a8=False, block_n=512,
+                block_k=1024, interpret=None):
+    """x [..., K] @ packed-int4 q4value [K/2, N] with group scales
+    scale4 [K/G, N] -> [..., N]. layer: as in int8_matmul (stacked weights
+    [L, K/2, N] / [L, K/G, N] indexed via scalar prefetch)."""
+    *lead, K = x.shape
+    Kh, N = q4value.shape[-2:]
+    assert K == 2 * Kh, (K, Kh)
+    n_groups = scale4.shape[-2]
+    G = K // n_groups
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    bn = _divisor(N, block_n)
+    # bk: divisor of K, whole scale groups, and bk/2 must stay 128-aligned
+    # (the x_lo/x_hi and packed-w blocks are bk/2 wide)
+    step = max(G, 256)
+    bk = K
+    for b in range(step, K + 1, step):
+        if K % b == 0 and b % G == 0 and abs(b - block_k) < abs(bk - block_k):
+            bk = b
+    groups_per_tile = bk // G
+    gh = G // 2
+    bm = 256 if M > 512 else max(-(-M // 32) * 32, 32)
+    MP = -(-M // bm) * bm
+
+    if layer is None:
+        q4value = q4value[None]
+        scale4 = scale4[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    L = q4value.shape[0]
+
+    if a8:
+        xin, sx = _quantize_rows(x2)
+    else:
+        xin, sx = x2, jnp.ones((M, 1), jnp.float32)
+    # split even/odd K rows so nibble unpack needs no row interleave
+    xlo, xhi = xin[:, 0::2], xin[:, 1::2]          # [M, K/2] each
+    if MP > M:
+        xlo = jnp.pad(xlo, ((0, MP - M), (0, 0)))
+        xhi = jnp.pad(xhi, ((0, MP - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, MP - M), (0, 0)), constant_values=1.0)
+    sx_r = jnp.broadcast_to(sx, (MP, 128)).astype(jnp.float32)
+    # group scales tiled per K block: [L, nK, groups_per_tile, N]
+    s_t = scale4.reshape(L, K // bk, groups_per_tile, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(MP // bm, N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk // 2), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((bm, bk // 2), lambda m, n, k, l: (m, k)),
+            pl.BlockSpec((1, bk // 2, bn), lambda m, n, k, l: (l[0], k, n)),
+            pl.BlockSpec((1, 1, groups_per_tile, bn),
+                         lambda m, n, k, l: (l[0], k, 0, n)),
+            pl.BlockSpec((bm, 128), lambda m, n, k, l: (m, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, l: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_int4, a8=a8, groups=groups_per_tile, gh=gh),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((MP, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer, xlo, xhi, q4value, s_t, sx_r)
+    return out[:M].reshape(*lead, N)

@@ -86,20 +86,46 @@ def resolve_kernel(kernel, dtype=None):
     return kernel if dtype is None else kernel.astype(dtype)
 
 
-def use_pallas_matmul() -> bool:
-    """Measured on v5e-1 (BENCH r1): XLA's fused dequant-einsum sustains
-    34 fps on the 7B scorer vs 18 fps for the first-cut Pallas kernel, so
-    the jnp path is the default; set AHA_QUANT_MATMUL=pallas to use the
-    kernel (ops/pallas/quant_matmul.py) while tuning it."""
+# trace-time override: GSPMD-partitioned (mesh-sharded) programs cannot
+# auto-partition a pallas_call, so the sharded engine forces the jnp paths
+# while ITS functions trace (StreamEngine._build)
+_FORCE_BACKEND: str | None = None
+
+
+def matmul_backend() -> str:
+    """AHA_QUANT_MATMUL selects the quantized-matmul backend:
+
+    * ``auto`` (default) — the fused Pallas kernels (ops/pallas/
+      fused_matmul.py) on TPU for compatible shapes, jnp elsewhere.
+      Measured v5e-1, M=64 K=3584 N=18944: int8 fused 0.083 ms = 817 GB/s
+      (the HBM roofline; XLA dequant-einsum: 0.317 ms), packed int4 fused
+      0.184 ms (XLA: 2.9 ms — 16x).
+    * ``fused_a8`` — fused kernels with per-token int8 activations
+      (W8A8/W4A8 recipe, int8 MXU; ~1% relative hidden-state error).
+    * ``jnp`` — XLA dequantize-then-einsum.
+    * ``w8a8`` — the XLA-level dynamic-activation recipe (qlinear_w8a8).
+    * ``pallas`` — the round-1 int8 kernel (kept for comparison).
+    """
     import os
 
-    return os.environ.get("AHA_QUANT_MATMUL", "jnp") == "pallas"
+    if _FORCE_BACKEND is not None:
+        return _FORCE_BACKEND
+    return os.environ.get("AHA_QUANT_MATMUL", "auto")
+
+
+def _fused_ok(K: int, N: int) -> bool:
+    import jax
+
+    return (jax.default_backend() in ("tpu", "axon")
+            and K % 256 == 0 and N % 128 == 0)
+
+
+def use_pallas_matmul() -> bool:
+    return matmul_backend() == "pallas"
 
 
 def use_w8a8() -> bool:
-    import os
-
-    return os.environ.get("AHA_QUANT_MATMUL", "jnp") == "w8a8"
+    return matmul_backend() == "w8a8"
 
 
 def qlinear_w8a8(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
@@ -124,16 +150,33 @@ def qlinear_w8a8(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def qlinear(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
+def qlinear(x: jnp.ndarray, qkernel: dict, layer=None) -> jnp.ndarray:
     """x [..., K] times a quantized kernel ({qvalue [K, N], scale} int8 or
-    {q4value, scale4, ...} int4).
+    {q4value, scale4} packed int4). Backend per AHA_QUANT_MATMUL (see
+    matmul_backend).
 
-    AHA_QUANT_MATMUL selects the int8 backend: 'jnp' (default — XLA fuses
-    the dequantize-then-einsum well), 'w8a8' (dynamic activation
-    quantization, int8 MXU), 'pallas' (the fused dequant kernel)."""
+    layer: optional traced int — qkernel leaves are layer-stacked
+    ([L, ...]) and this layer is selected. The fused Pallas kernels take
+    the index via scalar prefetch (no weight-slice copy inside a scan);
+    fallback backends take a dynamic slice."""
+    backend = matmul_backend()
     if "q4value" in qkernel:
+        Kh, N = qkernel["q4value"].shape[-2:]
+        if backend in ("auto", "fused_a8") and _fused_ok(2 * Kh, N):
+            from aha_tpu.ops.pallas.fused_matmul import int4_matmul
+
+            return int4_matmul(x, qkernel["q4value"], qkernel["scale4"],
+                               layer, a8=backend == "fused_a8")
+        qkernel = _sliced(qkernel, layer)
         kernel = dequantize_int4(qkernel, x.dtype)
         return jnp.einsum("...i,io->...o", x, kernel)
+    K, N = qkernel["qvalue"].shape[-2:]
+    if backend in ("auto", "fused_a8") and _fused_ok(K, N):
+        from aha_tpu.ops.pallas.fused_matmul import int8_matmul
+
+        return int8_matmul(x, qkernel["qvalue"], qkernel["scale"],
+                           layer, a8=backend == "fused_a8")
+    qkernel = _sliced(qkernel, layer)
     if use_w8a8():
         return qlinear_w8a8(x, qkernel)
     if use_pallas_matmul():
@@ -142,6 +185,15 @@ def qlinear(x: jnp.ndarray, qkernel: dict) -> jnp.ndarray:
         return quant_matmul(x, qkernel["qvalue"], qkernel["scale"])
     kernel = dequantize(qkernel, x.dtype)
     return jnp.einsum("...i,io->...o", x, kernel)
+
+
+def _sliced(qkernel: dict, layer) -> dict:
+    if layer is None:
+        return qkernel
+    import jax
+
+    return {k: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+            for k, v in qkernel.items()}
 
 
 _QUANT_KEYS = ("kernel", "weight")

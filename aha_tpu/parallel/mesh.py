@@ -108,6 +108,35 @@ def apply_named_sharding(tree: dict, mesh: Mesh, specs: dict | None = None):
     )
 
 
+def cache_specs(cache, mesh: Mesh):
+    """PartitionSpecs for a streaming KVCache: kv heads over `model`
+    (TP inference — each shard attends with its own heads), batch over
+    `data` (multi-stream serving), metadata along batch. Divisibility-
+    guarded like everything else (GQA has only 4 kv heads on the 7B)."""
+    import dataclasses
+
+    from aha_tpu.ops.kv_cache import KVCache
+
+    def g(spec, arr):
+        return _guard(spec, np.shape(arr), mesh)
+
+    return KVCache(
+        k=g(P(None, "data", None, "model", None), cache.k),
+        v=g(P(None, "data", None, "model", None), cache.v),
+        key_pos=g(P("data", None), cache.key_pos),
+        order=g(P("data", None), cache.order),
+        seen=g(P("data"), cache.seen),
+        length=g(P("data"), cache.length),
+    )
+
+
+def shard_cache(cache, mesh: Mesh):
+    specs = cache_specs(cache, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
 def batch_spec() -> P:
     return P("data")
 

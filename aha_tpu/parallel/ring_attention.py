@@ -29,14 +29,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def _block_attn_update(q, k_blk, v_blk, m, l, acc, q_pos, k_pos, scale):
+def _block_attn_update(q, k_blk, v_blk, m, l, acc, q_pos, k_pos, scale,
+                       k_valid=None):
     """One flash-attention block update with causal masking on global
     positions. Shapes: q [B,Tq,H,D], k/v [B,Tk,H,D], m/l [B,H,Tq],
-    acc [B,Tq,H,D]."""
+    acc [B,Tq,H,D]; q_pos/k_pos [Tq]/[Tk] or [B,Tq]/[B,Tk];
+    k_valid [B,Tk] bool (padding keys masked out)."""
     scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                         k_blk.astype(jnp.float32)) * scale
-    mask = q_pos[:, None] >= k_pos[None, :]               # [Tq, Tk]
-    scores = jnp.where(mask[None, None], scores, NEG_INF)
+    if q_pos.ndim == 1:
+        mask = (q_pos[:, None] >= k_pos[None, :])[None]    # [1, Tq, Tk]
+    else:
+        mask = q_pos[:, :, None] >= k_pos[:, None, :]      # [B, Tq, Tk]
+    if k_valid is not None:
+        mask = mask & k_valid[:, None, :]
+    scores = jnp.where(mask[:, None], scores, NEG_INF)
 
     m_blk = scores.max(axis=-1)                            # [B,H,Tq]
     m_new = jnp.maximum(m, m_blk)
@@ -52,12 +59,15 @@ def _block_attn_update(q, k_blk, v_blk, m, l, acc, q_pos, k_pos, scale):
     return m_new, l_new, acc_new
 
 
-def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float):
-    """Per-shard body: q/k/v [B, T_local, H, D] (already RoPE-rotated)."""
+def _ring_attention_shard(q, k, v, q_pos, k_valid, *, axis_name: str,
+                          scale: float):
+    """Per-shard body: q/k/v [B, T_local, H, D] (already RoPE-rotated);
+    q_pos [B, T_local] int32 (this shard's query positions — also used as
+    key positions when its block visits other shards); k_valid [B, T_local]
+    bool. Positions and validity rotate around the ring with their K/V
+    block, so left-padded rows mask correctly."""
     p = jax.lax.psum(1, axis_name)
-    idx = jax.lax.axis_index(axis_name)
     B, Tl, H, D = q.shape
-    q_pos = idx * Tl + jnp.arange(Tl)
 
     # accumulators start device-varying (they will depend on axis_index)
     vary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
@@ -67,18 +77,18 @@ def _ring_attention_shard(q, k, v, *, axis_name: str, scale: float):
     perm = [(i, (i + 1) % p) for i in range(p)]
 
     def body(i, carry):
-        k_blk, v_blk, m, l, acc = carry
-        src = (idx - i) % p                     # owner of the current block
-        k_pos = src * Tl + jnp.arange(Tl)
+        k_blk, v_blk, k_pos_blk, k_valid_blk, m, l, acc = carry
         m, l, acc = _block_attn_update(q, k_blk, v_blk, m, l, acc,
-                                       q_pos, k_pos, scale)
-        # rotate k/v to the next device; overlapped with the next block's
-        # compute by XLA's async collective scheduling
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return k_blk, v_blk, m, l, acc
+                                       q_pos, k_pos_blk, scale,
+                                       k_valid=k_valid_blk)
+        # rotate the block (k/v + its positions/validity) to the next
+        # device; overlapped with the next block's compute by XLA's async
+        # collective scheduling
+        rot = lambda x: jax.lax.ppermute(x, axis_name, perm)
+        return rot(k_blk), rot(v_blk), rot(k_pos_blk), rot(k_valid_blk), m, l, acc
 
-    _, _, m, l, acc = jax.lax.fori_loop(0, p, body, (k, v, m, l, acc))
+    _, _, _, _, m, l, acc = jax.lax.fori_loop(
+        0, p, body, (k, v, q_pos, k_valid, m, l, acc))
     l = jnp.maximum(l, 1e-30)
     out = acc / l.transpose(0, 2, 1)[..., None]
     return out.astype(q.dtype)
@@ -91,19 +101,28 @@ def ring_causal_attention(
     mesh: Mesh,
     *,
     seq_axis: str = "data",
+    positions: jnp.ndarray | None = None,   # [B, T] int32
+    attn_mask: jnp.ndarray | None = None,   # [B, T] bool (False = padding)
 ) -> jnp.ndarray:
     """Causal attention with the sequence sharded over `seq_axis`.
 
-    GQA note: expand k/v heads to match q before calling (or pass matching
-    head counts).
+    Causality is decided on `positions` (default arange) and padding keys
+    are masked via `attn_mask` — matching ops/attention.causal_attention's
+    contract for left-padded batches. GQA note: expand k/v heads to match q
+    before calling (or pass matching head counts).
     """
-    D = q.shape[-1]
+    B, T, H, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    if attn_mask is None:
+        attn_mask = jnp.ones((B, T), bool)
     spec = P(None, seq_axis, None, None)
+    spec2 = P(None, seq_axis)
     fn = shard_map(
         functools.partial(_ring_attention_shard, axis_name=seq_axis, scale=scale),
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, spec2, spec2),
         out_specs=spec,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, positions.astype(jnp.int32), attn_mask)

@@ -94,8 +94,14 @@ class StreamEngine:
         vision_batch: int = 32,
         lora: dict | None = None,
         lora_scale: float = 0.0,
+        mesh=None,
     ):
-        self.params = params
+        """mesh: optional jax.sharding.Mesh('data','model') — mesh-sharded
+        (TP/DP) inference. Params and cache get NamedShardings from
+        parallel/mesh.py rules (kv heads over `model`, batch over `data`)
+        and XLA's GSPMD inserts the collectives; this is how the bf16 7B
+        (15.8 GB weights) serves on a v5e-4 where one 16 GB chip cannot
+        hold it (SURVEY §7 "7B weights + cache on small-HBM chips")."""
         self.cfg = cfg
         self.policy = policy
         self.batch = batch
@@ -104,13 +110,21 @@ class StreamEngine:
         self.vision_batch = vision_batch
         self.lora = lora
         self.lora_scale = lora_scale
+        self.mesh = mesh
+        if mesh is not None:
+            from aha_tpu.parallel.mesh import apply_named_sharding
+
+            params = apply_named_sharding(params, mesh)
+            if lora is not None:
+                self.lora = apply_named_sharding(lora, mesh)
+        self.params = params
         self._build()
 
     # -- construction -----------------------------------------------------
 
     def new_cache(self, dtype=None) -> KVCache:
         llm = self.cfg.llm
-        return init_cache(
+        cache = init_cache(
             self.policy,
             num_layers=llm.num_layers,
             batch=self.batch,
@@ -118,6 +132,11 @@ class StreamEngine:
             head_dim=llm.head_dim,
             dtype=dtype or jnp.dtype(self.cfg.dtype),
         )
+        if self.mesh is not None:
+            from aha_tpu.parallel.mesh import shard_cache
+
+            cache = shard_cache(cache, self.mesh)
+        return cache
 
     def reset_cache(self, cache: KVCache) -> KVCache:
         return self._reset_cache(cache)
@@ -211,12 +230,67 @@ class StreamEngine:
                 cond, body, state)
             return cache, scores_buf, i, score_sum, triggered
 
-        def generate(params, cache, prompt_ids, valid_len, counts):
+        def score_until_trigger_multi(params, cache, frames, start, limit,
+                                      score_sum, prob_threshold, sum_threshold,
+                                      head_mask):
+            """Batched per-row trigger loop (the multi-stream serving path;
+            ref workload: test/inference.py:857-908 one-process-per-stream).
+            frames: [B, T, F, H]; start/limit: [B] — each row scores frames
+            start_b..limit_b-1 against ITS OWN trigger rule and freezes as
+            soon as it fires (other rows keep going; frozen rows append
+            zero valid tokens, so their cache state is untouched — exactly
+            a paused independent session).
+
+            Returns (cache, scores [B, T, 3], i [B] next index, score_sum
+            [B], triggered [B]).
+            """
+            B, T = frames.shape[:2]
+            scores_buf = jnp.zeros((B, T, 3), jnp.float32)
+
+            def row_active(i, triggered):
+                return (i < limit) & ~triggered
+
+            def cond(state):
+                i, _, _, _, triggered = state
+                return jnp.any(row_active(i, triggered))
+
+            def body(state):
+                i, cache, scores_buf, score_sum, triggered = state
+                act = row_active(i, triggered)
+                idx = jnp.clip(i, 0, T - 1)
+                fe = frames[jnp.arange(B), idx]              # [B, F, H]
+                cache, s = append_frames(params, cache, fe, act)
+                s = s.astype(jnp.float32)
+                scores_buf = jnp.where(
+                    act[:, None, None]
+                    & (jnp.arange(T)[None, :, None] == idx[:, None, None]),
+                    s[:, None, :], scores_buf)
+                stream_end = s[:, 0] * head_mask[0] + s[:, 1] * head_mask[1]
+                new_sum = score_sum + jnp.where(act, stream_end, 0.0)
+                sum_hit = act & (new_sum > sum_threshold)
+                prob_hit = act & (stream_end > prob_threshold)
+                new_sum = jnp.where(sum_hit, 0.0, new_sum)
+                return (i + act.astype(jnp.int32), cache, scores_buf,
+                        new_sum, triggered | sum_hit | prob_hit)
+
+            state = (start, cache, scores_buf, score_sum,
+                     jnp.zeros((B,), bool))
+            i, cache, scores_buf, score_sum, triggered = jax.lax.while_loop(
+                cond, body, state)
+            return cache, scores_buf, i, score_sum, triggered
+
+        def generate(params, cache, prompt_ids, valid_len, counts, active=None):
             """Greedy decode (ref fast_greedy_generate). Returns
-            (cache, out_ids [B, N], out_len [B], counts)."""
+            (cache, out_ids [B, N], out_len [B], counts). Rows with
+            active=False are no-ops: their prompt is skipped (valid_len
+            forced to 0 -> junk slot) and they never emit or penalize a
+            token — the multi-stream path generates for the triggered
+            subset of a batch this way."""
             eos = cfg.eos_token_id
             N = self.max_new_tokens
             B = prompt_ids.shape[0]
+            if active is not None:
+                valid_len = jnp.where(active, valid_len, 0)
             cache, logits = append_ids(params, cache, prompt_ids, valid_len)
             tok = jnp.argmax(
                 _apply_repetition_penalty(logits, counts, self.repetition_penalty), axis=-1
@@ -224,7 +298,7 @@ class StreamEngine:
 
             out_ids = jnp.zeros((B, N), jnp.int32)
             out_len = jnp.zeros((B,), jnp.int32)
-            done = jnp.zeros((B,), bool)
+            done = (jnp.zeros((B,), bool) if active is None else ~active)
 
             def cond(state):
                 i, _, _, _, _, done, _ = state
@@ -269,12 +343,36 @@ class StreamEngine:
         # `generate` deliberately does NOT donate — the session keeps the
         # pre-generation cache for remove_assistant_turns rollback, and the
         # judge reuses its rubric prefix cache across evaluations.
-        self._append_ids = jax.jit(append_ids, donate_argnums=(1,))
-        self._append_frames = jax.jit(append_frames, donate_argnums=(1,))
-        self._score_stream = jax.jit(score_stream, donate_argnums=(1,))
-        self._score_until_trigger = jax.jit(score_until_trigger, donate_argnums=(1,))
-        self._encode_frames = jax.jit(encode_frames)
-        self._generate = jax.jit(generate)
+        def _jit(fn, **kw):
+            if self.mesh is None:
+                return jax.jit(fn, **kw)
+            # GSPMD cannot auto-partition pallas_call: force the jnp quant
+            # paths while the sharded programs TRACE (lazily, at first call)
+            import functools as _ft
+
+            from aha_tpu.ops import quant as _quant
+
+            jitted = jax.jit(fn, **kw)
+
+            @_ft.wraps(fn)
+            def wrapped(*a, **k):
+                old = _quant._FORCE_BACKEND
+                _quant._FORCE_BACKEND = "jnp"
+                try:
+                    return jitted(*a, **k)
+                finally:
+                    _quant._FORCE_BACKEND = old
+
+            return wrapped
+
+        self._append_ids = _jit(append_ids, donate_argnums=(1,))
+        self._append_frames = _jit(append_frames, donate_argnums=(1,))
+        self._score_stream = _jit(score_stream, donate_argnums=(1,))
+        self._score_until_trigger = _jit(score_until_trigger, donate_argnums=(1,))
+        self._score_until_trigger_multi = _jit(
+            score_until_trigger_multi, donate_argnums=(1,))
+        self._encode_frames = _jit(encode_frames)
+        self._generate = _jit(generate)
         # donated: k/v pass through aliased, metadata buffers reset in place
         self._reset_cache = jax.jit(reset_cache, donate_argnums=(0,))
 
@@ -326,9 +424,30 @@ class StreamEngine:
             head_mask,
         )
 
-    def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray):
+    def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray,
+                 active=None):
         ids, lens = self.pad_ids(ids_list)
-        return self._generate(self.params, cache, ids, lens, counts)
+        return self._generate(self.params, cache, ids, lens, counts, active)
+
+    def score_until_trigger_multi(self, cache: KVCache, frames: jnp.ndarray,
+                                  start, limit, score_sum,
+                                  prob_threshold: float | None,
+                                  sum_threshold: float | None,
+                                  score_heads: tuple[str, ...]):
+        """frames: [B, T, F, H]; start/limit/score_sum: [B]-likes."""
+        head_mask = jnp.asarray([
+            1.0 if "informative_score" in score_heads else 0.0,
+            1.0 if "relevance_score" in score_heads else 0.0,
+        ], jnp.float32)
+        inf = jnp.float32(jnp.inf)
+        return self._score_until_trigger_multi(
+            self.params, cache, frames,
+            jnp.asarray(start, jnp.int32), jnp.asarray(limit, jnp.int32),
+            jnp.asarray(score_sum, jnp.float32),
+            inf if prob_threshold is None else jnp.float32(prob_threshold),
+            inf if sum_threshold is None else jnp.float32(sum_threshold),
+            head_mask,
+        )
 
     def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:
         """Pre-encode [N, H, W, 3] pixel frames to [N, F, H_llm] in fixed-size

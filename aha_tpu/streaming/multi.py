@@ -7,10 +7,22 @@ throughput scales nearly linearly in the batch until compute-bound. The
 reference processes one stream per process/GPU; this is the TPU-native
 replacement.
 
-Score-only mode (grounding/highlight workloads — no generation triggers).
-Each stream gets its own query and length; ragged batches are padded and
-masked with per-row active flags (finished rows write into the cache's
-junk slot, never polluting attention).
+Two classes:
+
+* :class:`MultiStreamScorer` — score-only lockstep batch (grounding /
+  highlight workloads, no generation triggers).
+* :class:`MultiStreamSession` — full streaming QA (ref workload:
+  test/inference.py:857-908): per-row queries at their own times, per-row
+  on-device trigger evaluation (`engine.score_until_trigger_multi` — a row
+  freezes the moment ITS rule fires while the others keep scoring), and
+  batched greedy generation with ragged completion
+  (`engine.generate(active=...)`; non-triggered rows are exact no-ops).
+  Every row reproduces an independent StreamSession's outputs: frozen /
+  inactive rows append zero valid tokens, so their cache slice never
+  diverges from a solo run.
+
+Ragged batches are padded and masked with per-row active flags (finished
+rows write into the cache's junk slot, never polluting attention).
 """
 
 from __future__ import annotations
@@ -106,3 +118,189 @@ class MultiStreamScorer:
                 ))
             out.append(rows)
         return out
+
+
+class MultiStreamSession:
+    """B concurrent streaming-QA sessions in one batched engine.
+
+    API: ``run(videos, conversations, fps)`` -> per-stream
+    ``{"responses": [...], "debug_data": [...]}``, with the same trigger /
+    template / rollback semantics as :class:`StreamSession.inference`.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: AhaConfig,
+        tokenizer: StreamTokenizer,
+        infer_cfg: InferConfig,
+        *,
+        batch: int,
+        engine: StreamEngine | None = None,
+    ):
+        infer_cfg.validate()
+        if infer_cfg.threshold_z is not None:
+            raise NotImplementedError(
+                "threshold_z needs host-side running statistics; use "
+                "independent StreamSessions for the z-score rule")
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.args = infer_cfg
+        self.batch = batch
+        policy = CachePolicy(
+            kind=infer_cfg.kv_cache_policy,
+            window=infer_cfg.kv_window,
+            num_sink=infer_cfg.num_sink_tokens,
+        )
+        self.engine = engine or StreamEngine(
+            params, cfg, policy, batch=batch,
+            max_new_tokens=infer_cfg.max_new_tokens,
+            repetition_penalty=infer_cfg.repetition_penalty,
+        )
+        tok = tokenizer
+        self._start_ids = tok.apply_chat_template(
+            [{"role": "system", "content": infer_cfg.system_prompt}])
+        self._stream_prompt_ids = tok.apply_chat_template([{}], add_stream_prompt=True)
+        self._gen_prompt_ids = tok.apply_chat_template(
+            [{}], add_stream_generation_prompt=True)
+
+    def _pack_frames(self, videos):
+        lengths = [v.shape[0] for v in videos]
+        T_max = max(lengths)
+        flat = np.concatenate(videos, axis=0)
+        embeds = self.engine.encode_frames(flat)
+        F, H = embeds.shape[1], embeds.shape[2]
+        packed = jnp.zeros((self.batch, T_max, F, H), embeds.dtype)
+        off = 0
+        for i, n in enumerate(lengths):
+            packed = packed.at[i, :n].set(embeds[off:off + n])
+            off += n
+        return packed, lengths
+
+    def run(
+        self,
+        videos: list[np.ndarray],          # B arrays [T_i, S, S, 3]
+        conversations: list[list[dict]],   # B lists of {"role","content","time"}
+        *,
+        fps: float,
+    ) -> list[dict]:
+        B = self.batch
+        assert len(videos) == B and len(conversations) == B
+        a = self.args
+        frames, lengths = self._pack_frames(videos)
+        T = [lengths[b] for b in range(B)]
+
+        cache = self.engine.new_cache()
+        counts = self.engine.new_rep_counts()
+        i = np.zeros(B, np.int64)                  # next frame index per row
+        score_sum = np.zeros(B, np.float64)
+        last_role = ["system"] * B
+        init_vision = [False] * B
+        pending_last: list[list[int]] = [[] for _ in range(B)]
+        queries = [sorted(
+            [t for t in conv if t.get("role") == "user"], key=lambda t: t["time"]
+        ) for conv in conversations]
+        q_ptr = [0] * B
+        responses: list[list[dict]] = [
+            [{"time": t["time"], "content": t["content"], "role": "user"}
+             for t in queries[b]] for b in range(B)]
+        debug: list[list[dict]] = [[] for _ in range(B)]
+
+        def query_due(b):
+            return (q_ptr[b] < len(queries[b])
+                    and i[b] / fps >= queries[b][q_ptr[b]]["time"])
+
+        while any(i[b] < T[b] for b in range(B)):
+            # 1. queries due now (per-row ragged chunk; [] rows are no-ops)
+            q_rows = [[] for _ in range(B)]
+            any_q = False
+            for b in range(B):
+                if i[b] < T[b] and query_due(b):
+                    q = queries[b][q_ptr[b]]
+                    q_rows[b] = self.tokenizer.apply_chat_template(
+                        [{"role": "user", "content": q["content"]}],
+                        add_stream_query_prompt=last_role[b] == "stream",
+                        add_stream_prompt=True,
+                    )
+                    q_ptr[b] += 1
+                    last_role[b] = "user"
+                    any_q = True
+            if any_q:
+                cache, _ = self.engine.append_ids(cache, q_rows)
+
+            # 2. role-transition prefixes owed before the next frame
+            p_rows = [[] for _ in range(B)]
+            any_p = False
+            for b in range(B):
+                if i[b] >= T[b]:
+                    continue
+                if not init_vision[b]:
+                    p_rows[b] = list(self._start_ids)
+                    init_vision[b] = True
+                elif last_role[b] == "assistant" and not a.remove_assistant_turns:
+                    p_rows[b] = pending_last[b] + list(self._stream_prompt_ids)
+                if p_rows[b]:
+                    any_p = True
+            if any_p:
+                cache, _ = self.engine.append_ids(cache, p_rows)
+
+            # 3. per-row frame limit: own length or next query boundary
+            limit = np.array(T, np.int64)
+            for b in range(B):
+                if q_ptr[b] < len(queries[b]):
+                    boundary = int(np.ceil(queries[b][q_ptr[b]]["time"] * fps))
+                    limit[b] = min(limit[b], max(boundary, i[b]))
+            cache, scores, i_new, new_sum, triggered = \
+                self.engine.score_until_trigger_multi(
+                    cache, frames, i, limit, score_sum,
+                    a.stream_end_prob_threshold,
+                    a.stream_end_score_sum_threshold,
+                    tuple(a.score_heads),
+                )
+            i_new = np.asarray(jax.device_get(i_new), np.int64)
+            triggered = np.asarray(jax.device_get(triggered), bool)
+            s_host = np.asarray(jax.device_get(scores), np.float64)
+            score_sum = np.asarray(jax.device_get(new_sum), np.float64)
+            for b in range(B):
+                if i_new[b] > i[b]:
+                    last_role[b] = "stream"
+                for t in range(int(i[b]), int(i_new[b])):
+                    debug[b].append(dict(
+                        time=t / fps,
+                        informative_score=float(s_host[b, t, 0]),
+                        relevance_score=float(s_host[b, t, 1]),
+                        uncertainty_score=float(s_host[b, t, 2]),
+                    ))
+            i = i_new
+
+            # 4. batched generation for the triggered subset
+            if triggered.any():
+                pre_cache = cache
+                g_rows = [list(self._gen_prompt_ids) if triggered[b] else []
+                          for b in range(B)]
+                gen_cache, out_ids, out_len, counts, last_tok = \
+                    self.engine.generate(cache, g_rows, counts,
+                                         active=jnp.asarray(triggered))
+                cache = pre_cache if a.remove_assistant_turns else gen_cache
+                out_ids = np.asarray(jax.device_get(out_ids))
+                out_len = np.asarray(jax.device_get(out_len))
+                last_tok = np.asarray(jax.device_get(last_tok))
+                for b in range(B):
+                    if not triggered[b]:
+                        continue
+                    n = int(out_len[b])
+                    text = self.tokenizer.decode(out_ids[b, :n],
+                                                 skip_special_tokens=True)
+                    responses[b].append({
+                        "time": (int(i[b]) - 1) / fps,
+                        "content": text, "role": "assistant",
+                    })
+                    if not a.remove_assistant_turns:
+                        pending_last[b] = [int(last_tok[b])]
+                        last_role[b] = "assistant"
+
+        return [
+            {"responses": sorted(responses[b], key=lambda x: x["time"]),
+             "debug_data": debug[b]}
+            for b in range(B)
+        ]

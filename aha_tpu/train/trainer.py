@@ -65,15 +65,26 @@ def init_train_state(
     return state, tx, labels, scale
 
 
-def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_scale: float):
+def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_scale: float,
+                    device_mesh=None):
     """Build the jitted train step. batch keys: input_ids, attention_mask,
-    labels, informative_labels, relevance_labels, frames (all [B, ...])."""
+    labels, informative_labels, relevance_labels, frames (all [B, ...]).
+
+    device_mesh: required when train_cfg.ring_attention is on — sequences
+    at/above ring_min_seq run sequence-parallel ring attention over the
+    mesh's data axis."""
     weights = train_cfg.loss_weights
+    if train_cfg.ring_attention and device_mesh is None:
+        raise ValueError("ring_attention=True needs device_mesh")
 
     def loss_fn(tree, batch):
         tree = lora_lib.freeze_stop_gradient(tree, labels)
         params = tree["model"]
         lora_tree = tree.get("lora")
+        T = batch["input_ids"].shape[1]
+        ring = ((device_mesh, "data")
+                if train_cfg.ring_attention and T >= train_cfg.ring_min_seq
+                else None)
         outs = aha.forward_train(
             params, cfg,
             batch["input_ids"],
@@ -82,6 +93,7 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
             lora=lora_tree,
             lora_scale=lora_scale,
             remat=True,
+            ring=ring,
         )
         parts = aha_loss(
             outs.logits, outs.informative_logits, outs.relevance, outs.log_variance,
@@ -234,7 +246,7 @@ def train(
     if train_cfg.resume_from_checkpoint:
         state = restore_checkpoint(train_cfg.resume_from_checkpoint, state)
 
-    step_fn = make_train_step(cfg, train_cfg, tx, labels, scale)
+    step_fn = make_train_step(cfg, train_cfg, tx, labels, scale, device_mesh=m)
     logger = MetricLogger(train_cfg.output_dir, use_wandb=use_wandb)
     ckpt_dir = os.path.join(train_cfg.output_dir, "checkpoints")
 

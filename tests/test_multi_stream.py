@@ -43,3 +43,89 @@ def test_multi_stream_matches_single(model):
         for a, b in zip(batched[i], single):
             for k in ("informative_score", "relevance_score", "uncertainty_score"):
                 np.testing.assert_allclose(a[k], b[k], rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_multi_stream_generation_matches_single_sessions(model):
+    """MultiStreamSession (B=3, generation triggers) must reproduce three
+    independent StreamSession.inference runs: same per-frame debug traces
+    and the same assistant responses at the same times."""
+    from aha_tpu.streaming.multi import MultiStreamSession
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(1)
+    r = cfg.frame_resolution
+    lengths = [7, 4, 10]
+    videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8) for n in lengths]
+    conversations = [
+        [{"role": "user", "content": "what is happening?", "time": 0}],
+        [],
+        [{"role": "user", "content": "find the dog", "time": 2.0},
+         {"role": "user", "content": "and now?", "time": 6.0}],
+    ]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,   # random weights hover ~0.5
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=6,
+        )
+
+    ms = MultiStreamSession(params, cfg, tok, icfg(), batch=3)
+    batched = ms.run(videos, conversations, fps=1.0)
+
+    any_response = False
+    for b in range(3):
+        sess = build_session(params, cfg, tok, icfg())
+        sess.input_video_stream(videos[b])
+        sess.input_query_stream(conversations[b])
+        single = sess.inference(chunked=True)
+        s_resp = [t for t in single if t["role"] == "assistant"]
+        m_resp = [t for t in batched[b]["responses"] if t["role"] == "assistant"]
+        assert len(m_resp) == len(s_resp), (b, m_resp, s_resp)
+        any_response |= bool(m_resp)
+        for x, y in zip(m_resp, s_resp):
+            assert x["content"] == y["content"], (b, x, y)
+            np.testing.assert_allclose(x["time"], y["time"])
+        assert len(batched[b]["debug_data"]) == len(sess.debug_data_list)
+        for x, y in zip(batched[b]["debug_data"], sess.debug_data_list):
+            for k in ("informative_score", "relevance_score", "uncertainty_score"):
+                np.testing.assert_allclose(x[k], y[k], rtol=3e-4, atol=3e-5)
+    # the fixture must actually exercise generation, not just scoring
+    assert any_response
+
+
+def test_mesh_sharded_engine_matches_single_device(model):
+    """TP/DP inference: a (data=2, model=2)-mesh engine must produce the
+    same per-frame scores as the single-device engine (VERDICT r1 item 4:
+    mesh-sharded StreamEngine)."""
+    import jax
+    from aha_tpu.ops.kv_cache import CachePolicy
+    from aha_tpu.parallel.mesh import make_mesh
+    from aha_tpu.streaming.engine import StreamEngine
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(2)
+    r = cfg.frame_resolution
+    frames = rng.integers(0, 255, (4, r, r, 3), dtype=np.uint8)
+    policy = CachePolicy("sink", window=32, num_sink=4)
+
+    base = StreamEngine(params, cfg, policy, batch=2)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = StreamEngine(params, cfg, policy, batch=2, mesh=mesh)
+
+    embeds = base.encode_frames(frames)
+    stacked = np.broadcast_to(np.asarray(embeds)[None], (2, *embeds.shape)).copy()
+
+    c0 = base.new_cache()
+    c0, s0 = base.score_stream(c0, stacked)
+    c1 = sharded.new_cache()
+    c1, s1 = sharded.score_stream(c1, np.asarray(stacked))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=2e-4, atol=2e-5)
+
+    # generation path on the mesh
+    g0 = base.generate(c0, [[5, 6, 7], [8, 9]], base.new_rep_counts())
+    g1 = sharded.generate(c1, [[5, 6, 7], [8, 9]], sharded.new_rep_counts())
+    np.testing.assert_array_equal(np.asarray(g0[1]), np.asarray(g1[1]))  # out_ids
+    np.testing.assert_array_equal(np.asarray(g0[2]), np.asarray(g1[2]))  # out_len
