@@ -95,7 +95,14 @@ def encode_vision_tokens(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray,
                          dtype) -> jnp.ndarray:
     """Tower dispatch (the reference's `build_live_vision` factory,
     vision_live.py:57-64): frames [N, H, W, 3] -> [N, F, Hv] pooled features,
-    CLS (if enabled) first — ref `cat([cls_token, spatial_tokens], dim=1)`."""
+    CLS (if enabled) first — ref `cat([cls_token, spatial_tokens], dim=1)`.
+
+    Frames of any source size are letterboxed ON DEVICE (ops/preprocess.py)
+    — the host ships raw decoded uint8, no cv2 resize per frame."""
+    if frames.shape[1:3] != (cfg.frame_resolution, cfg.frame_resolution):
+        from aha_tpu.ops.preprocess import device_letterbox
+
+        frames = device_letterbox(frames, cfg.frame_resolution)
     if cfg.vision.arch == "clip":
         from aha_tpu.models import clip
 

@@ -121,18 +121,43 @@ def _layer_lora(lora: dict | None, name: str):
     return lora[name]
 
 
+def _lora_delta(x, lora, name, lora_scale, layer):
+    l = _layer_lora(lora, name)
+    if l is None:
+        return 0.0
+    return lora_scale * jnp.einsum(
+        "...r,ro->...o",
+        jnp.einsum("...i,ir->...r", x, _idx(l["a"], layer)),
+        _idx(l["b"], layer))
+
+
 def _mlp(x, lp, lora, lora_scale, layer=None):
-    gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale, layer)
-    up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale, layer)
+    if "gate_up_proj" in lp:
+        # merged layout (ops/quant.merge_decoder_projections): one kernel
+        # call for gate+up, per-projection LoRA added on the output slices
+        y = linear(x, {"kernel": lp["gate_up_proj"]["kernel"]}, None, 0.0, layer)
+        I = y.shape[-1] // 2
+        gate = y[..., :I] + _lora_delta(x, lora, "gate_proj", lora_scale, layer)
+        up = y[..., I:] + _lora_delta(x, lora, "up_proj", lora_scale, layer)
+    else:
+        gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale, layer)
+        up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale, layer)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear(act, {"kernel": lp["down_proj"]["kernel"]}, _layer_lora(lora, "down_proj"), lora_scale, layer)
 
 
 def _qkv(x, lp, cfg: QwenConfig, lora, lora_scale, layer=None):
     B, S, _ = x.shape
-    q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale, layer)
-    k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale, layer)
-    v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale, layer)
+    if "qkv_proj" in lp:
+        y = linear(x, lp["qkv_proj"], None, 0.0, layer)
+        QD, KD = cfg.q_dim, cfg.kv_dim
+        q = y[..., :QD] + _lora_delta(x, lora, "q_proj", lora_scale, layer)
+        k = y[..., QD:QD + KD] + _lora_delta(x, lora, "k_proj", lora_scale, layer)
+        v = y[..., QD + KD:] + _lora_delta(x, lora, "v_proj", lora_scale, layer)
+    else:
+        q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale, layer)
+        k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale, layer)
+        v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale, layer)
     q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)

@@ -95,14 +95,18 @@ _FORCE_BACKEND: str | None = None
 def matmul_backend() -> str:
     """AHA_QUANT_MATMUL selects the quantized-matmul backend:
 
-    * ``auto`` (default) — the fused Pallas kernels (ops/pallas/
-      fused_matmul.py) on TPU for compatible shapes, jnp elsewhere.
-      Measured v5e-1, M=64 K=3584 N=18944: int8 fused 0.083 ms = 817 GB/s
-      (the HBM roofline; XLA dequant-einsum: 0.317 ms), packed int4 fused
-      0.184 ms (XLA: 2.9 ms — 16x).
+    * ``auto`` (default) — per-dtype, from in-context v5e-1 measurements:
+      int4 -> the fused Pallas kernel (XLA's nibble-unpack path round-trips
+      f32 through HBM: 2.9 ms vs 0.184 ms fused at M=64 K=3584 N=18944);
+      int8 -> XLA dequant-einsum (in the full decoder scan XLA's scheduler
+      prefetches the next layer's weights across op boundaries and wins
+      84.5 vs 58.1 scan-fps, even though the ISOLATED fused kernel runs at
+      the HBM roofline, 0.083 ms = 817 GB/s vs XLA's 0.317 ms — custom
+      calls serialize against neighboring ops).
+    * ``fused`` — force the fused Pallas kernels for int8 too.
     * ``fused_a8`` — fused kernels with per-token int8 activations
       (W8A8/W4A8 recipe, int8 MXU; ~1% relative hidden-state error).
-    * ``jnp`` — XLA dequantize-then-einsum.
+    * ``jnp`` — XLA dequantize-then-einsum everywhere.
     * ``w8a8`` — the XLA-level dynamic-activation recipe (qlinear_w8a8).
     * ``pallas`` — the round-1 int8 kernel (kept for comparison).
     """
@@ -162,7 +166,7 @@ def qlinear(x: jnp.ndarray, qkernel: dict, layer=None) -> jnp.ndarray:
     backend = matmul_backend()
     if "q4value" in qkernel:
         Kh, N = qkernel["q4value"].shape[-2:]
-        if backend in ("auto", "fused_a8") and _fused_ok(2 * Kh, N):
+        if backend in ("auto", "fused", "fused_a8") and _fused_ok(2 * Kh, N):
             from aha_tpu.ops.pallas.fused_matmul import int4_matmul
 
             return int4_matmul(x, qkernel["q4value"], qkernel["scale4"],
@@ -171,7 +175,7 @@ def qlinear(x: jnp.ndarray, qkernel: dict, layer=None) -> jnp.ndarray:
         kernel = dequantize_int4(qkernel, x.dtype)
         return jnp.einsum("...i,io->...o", x, kernel)
     K, N = qkernel["qvalue"].shape[-2:]
-    if backend in ("auto", "fused_a8") and _fused_ok(K, N):
+    if backend in ("fused", "fused_a8") and _fused_ok(K, N):
         from aha_tpu.ops.pallas.fused_matmul import int8_matmul
 
         return int8_matmul(x, qkernel["qvalue"], qkernel["scale"],
@@ -245,3 +249,51 @@ def quantize_params(params: dict, *, quantize_embed: bool = True,
 
 def tree_nbytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+
+
+def _concat_qkernels(kernels: list, biases: list | None):
+    """Concatenate quantized (or dense) kernels along the output axis."""
+    k0 = kernels[0]
+    if is_quantized(k0):
+        if "q4value" in k0:
+            merged = {
+                "q4value": jnp.concatenate([k["q4value"] for k in kernels], axis=-1),
+                "scale4": jnp.concatenate([k["scale4"] for k in kernels], axis=-1),
+            }
+        else:
+            merged = {
+                "qvalue": jnp.concatenate([k["qvalue"] for k in kernels], axis=-1),
+                "scale": jnp.concatenate([k["scale"] for k in kernels], axis=-1),
+            }
+    else:
+        merged = jnp.concatenate(kernels, axis=-1)
+    out = {"kernel": merged}
+    if biases is not None:
+        out["bias"] = jnp.concatenate(biases, axis=-1)
+    return out
+
+
+def merge_decoder_projections(llm_params: dict) -> dict:
+    """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj along the output
+    axis (one Pallas call instead of three/two — each pallas_call carries
+    ~10 us of fixed dispatch+glue cost, and the 7B decode runs 196 matmul
+    calls per frame without merging). The decode path (qwen2._qkv/_mlp)
+    splits the outputs; per-projection LoRA still applies on the slices.
+
+    Returns a new llm param tree; the original is unchanged (callers drop
+    it — transient HBM overlap is the merged copies only)."""
+    lyr = dict(llm_params["layers"])
+    qkv = _concat_qkernels(
+        [lyr.pop("q_proj")["kernel"], lyr.pop("k_proj")["kernel"],
+         lyr.pop("v_proj")["kernel"]],
+        None,
+    )
+    # biases live next to the original kernels
+    b = [llm_params["layers"][n].get("bias") for n in ("q_proj", "k_proj", "v_proj")]
+    if all(x is not None for x in b):
+        qkv["bias"] = jnp.concatenate(b, axis=-1)
+    gate_up = _concat_qkernels(
+        [lyr.pop("gate_proj")["kernel"], lyr.pop("up_proj")["kernel"]], None)
+    lyr["qkv_proj"] = qkv
+    lyr["gate_up_proj"] = gate_up
+    return {**llm_params, "layers": lyr}

@@ -117,6 +117,22 @@ class StreamEngine:
             params = apply_named_sharding(params, mesh)
             if lora is not None:
                 self.lora = apply_named_sharding(lora, mesh)
+        else:
+            from aha_tpu.ops import quant
+
+            lyr = params.get("llm", {}).get("layers", {})
+            backend = quant.matmul_backend()
+            kern = lyr.get("q_proj", {}).get("kernel")
+            fused_used = quant.is_quantized(kern) and (
+                ("q4value" in kern and backend in ("auto", "fused", "fused_a8"))
+                or backend in ("fused", "fused_a8"))
+            if (fused_used and jax.default_backend() in ("tpu", "axon")
+                    and "qkv_proj" not in lyr):
+                # quantized serving on the fused kernels: merge q/k/v and
+                # gate/up so they run 4 calls/layer instead of 7 (each
+                # pallas_call costs ~10 us of dispatch+glue)
+                params = {**params,
+                          "llm": quant.merge_decoder_projections(params["llm"])}
         self.params = params
         self._build()
 

@@ -149,3 +149,43 @@ def test_int4_streaming_engine_runs():
     embeds = engine.encode_frames(frames)
     cache, scores = engine.append_frames(cache, embeds[0][None])
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_merged_projections_match_unmerged():
+    """merge_decoder_projections (qkv / gate_up fusion for fewer kernel
+    calls) must leave decode_chunk outputs unchanged — incl. LoRA deltas
+    applied on the output slices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aha_tpu.config import qwen2_tiny
+    from aha_tpu.models import qwen2
+    from aha_tpu.ops import quant
+    from aha_tpu.ops.kv_cache import CachePolicy, init_cache
+    from aha_tpu.train import lora as lora_lib
+    from aha_tpu.config import LoraConfig
+
+    cfg = qwen2_tiny(vocab_size=128)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quant.quantize_params({"llm": params})["llm"]
+    merged = quant.merge_decoder_projections(qparams)
+    lora = lora_lib.init_lora(cfg, LoraConfig(r=4), jax.random.PRNGKey(3))
+    # non-zero B so lora actually contributes
+    lora = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if a.ndim == 3 else a, lora)
+
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.standard_normal((1, 12, cfg.hidden_size)), jnp.float32)
+    policy = CachePolicy("none", window=32)
+
+    outs = []
+    for p in (qparams, merged):
+        cache = init_cache(policy, num_layers=cfg.num_layers, batch=1,
+                           num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+                           dtype=jnp.float32)
+        h, _ = qwen2.decode_chunk(p, cfg, policy, cache, embeds,
+                                  jnp.asarray([12], jnp.int32),
+                                  lora=lora, lora_scale=0.5)
+        outs.append(np.asarray(h))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
