@@ -12,7 +12,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+import numpy as np
 
 
 def _build_session(args):
@@ -513,6 +516,49 @@ def cmd_train(argv):
           use_wandb=args.wandb)
 
 
+def cmd_visualize(argv):
+    """Plot pred-vs-GT overlays and SOTA comparison panels
+    (ref test/visualize.py driven by paths.yaml + grid-search params)."""
+    p = argparse.ArgumentParser(prog="aha visualize")
+    p.add_argument("--func", required=True,
+                   choices=["hisum_sota", "tvsum_sota", "pred_vs_gt"])
+    p.add_argument("--pred_file", required=True)
+    p.add_argument("--gold_file", default=None, help="hisum: .h5; pred_vs_gt: json uuid->scores")
+    p.add_argument("--metrics_file", default=None, help="tvsum_sota: evaluate output json")
+    p.add_argument("--params_file", default="outputs/grid_search_params.json")
+    p.add_argument("--params_key", default=None)
+    p.add_argument("--output", default="outputs/figures")
+    p.add_argument("--max_show", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from aha_tpu.drivers import visualize as viz
+
+    os.makedirs(args.output, exist_ok=True)
+    if args.func == "hisum_sota":
+        with open(args.params_file) as f:
+            params = json.load(f)[args.params_key or "hisum"]
+        out = viz.hisum_sota_figure(
+            args.pred_file, args.gold_file, params,
+            os.path.join(args.output, "hisum_results_comparison.png"))
+        print(json.dumps(out, indent=2, default=float))
+    elif args.func == "tvsum_sota":
+        with open(args.metrics_file or args.pred_file) as f:
+            metrics = json.load(f)
+        path = viz.tvsum_sota_figure(
+            metrics, os.path.join(args.output, "tvsum_results_comparison.png"))
+        print(path)
+    else:
+        with open(args.params_file) as f:
+            params = json.load(f)[args.params_key or "tvsum"]
+        with open(args.gold_file) as f:
+            gt = json.load(f)
+        paths = viz.visualize_benchmark(
+            args.pred_file, args.params_file, args.params_key or "tvsum",
+            lambda uuid: np.asarray(gt[uuid]) if uuid in gt else None,
+            args.output, max_videos=args.max_show)
+        print("\n".join(paths))
+
+
 COMMANDS = {
     "infer": cmd_infer,
     "grid-search": cmd_grid_search,
@@ -520,6 +566,7 @@ COMMANDS = {
     "highlight": cmd_highlight,
     "demo": cmd_demo,
     "train": cmd_train,
+    "visualize": cmd_visualize,
 }
 
 

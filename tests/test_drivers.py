@@ -267,3 +267,37 @@ def test_tvsum_title_ablation(session, video_dir, tmp_path):
         seed=0,
     )
     assert len(results) == 1 and len(results[0]["debug_data"]) == 3
+
+
+def test_cli_visualize_hisum_sota(tmp_path):
+    """SOTA comparison panel (ref test/visualize.py hisum branch): computes
+    our metrics from a pred file + h5 gold and writes the grouped bar
+    figure."""
+    import h5py
+
+    rng = np.random.default_rng(0)
+    h5_path = tmp_path / "gold.h5"
+    preds = []
+    with h5py.File(h5_path, "w") as hdf:
+        for i in range(3):
+            T = 30
+            gt = rng.random(T)
+            hdf.create_group(f"video_{i}").create_dataset("gtscore", data=gt)
+            debug = [dict(time=t, informative_score=float(gt[min(t, T - 1)]),
+                          relevance_score=float(gt[min(t, T - 1)]),
+                          uncertainty_score=0.1) for t in range(T)]
+            preds.append({"video_uuid": f"v{i}", "h5_identifier": f"video_{i}",
+                          "debug_data": debug, "categories": ["catA"]})
+    pred_file = tmp_path / "preds.json"
+    pred_file.write_text(json.dumps(preds))
+    params_file = tmp_path / "params.json"
+    params_file.write_text(json.dumps({"hisum": {
+        "alpha": 1.0, "beta": 1.0, "epsilon": 0.0, "uncertainty_threshold": 0.0}}))
+
+    from aha_tpu.cli import main
+    out_dir = tmp_path / "figs"
+    rc = main(["visualize", "--func", "hisum_sota",
+               "--pred_file", str(pred_file), "--gold_file", str(h5_path),
+               "--params_file", str(params_file), "--output", str(out_dir)])
+    assert rc == 0
+    assert (out_dir / "hisum_results_comparison.png").exists()
