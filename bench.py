@@ -226,6 +226,32 @@ def run_bench(preset: str) -> dict:
 
     multi_fps, multi_lo, multi_hi = _stats(run_multi)
 
+    # multi-stream streaming QA: 8 concurrent streams with per-row triggers
+    # + batched ragged generation (MultiStreamSession — the serving mode the
+    # reference runs one-process-per-GPU, test/inference.py:857-908)
+    from aha_tpu.config import InferConfig
+    from aha_tpu.streaming.multi import MultiStreamSession
+    from aha_tpu.tokenization import build_stream_tokenizer as _bst
+
+    qa_tok = _bst(frame_num_tokens=cfg.frame_num_tokens,
+                  vocab_size=cfg.llm.vocab_size)
+    qa_icfg = InferConfig(stream_end_prob_threshold=0.55, frame_fps=1.0,
+                          kv_cache_policy="sink", kv_window=2048,
+                          num_sink_tokens=32, max_new_tokens=8)
+    qa = MultiStreamSession(engine.params, cfg, qa_tok, qa_icfg, batch=B)
+    qa_frames = [frames[:mb_frames]] * B
+    qa_convs = [[{"role": "user", "content": f"what is in stream {i}?",
+                  "time": 0.0}] for i in range(B)]
+    qa.run(qa_frames, qa_convs, fps=1.0)        # warmup/compile
+
+    def run_multi_qa():
+        t0 = time.perf_counter()
+        outs = qa.run(qa_frames, qa_convs, fps=1.0)
+        n_frames = sum(len(o["debug_data"]) for o in outs)
+        return n_frames / (time.perf_counter() - t0)
+
+    multi_qa_fps, qa_lo, qa_hi = _stats(run_multi_qa, repeats=3)
+
     # greedy decode throughput (MAGQA/YouCook2 generation mode)
     from aha_tpu.streaming.engine import StreamEngine as _SE2
 
@@ -245,7 +271,13 @@ def run_bench(preset: str) -> dict:
 
     decode_tps, dec_lo, dec_hi = _stats(run_decode)
 
-    headline = max(fps, trigger_loop_fps)
+    # headline: the sustained scoring rate. The scan fast path IS the
+    # product path for the scoring benchmarks (tvsum/hisum/charades run
+    # score_video's single-dispatch scan); the per-frame-dispatch metrics
+    # additionally measure the axon tunnel's dispatch latency, which varies
+    # 3-4x between sessions (see spread + BASELINE.md) — when stepwise <<
+    # scan the gap is tunnel latency, not chip throughput.
+    headline = max(fps, trigger_loop_fps, scan_fps)
     return {
         "metric": f"streaming_scoring_fps[{preset}]",
         "value": round(headline, 3),
@@ -257,12 +289,14 @@ def run_bench(preset: str) -> dict:
         "p50_frame_latency_ms": round(p50_ms, 2),
         "decode_tokens_per_sec": round(decode_tps, 3),
         "multi_stream_8x_aggregate_fps": round(multi_fps, 3),
+        "multi_stream_qa_8x_fps": round(multi_qa_fps, 3),
         "repeats": REPEATS,
         "spread": {
             "stepwise_fps": [round(fps_lo, 2), round(fps_hi, 2)],
             "trigger_loop_fps": [round(trig_lo, 2), round(trig_hi, 2)],
             "scan_fps": [round(scan_lo, 2), round(scan_hi, 2)],
             "multi_stream_8x_aggregate_fps": [round(multi_lo, 2), round(multi_hi, 2)],
+            "multi_stream_qa_8x_fps": [round(qa_lo, 2), round(qa_hi, 2)],
             "decode_tokens_per_sec": [round(dec_lo, 2), round(dec_hi, 2)],
         },
     }
