@@ -302,6 +302,9 @@ class InferConfig:
     kv_cache_policy: str = "sink"
     kv_window: int = 2048
     num_sink_tokens: int = 32
+    # "auto" (model dtype) | "int8": per-(slot, head) quantized KV — half
+    # the cache HBM / attention DMA, ~0.5% attention-output error
+    kv_cache_dtype: str = "auto"
 
     def validate(self) -> None:
         n_set = sum(

@@ -268,25 +268,29 @@ def decode_chunk(
     lyr = params["layers"]
 
     def layer_fn(x, scanned):
-        k_cache_l, v_cache_l, i = scanned
+        k_cache_l, v_cache_l, ks_l, vs_l, i = scanned
         h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
         q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
-        k_c, v_c = write_layer(k_cache_l, v_cache_l, k, v, plan)
-        attn = cached_attention(q, k_c, v_c, plan.new_key_pos, plan,
-                                rope_theta=cfg.rope_theta, rope_tables=rope_tables)
+        k_c, v_c, ks_c, vs_c = write_layer(k_cache_l, v_cache_l, k, v, plan,
+                                           ks_l, vs_l)
+        attn = cached_attention(
+            q, k_c, v_c, plan.new_key_pos, plan,
+            rope_theta=cfg.rope_theta, rope_tables=rope_tables,
+            kv_scales=None if ks_c is None else (ks_c, vs_c))
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),
                        lora_scale, layer=i)
         h = rms_norm(x, _idx(lyr["post_norm"]["scale"], i), cfg.rms_norm_eps)
         x = x + _mlp(h, lyr, lora, lora_scale, layer=i)
-        return x, (k_c, v_c)
+        return x, (k_c, v_c, ks_c, vs_c)
 
-    x, (new_k, new_v) = jax.lax.scan(
+    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
         layer_fn, inputs_embeds,
-        (cache.k, cache.v, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+        (cache.k, cache.v, cache.k_scale, cache.v_scale,
+         jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
-    new_cache = advance(cache, plan, new_k, new_v)
+    new_cache = advance(cache, plan, new_k, new_v, new_ks, new_vs)
     return x, new_cache
 
 

@@ -46,16 +46,24 @@ def cached_attention(
     *,
     rope_theta: float,
     rope_tables: tuple | None = None,  # (q_cos, q_sin, k_cos, k_sin), layer-invariant
+    kv_scales: tuple | None = None,    # (k_scale, v_scale) [B, W+1, KVH] — int8 KV
 ) -> jnp.ndarray:
     """One chunk of streaming attention against the cache. Returns [B, S, NH, Dh].
 
     rope_tables lets the caller hoist the cos/sin computation out of the
     layer scan: positions are identical for all layers, so the tables are
     computed once per chunk instead of once per layer (28x fewer
-    transcendentals on the 7B decode hot path)."""
+    transcendentals on the 7B decode hot path).
+
+    kv_scales: int8 KV cache mode — k/v dequantize per (slot, head) in the
+    same fused region (the cast to f32 happens for the rotation anyway)."""
     B, S, NH, Dh = q.shape
     KVH = k_cache.shape[2]
     n_rep = NH // KVH
+    if kv_scales is not None:
+        ks, vs = kv_scales
+        k_cache = (k_cache.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
+        v_cache = (v_cache.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
 
     if rope_tables is None:
         q_cos, q_sin = rope_cos_sin(plan.q_pos, Dh, rope_theta)

@@ -91,10 +91,17 @@ class KVCache:
     order: jnp.ndarray    # [B, W+1] int32 — global token index per slot, -1 empty
     seen: jnp.ndarray     # [B] int32 — total tokens ever offered
     length: jnp.ndarray   # [B] int32 — current logical cache length
+    # int8 KV mode only (k/v stored int8): per-(slot, head) dequant scales
+    k_scale: jnp.ndarray | None = None   # [L, B, W+1, KVH] f32
+    v_scale: jnp.ndarray | None = None
 
     @property
     def batch(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_cache(
@@ -106,7 +113,12 @@ def init_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
 ) -> KVCache:
+    """dtype=jnp.int8 stores K/V quantized per (slot, head) with f32 scales
+    — half the cache HBM and half the attention K/V DMA of bf16 (the
+    'optionally int8 KV' long-context option; ~0.5% attention-output
+    error, opt-in via InferConfig.kv_cache_dtype)."""
     W1 = policy.num_slots
+    quant = jnp.dtype(dtype) == jnp.int8
     return KVCache(
         k=jnp.zeros((num_layers, batch, W1, num_kv_heads, head_dim), dtype),
         v=jnp.zeros((num_layers, batch, W1, num_kv_heads, head_dim), dtype),
@@ -114,6 +126,10 @@ def init_cache(
         order=jnp.full((batch, W1), -1, jnp.int32),
         seen=jnp.zeros((batch,), jnp.int32),
         length=jnp.zeros((batch,), jnp.int32),
+        k_scale=jnp.ones((num_layers, batch, W1, num_kv_heads), jnp.float32)
+        if quant else None,
+        v_scale=jnp.ones((num_layers, batch, W1, num_kv_heads), jnp.float32)
+        if quant else None,
     )
 
 
@@ -224,23 +240,43 @@ def plan_update(cache: KVCache, policy: CachePolicy, valid_len: jnp.ndarray, S: 
     )
 
 
+def quantize_kv(x: jnp.ndarray):
+    """[B, S, KVH, Dh] -> (int8 values, f32 scales [B, S, KVH]) — symmetric
+    per-(token, head)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def write_layer(
     k_cache: jnp.ndarray,  # [B, W+1, KVH, Dh]
     v_cache: jnp.ndarray,
     k_new: jnp.ndarray,    # [B, S, KVH, Dh] (unrotated)
     v_new: jnp.ndarray,
     plan: UpdatePlan,
+    k_scale: jnp.ndarray | None = None,   # [B, W+1, KVH] (int8 KV mode)
+    v_scale: jnp.ndarray | None = None,
 ):
-    """Scatter a chunk into one layer's slots (junk slot absorbs padding)."""
+    """Scatter a chunk into one layer's slots (junk slot absorbs padding).
+    Returns (k_cache, v_cache, k_scale, v_scale) — scales are None outside
+    int8 KV mode."""
     def scat(buf, idx, val):
         return buf.at[idx].set(val)
 
+    if k_cache.dtype == jnp.int8:
+        k_new, ks = quantize_kv(k_new)
+        v_new, vs = quantize_kv(v_new)
+        k_scale = jax.vmap(scat)(k_scale, plan.slots, ks)
+        v_scale = jax.vmap(scat)(v_scale, plan.slots, vs)
     k_cache = jax.vmap(scat)(k_cache, plan.slots, k_new)
     v_cache = jax.vmap(scat)(v_cache, plan.slots, v_new)
-    return k_cache, v_cache
+    return k_cache, v_cache, k_scale, v_scale
 
 
-def advance(cache: KVCache, plan: UpdatePlan, new_k: jnp.ndarray, new_v: jnp.ndarray) -> KVCache:
+def advance(cache: KVCache, plan: UpdatePlan, new_k: jnp.ndarray, new_v: jnp.ndarray,
+            new_k_scale=None, new_v_scale=None) -> KVCache:
     """Produce the post-chunk cache. new_k/new_v: [L, B, W+1, KVH, Dh] already
     written by write_layer inside the layer scan."""
     return KVCache(
@@ -250,6 +286,8 @@ def advance(cache: KVCache, plan: UpdatePlan, new_k: jnp.ndarray, new_v: jnp.nda
         order=plan.new_order,
         seen=plan.new_seen,
         length=plan.new_length,
+        k_scale=new_k_scale,
+        v_scale=new_v_scale,
     )
 
 

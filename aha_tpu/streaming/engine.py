@@ -95,6 +95,7 @@ class StreamEngine:
         lora: dict | None = None,
         lora_scale: float = 0.0,
         mesh=None,
+        kv_dtype=None,
     ):
         """mesh: optional jax.sharding.Mesh('data','model') — mesh-sharded
         (TP/DP) inference. Params and cache get NamedShardings from
@@ -110,6 +111,7 @@ class StreamEngine:
         self.vision_batch = vision_batch
         self.lora = lora
         self.lora_scale = lora_scale
+        self.kv_dtype = kv_dtype
         self.mesh = mesh
         if mesh is not None:
             from aha_tpu.parallel.mesh import apply_named_sharding
@@ -146,7 +148,7 @@ class StreamEngine:
             batch=self.batch,
             num_kv_heads=llm.num_kv_heads,
             head_dim=llm.head_dim,
-            dtype=dtype or jnp.dtype(self.cfg.dtype),
+            dtype=dtype or self.kv_dtype or jnp.dtype(self.cfg.dtype),
         )
         if self.mesh is not None:
             from aha_tpu.parallel.mesh import shard_cache

@@ -228,7 +228,11 @@ def run_bench(preset: str) -> dict:
 
     # multi-stream streaming QA: 8 concurrent streams with per-row triggers
     # + batched ragged generation (MultiStreamSession — the serving mode the
-    # reference runs one-process-per-GPU, test/inference.py:857-908)
+    # reference runs one-process-per-GPU, test/inference.py:857-908).
+    # NOTE: random bench weights score ~0.5+0.5 per frame, so the 0.55
+    # threshold fires a response after nearly EVERY frame — this measures
+    # the worst-case interleaved scoring+generation pattern, further bounded
+    # by the tunnel's per-dispatch latency in this environment.
     from aha_tpu.config import InferConfig
     from aha_tpu.streaming.multi import MultiStreamSession
     from aha_tpu.tokenization import build_stream_tokenizer as _bst

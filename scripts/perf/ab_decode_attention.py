@@ -55,14 +55,14 @@ def run(B=1, S=49, NH=28, KVH=4, Dh=128, theta=1e6, dt=jnp.bfloat16):
     plan0 = plan_update(cache, policy, jnp.full((B,), 2048, jnp.int32), 2048)
     k_fill = jnp.asarray(rng.standard_normal((B, 2048, KVH, Dh)), dt)
     v_fill = jnp.asarray(rng.standard_normal((B, 2048, KVH, Dh)), dt)
-    k_c, v_c = write_layer(cache.k[0], cache.v[0], k_fill, v_fill, plan0)
+    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_fill, v_fill, plan0)
     cache = advance(cache, plan0, cache.k.at[0].set(k_c), cache.v.at[0].set(v_c))
 
     plan = plan_update(cache, policy, jnp.full((B,), S, jnp.int32), S)
     k_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), dt)
     v_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), dt)
     q = jnp.asarray(rng.standard_normal((B, S, NH, Dh)), dt)
-    k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
 
     q_cos, q_sin = rope_cos_sin(plan.q_pos, Dh, theta)
     k_cos, k_sin = rope_cos_sin(plan.new_key_pos, Dh, theta)

@@ -23,7 +23,7 @@ def _run_chunk(cache, policy, k_new, v_new, q, valid_len):
     """One layer-0 chunk through both attention backends."""
     S = q.shape[1]
     plan = plan_update(cache, policy, valid_len, S)
-    k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
 
     ref = attention.cached_attention(
         q, k_c, v_c, plan.new_key_pos, plan, rope_theta=THETA)

@@ -78,7 +78,7 @@ def _jitted_step(policy: CachePolicy, S: int):
     @jax.jit
     def step(cache, k_new, v_new, valid_len):
         plan = plan_update(cache, policy, valid_len, S)
-        k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+        k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
         return advance(cache, plan, k_c[None], v_c[None])
 
     return step
@@ -242,7 +242,7 @@ def test_chunked_cached_attention_matches_full_causal():
     outs = []
     for start, size in [(0, 5), (5, 3), (8, 4)]:
         plan = plan_update(cache, policy, jnp.full((B,), size, jnp.int32), size)
-        k_c, v_c = write_layer(
+        k_c, v_c, _, _ = write_layer(
             cache.k[0], cache.v[0],
             jnp.asarray(k[:, start : start + size]), jnp.asarray(v[:, start : start + size]),
             plan,
@@ -282,7 +282,7 @@ def test_cache_policy_fuzz_random_chunks():
             valid = jnp.asarray(rng.integers(0, S + 1, 2), jnp.int32)
             plan = plan_update(cache, policy, valid, S)
             k_new = jnp.asarray(rng.normal(size=(2, S, 1, 4)), jnp.float32)
-            k_c, v_c = write_layer(cache.k[0], cache.v[0], k_new, k_new, plan)
+            k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, k_new, plan)
             cache = advance(cache, plan, k_c[None], v_c[None])
             total += np.asarray(valid)
             mask = np.asarray(attention_slot_mask(plan))
@@ -295,3 +295,40 @@ def test_cache_policy_fuzz_random_chunks():
                 assert (length == total).all()
             # visible slots never exceed logical length
             assert (mask.sum(axis=-1).max(axis=-1) <= np.maximum(length, 1)).all()
+
+
+def test_int8_kv_cache_close_to_bf16():
+    """int8 KV mode (InferConfig.kv_cache_dtype='int8'): per-(slot, head)
+    quantized K/V must track the full-precision cache closely through a
+    multi-chunk stream incl. ring eviction."""
+    import jax
+
+    from aha_tpu.config import qwen2_tiny
+    from aha_tpu.models import qwen2
+
+    cfg = qwen2_tiny(vocab_size=128)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    policy = CachePolicy("sink", window=24, num_sink=4)
+    rng = np.random.default_rng(5)
+
+    outs = {}
+    for dt in (jnp.float32, jnp.int8):
+        cache = init_cache(policy, num_layers=cfg.num_layers, batch=2,
+                           num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+                           dtype=dt)
+        assert cache.quantized == (dt == jnp.int8)
+        hs = []
+        for i in range(4):
+            embeds = jnp.asarray(
+                rng.standard_normal((2, 10, cfg.hidden_size)) if dt == jnp.float32
+                else outs["inputs"][i], jnp.float32)
+            if dt == jnp.float32:
+                outs.setdefault("inputs", []).append(np.asarray(embeds))
+            h, cache = qwen2.decode_chunk(params, cfg, policy, cache, embeds,
+                                          jnp.asarray([10, 7], jnp.int32))
+            hs.append(np.asarray(h))
+        outs[jnp.dtype(dt).name] = np.concatenate(hs, axis=1)
+    a, b = outs["float32"], outs["int8"]
+    denom = np.abs(a).mean() + 1e-6
+    rel = np.abs(a - b).mean() / denom
+    assert rel < 0.02, rel
