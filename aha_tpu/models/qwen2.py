@@ -256,10 +256,17 @@ def decode_chunk(
     S = inputs_embeds.shape[1]
     plan: UpdatePlan = plan_update(cache, policy, valid_len, S)
     # positions are identical across layers — one cos/sin table per chunk
-    # instead of one per layer (28x fewer transcendentals on the 7B)
-    q_cos, q_sin = rope_cos_sin(plan.q_pos, cfg.head_dim, cfg.rope_theta)
-    k_cos, k_sin = rope_cos_sin(plan.new_key_pos, cfg.head_dim, cfg.rope_theta)
-    rope_tables = (q_cos, q_sin, k_cos, k_sin)
+    # instead of one per layer (28x fewer transcendentals on the 7B). Keys
+    # are stored pre-rotated at write_pos, so the only tables needed are
+    # over the S chunk tokens (the old scheme built a [B, W+1] key table
+    # and re-rotated the whole cache every layer).
+    w_cos, w_sin = rope_cos_sin(plan.write_pos, cfg.head_dim, cfg.rope_theta)
+    sink_slots = policy.num_sink if policy.kind == "sink" else 0
+    if sink_slots:
+        e_cos, e_sin = rope_cos_sin(plan.q_pos, cfg.head_dim, cfg.rope_theta)
+    else:
+        e_cos, e_sin = w_cos, w_sin      # write_pos == q_pos for these policies
+    rope_tables = (w_cos, w_sin, e_cos, e_sin)
 
     # weights stay STACKED and closed over; the scan carries only the layer
     # index. Quantized matmuls take the index into their Pallas kernel via
@@ -272,10 +279,11 @@ def decode_chunk(
         h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
         q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
         k_c, v_c, ks_c, vs_c = write_layer(k_cache_l, v_cache_l, k, v, plan,
-                                           ks_l, vs_l)
+                                           ks_l, vs_l, rot=(w_cos, w_sin))
         attn = cached_attention(
-            q, k_c, v_c, plan.new_key_pos, plan,
-            rope_theta=cfg.rope_theta, rope_tables=rope_tables,
+            q, k_c, v_c, plan,
+            rope_theta=cfg.rope_theta, sink_slots=sink_slots,
+            rope_tables=rope_tables,
             kv_scales=None if ks_c is None else (ks_c, vs_c))
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),

@@ -3,8 +3,9 @@ full-sequence causal attention for training/prefill.
 
 The streaming path replaces the reference's HF attention + dynamic cache
 (`/root/reference/test/inference.py:196-229` driving transformers Qwen2
-attention). Keys live unrotated in the cache and are rotated here by their
-per-slot ``key_pos`` — this is where sink-cache "re-rotation" becomes free.
+attention). Keys live PRE-ROTATED in the cache (at plan.write_pos); sink-
+cache "re-rotation" reduces to a sink-column score correction because ring
+relative distances telescope to absolute token age (see cached_attention).
 
 A reference jnp implementation is the default; Pallas kernels (ops/pallas/*)
 are drop-in replacements validated against it.
@@ -39,62 +40,128 @@ def _pallas_decode_ok(q, k_cache) -> bool:
 
 def cached_attention(
     q: jnp.ndarray,        # [B, S, NH, Dh] (unrotated)
-    k_cache: jnp.ndarray,  # [B, W+1, KVH, Dh] (unrotated, chunk already written)
+    k_cache: jnp.ndarray,  # [B, W+1, KVH, Dh] (PRE-ROTATED at write_pos)
     v_cache: jnp.ndarray,  # [B, W+1, KVH, Dh]
-    key_pos: jnp.ndarray,  # [B, W+1]
     plan: UpdatePlan,
     *,
     rope_theta: float,
-    rope_tables: tuple | None = None,  # (q_cos, q_sin, k_cos, k_sin), layer-invariant
+    sink_slots: int = 0,               # policy.num_sink for the sink policy
+    rope_tables: tuple | None = None,  # (w_cos, w_sin, e_cos, e_sin), layer-invariant
     kv_scales: tuple | None = None,    # (k_scale, v_scale) [B, W+1, KVH] — int8 KV
 ) -> jnp.ndarray:
     """One chunk of streaming attention against the cache. Returns [B, S, NH, Dh].
 
-    rope_tables lets the caller hoist the cos/sin computation out of the
-    layer scan: positions are identical for all layers, so the tables are
-    computed once per chunk instead of once per layer (28x fewer
-    transcendentals on the 7B decode hot path).
+    The cache holds keys pre-rotated at their ``plan.write_pos`` (absolute
+    index `g` under the sink policy, insert position otherwise), so there is
+    NO O(W) per-chunk cache rotation here — the old scheme re-rotated all
+    W+1 slots per chunk per layer, which dominated multi-stream serving
+    (measured 214 ms of a 339 ms B=32 frame step on v5e-1). Correctness:
+    for ring slots the reference's relative distance `q_pos - key_pos`
+    telescopes to `g_q - g_k` exactly (the eviction shift cancels against
+    the capped query position), so rotating q at `write_pos` reproduces the
+    sink cache's re-rotation semantics (`/root/reference/test/sink_cache.py:
+    35-55,140-152`). Only the `sink_slots` sink columns differ — their
+    desired distance is `q_pos - g_k` — and they are fixed by recomputing
+    those S x sink_slots scores with q rotated at the *effective* position.
 
-    kv_scales: int8 KV cache mode — k/v dequantize per (slot, head) in the
-    same fused region (the cast to f32 happens for the rotation anyway)."""
+    rope_tables lets the caller hoist the cos/sin computation out of the
+    layer scan: (w_cos, w_sin) at plan.write_pos — the same tables
+    write_layer rotates new keys with — and (e_cos, e_sin) at plan.q_pos
+    (only read when sink_slots > 0).
+
+    kv_scales: int8 KV cache mode — the per-(slot, head) scales fold into
+    the score/prob tensors instead of dequantizing the whole cache: the
+    einsums stream the int8 buffers (cast only), halving attention DMA."""
     B, S, NH, Dh = q.shape
     KVH = k_cache.shape[2]
     n_rep = NH // KVH
-    if kv_scales is not None:
-        ks, vs = kv_scales
-        k_cache = (k_cache.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
-        v_cache = (v_cache.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
 
     if rope_tables is None:
-        q_cos, q_sin = rope_cos_sin(plan.q_pos, Dh, rope_theta)
-        k_cos, k_sin = rope_cos_sin(key_pos, Dh, rope_theta)
+        w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, rope_theta)
+        e_cos, e_sin = rope_cos_sin(plan.q_pos, Dh, rope_theta)
     else:
-        q_cos, q_sin, k_cos, k_sin = rope_tables
-    q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(q.dtype)
+        w_cos, w_sin, e_cos, e_sin = rope_tables
+    q_rot = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(q.dtype)
 
     if _decode_attn_backend() == "pallas" and _pallas_decode_ok(q, k_cache):
         from aha_tpu.ops.pallas.decode_attention import cached_decode_attention
 
+        # The kernel composes a per-slot rotation on top of the stored keys:
+        # identity for ring slots, the sink correction delta for sink
+        # columns (score with q at g against key at g_k + (g - q_pos)
+        # depends on q_pos - g_k, the sink-policy distance).
+        kc = k_cache
+        vc = v_cache
+        if kv_scales is not None:
+            ks, vs = kv_scales
+            kc = (kc.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
+            vc = (vc.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
+        delta = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)  # [B, 1]
+        slot_idx = jnp.arange(k_cache.shape[1], dtype=jnp.int32)[None, :]
+        delta_pos = jnp.where(slot_idx < sink_slots, delta, 0)         # [B, W+1]
+        d_cos, d_sin = rope_cos_sin(delta_pos, Dh, rope_theta)
         return cached_decode_attention(
-            q_rot, k_cache, v_cache, k_cos, k_sin, plan.new_order, plan.g)
-
-    k_rot = apply_rope(k_cache.astype(jnp.float32), k_cos, k_sin).astype(k_cache.dtype)
+            q_rot, kc, vc, d_cos, d_sin, plan.new_order, plan.g)
 
     # GQA without materializing repeated K/V: group the query heads
     # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]
     qg = q_rot.reshape(B, S, KVH, n_rep, Dh)
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-    # matmuls stay in the storage dtype (bf16 on TPU -> full-rate MXU) with
-    # f32 accumulation; only softmax runs in f32
-    scores = jnp.einsum(
-        "bsgrd,bwgd->bgrsw", qg, k_rot, preferred_element_type=jnp.float32
-    ) * scale                                             # [B, KVH, rep, S, W+1]
-
     mask = attention_slot_mask(plan)[:, None, None, :, :]  # [B, 1, 1, S, W+1]
-    scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bgrsw,bwgd->bsgrd", probs.astype(v_cache.dtype), v_cache,
-                     preferred_element_type=jnp.float32)
+    ks = vs = None
+    if kv_scales is not None:
+        ks, vs = kv_scales
+        ks = ks.transpose(0, 2, 1)[:, :, None, None, :]    # [B, KVH, 1, 1, W+1]
+        vs = vs.transpose(0, 2, 1)[:, :, None, None, :]
+
+    def part(qg_p, lo, hi):
+        """Attention over cache slots [lo:hi) -> flash-combine state (m, l, o).
+
+        Each part stays a single fused einsum -> mask -> exp -> einsum chain
+        (no probability tensor is ever written back and re-read — an
+        `.at[:sink].set()` splice on the [B, KVH, rep, S, W+1] f32 score
+        tensor measured ~8 ms/frame of extra HBM traffic on the 7B at B=8).
+        """
+        k_p = k_cache[:, lo:hi]
+        v_p = v_cache[:, lo:hi]
+        if k_p.dtype == jnp.int8:
+            k_p = k_p.astype(q.dtype)
+            v_p = v_p.astype(q.dtype)
+        # matmuls stay in the storage dtype (bf16 on TPU -> full-rate MXU)
+        # with f32 accumulation; only softmax math runs in f32
+        s = jnp.einsum("bsgrd,bwgd->bgrsw", qg_p, k_p,
+                       preferred_element_type=jnp.float32)  # [B,KVH,rep,S,hi-lo]
+        if ks is not None:
+            s = s * ks[..., lo:hi]
+        s = jnp.where(mask[..., lo:hi], s * scale, NEG_INF)
+        m = jnp.max(s, axis=-1)                             # [B, KVH, rep, S]
+        p = jnp.exp(s - m[..., None])
+        l = jnp.sum(p, axis=-1)
+        if vs is not None:
+            p = p * vs[..., lo:hi]
+        o = jnp.einsum("bgrsw,bwgd->bsgrd", p.astype(v_p.dtype), v_p,
+                       preferred_element_type=jnp.float32)  # [B,S,KVH,rep,Dh]
+        # stats to [B, S, KVH, rep] so the combine broadcasts over o without
+        # transposing the large output tensor
+        return m.transpose(0, 3, 1, 2), l.transpose(0, 3, 1, 2), o
+
+    if sink_slots:
+        # sink columns score against q rotated at the *effective* position
+        # (the sink-policy distance q_pos - key_pos); ring columns use the
+        # write-position rotation. Combine with the standard online-softmax
+        # merge instead of splicing one score tensor.
+        q_eff = apply_rope(q.astype(jnp.float32), e_cos, e_sin).astype(q.dtype)
+        qe = q_eff.reshape(B, S, KVH, n_rep, Dh)
+        m1, l1, o1 = part(qe, 0, sink_slots)
+        m2, l2, o2 = part(qg, sink_slots, k_cache.shape[1])
+        m = jnp.maximum(m1, m2)
+        w1 = jnp.exp(m1 - m)
+        w2 = jnp.exp(m2 - m)
+        denom = l1 * w1 + l2 * w2
+        out = (o1 * w1[..., None] + o2 * w2[..., None]) / denom[..., None]
+    else:
+        m, l, o = part(qg, 0, k_cache.shape[1])
+        out = o / l[..., None]
     return out.reshape(B, S, NH, Dh).astype(q.dtype)
 
 

@@ -158,7 +158,13 @@ class UpdatePlan:
 
     slots: jnp.ndarray     # destination slot per token (junk for invalid)
     g: jnp.ndarray         # global token index
-    q_pos: jnp.ndarray     # RoPE position of the query (= write position)
+    q_pos: jnp.ndarray     # effective RoPE position of the query
+    write_pos: jnp.ndarray  # position keys are PRE-ROTATED at before storage:
+    #   sink policy -> g (absolute stream index; ring-slot relative distances
+    #   q_pos - key_pos == g_q - g_k exactly, so stored keys never need the
+    #   reference's eviction-time re-rotation — only the num_sink sink
+    #   columns get a score-side correction in cached_attention);
+    #   other policies -> q_pos (key_pos never mutates after insert there).
     valid: jnp.ndarray     # bool — token is real (not padding)
     shift: jnp.ndarray     # [B] — sink-policy key_pos shift for retained ring slots
     new_key_pos: jnp.ndarray   # [B, W+1] — slot positions after this update
@@ -231,6 +237,7 @@ def plan_update(cache: KVCache, policy: CachePolicy, valid_len: jnp.ndarray, S: 
         slots=slots,
         g=g,
         q_pos=q_pos,
+        write_pos=g if policy.kind == "sink" else q_pos,
         valid=valid,
         shift=shift,
         new_key_pos=key_pos,
@@ -258,10 +265,28 @@ def write_layer(
     plan: UpdatePlan,
     k_scale: jnp.ndarray | None = None,   # [B, W+1, KVH] (int8 KV mode)
     v_scale: jnp.ndarray | None = None,
+    *,
+    rot: tuple | None = None,             # (cos, sin) at plan.write_pos
+    rope_theta: float | None = None,      # compute rot here (convenience)
 ):
     """Scatter a chunk into one layer's slots (junk slot absorbs padding).
     Returns (k_cache, v_cache, k_scale, v_scale) — scales are None outside
-    int8 KV mode."""
+    int8 KV mode.
+
+    rot / rope_theta: pre-rotate k_new at plan.write_pos before storage (the
+    production decode path — cached_attention assumes a pre-rotated cache).
+    Callers with per-chunk hoisted tables pass `rot`; when both are None the
+    keys are stored raw (low-level cache-invariant tests only)."""
+    if rot is None and rope_theta is not None:
+        from .rope import rope_cos_sin
+
+        rot = rope_cos_sin(plan.write_pos, k_new.shape[-1], rope_theta)
+    if rot is not None:
+        from .rope import apply_rope
+
+        w_cos, w_sin = rot
+        k_new = apply_rope(k_new.astype(jnp.float32), w_cos, w_sin).astype(k_new.dtype)
+
     def scat(buf, idx, val):
         return buf.at[idx].set(val)
 

@@ -4,9 +4,14 @@ The per-chunk streaming hot path (SURVEY §2.3 row 1: the TPU-native
 replacement for the reference's flash-attention-2 decode dependency,
 `/root/reference/models/arguments_live.py:30`). Fuses, per layer:
 
-  RoPE-rotate cached keys by per-slot key_pos  (rotate-half = lane roll
+  RoPE-rotate cached keys by a per-slot table (rotate-half = lane roll
   with the sign folded into the sin table)  ->  masked GQA attention with
   online softmax over cache tiles streamed HBM -> VMEM.
+
+Since the cache became pre-rotated (ops/attention.py), the per-slot table
+passed in is the *residual* rotation: identity on ring slots, the sink-
+column correction delta on sink slots (rotations compose, so the kernel is
+unchanged).
 
 Layout: queries grouped [B, KVH, M=n_rep*S, Dh] so each kv head's K/V tile
 is shared by its `rep` query heads on the MXU row axis. Grid =

@@ -55,31 +55,35 @@ def run(B=1, S=49, NH=28, KVH=4, Dh=128, theta=1e6, dt=jnp.bfloat16):
     plan0 = plan_update(cache, policy, jnp.full((B,), 2048, jnp.int32), 2048)
     k_fill = jnp.asarray(rng.standard_normal((B, 2048, KVH, Dh)), dt)
     v_fill = jnp.asarray(rng.standard_normal((B, 2048, KVH, Dh)), dt)
-    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_fill, v_fill, plan0)
+    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_fill, v_fill, plan0,
+                                 rope_theta=theta)
     cache = advance(cache, plan0, cache.k.at[0].set(k_c), cache.v.at[0].set(v_c))
 
     plan = plan_update(cache, policy, jnp.full((B,), S, jnp.int32), S)
     k_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), dt)
     v_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), dt)
     q = jnp.asarray(rng.standard_normal((B, S, NH, Dh)), dt)
-    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan,
+                                 rope_theta=theta)
 
-    q_cos, q_sin = rope_cos_sin(plan.q_pos, Dh, theta)
-    k_cos, k_sin = rope_cos_sin(plan.new_key_pos, Dh, theta)
-    q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(dt)
+    sink = policy.num_sink if policy.kind == "sink" else 0
+    w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, theta)
+    q_rot = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(dt)
+    delta = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)
+    slot_idx = jnp.arange(k_c.shape[1], dtype=jnp.int32)[None, :]
+    d_cos, d_sin = rope_cos_sin(jnp.where(slot_idx < sink, delta, 0), Dh, theta)
 
-    tables = (q_cos, q_sin, k_cos, k_sin)
-    jnp_fn = jax.jit(lambda q, kc, vc, kp: attention.cached_attention(
-        q, kc, vc, kp, plan, rope_theta=theta, rope_tables=tables))
+    jnp_fn = jax.jit(lambda q, kc, vc: attention.cached_attention(
+        q, kc, vc, plan, rope_theta=theta, sink_slots=sink))
     pal_fn = jax.jit(lambda qr, kc, vc: cached_decode_attention(
-        qr, kc, vc, k_cos, k_sin, plan.new_order, plan.g))
+        qr, kc, vc, d_cos, d_sin, plan.new_order, plan.g))
 
     import os
     os.environ["AHA_DECODE_ATTN"] = "jnp"  # keep the jnp fn honest
-    ref = jax.device_get(jnp_fn(q, k_c, v_c, plan.new_key_pos))
+    ref = jax.device_get(jnp_fn(q, k_c, v_c))
     out = jax.device_get(pal_fn(q_rot, k_c, v_c))
     err = np.abs(np.asarray(ref, np.float32) - np.asarray(out, np.float32)).max()
-    t_jnp = bench_fused(lambda qq, kc: jnp_fn(qq, kc, v_c, plan.new_key_pos), q, k_c)
+    t_jnp = bench_fused(lambda qq, kc: jnp_fn(qq, kc, v_c), q, k_c)
     t_pal = bench_fused(lambda qq, kc: pal_fn(qq, kc, v_c), q_rot, k_c)
     print(f"B={B} S={S}: max_err={err:.4f}  jnp={t_jnp:.3f}ms  "
           f"pallas={t_pal:.3f}ms  speedup={t_jnp/t_pal:.2f}x")

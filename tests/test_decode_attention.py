@@ -20,19 +20,27 @@ THETA = 10_000.0
 
 
 def _run_chunk(cache, policy, k_new, v_new, q, valid_len):
-    """One layer-0 chunk through both attention backends."""
+    """One layer-0 chunk through both attention backends (pre-rotated cache)."""
     S = q.shape[1]
+    Dh = q.shape[-1]
     plan = plan_update(cache, policy, valid_len, S)
-    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+    k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan,
+                                 rope_theta=THETA)
+    sink_slots = policy.num_sink if policy.kind == "sink" else 0
 
     ref = attention.cached_attention(
-        q, k_c, v_c, plan.new_key_pos, plan, rope_theta=THETA)
+        q, k_c, v_c, plan, rope_theta=THETA, sink_slots=sink_slots)
 
-    q_cos, q_sin = rope_cos_sin(plan.q_pos, q.shape[-1], THETA)
-    k_cos, k_sin = rope_cos_sin(plan.new_key_pos, q.shape[-1], THETA)
-    q_rot = apply_rope(q.astype(jnp.float32), q_cos, q_sin).astype(q.dtype)
+    # kernel path: q rotated at write_pos; per-slot delta rotation composes
+    # the sink correction on top of the stored keys (identity on ring slots)
+    w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, THETA)
+    q_rot = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(q.dtype)
+    delta = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)
+    slot_idx = jnp.arange(k_c.shape[1], dtype=jnp.int32)[None, :]
+    delta_pos = jnp.where(slot_idx < sink_slots, delta, 0)
+    d_cos, d_sin = rope_cos_sin(delta_pos, Dh, THETA)
     out = cached_decode_attention(
-        q_rot, k_c, v_c, k_cos, k_sin, plan.new_order, plan.g, interpret=True)
+        q_rot, k_c, v_c, d_cos, d_sin, plan.new_order, plan.g, interpret=True)
 
     cache = advance(cache, plan, cache.k.at[0].set(k_c), cache.v.at[0].set(v_c))
     return cache, np.asarray(ref), np.asarray(out)

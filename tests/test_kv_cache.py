@@ -2,9 +2,11 @@
 
 Oracle = the reference's own torch cache classes (SinkCache /
 SlidingWindowCache / TrulyStaticCache), loaded from the read-only mount and
-driven with identical random K/V streams. The reference stores rotated keys;
-we store unrotated keys + per-slot positions — so we compare *effective*
-rotated keys, values, ordering, and query positions after every chunk.
+driven with identical random K/V streams. The reference stores rotated keys
+and re-rotates on eviction; we store keys pre-rotated at write_pos + per-slot
+positions — so we compare *effective* rotated keys (stored keys rotated by
+the residual key_pos - write_pos), values, ordering, and query positions
+after every chunk.
 """
 
 import importlib.util
@@ -78,7 +80,8 @@ def _jitted_step(policy: CachePolicy, S: int):
     @jax.jit
     def step(cache, k_new, v_new, valid_len):
         plan = plan_update(cache, policy, valid_len, S)
-        k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan)
+        k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new, plan,
+                                     rope_theta=THETA)
         return advance(cache, plan, k_c[None], v_c[None])
 
     return step
@@ -96,14 +99,19 @@ def _np_rotate(k, pos):
     return k * cos + rot * sin
 
 
-def _my_effective_kv(cache):
-    """Valid slots sorted by global order -> (rotated keys, values, orders)."""
+def _my_effective_kv(cache, policy):
+    """Valid slots sorted by global order -> (effective rotated keys, values,
+    orders). The cache stores keys PRE-ROTATED at write_pos (absolute g for
+    the sink policy, insert position otherwise); the reference-visible key is
+    the stored key rotated by the residual key_pos - write_pos (zero for
+    non-sink policies)."""
     order = np.asarray(cache.order[0])
     valid = np.nonzero(order >= 0)[0]
     valid = valid[np.argsort(order[valid])]
-    k = np.asarray(cache.k[0, 0])[valid]          # [T, KVH, DH] unrotated
+    k = np.asarray(cache.k[0, 0])[valid]          # [T, KVH, DH] pre-rotated
     pos = np.asarray(cache.key_pos[0])[valid].astype(np.float64)
-    k_rot = _np_rotate(k.astype(np.float64), pos)
+    stored = order[valid].astype(np.float64) if policy.kind == "sink" else pos
+    k_rot = _np_rotate(k.astype(np.float64), pos - stored)
     v = np.asarray(cache.v[0, 0])[valid]
     return k_rot, v, order[valid]
 
@@ -136,7 +144,7 @@ def _drive_both(reference_root, ref_name, ref_ctor, policy, chunk_sizes, seed=0)
         # ---- compare effective contents
         ref_k = ref_cache.key_cache[0].permute(0, 2, 1, 3)[0].numpy()  # [T, KVH, DH]
         ref_v = ref_cache.value_cache[0].permute(0, 2, 1, 3)[0].numpy()
-        my_k, my_v, _ = _my_effective_kv(my)
+        my_k, my_v, _ = _my_effective_kv(my, policy)
         assert my_k.shape == ref_k.shape, f"len mismatch {my_k.shape} vs {ref_k.shape}"
         np.testing.assert_allclose(my_v, ref_v, rtol=0, atol=0)
         np.testing.assert_allclose(my_k, ref_k, rtol=2e-5, atol=2e-5)
@@ -245,11 +253,11 @@ def test_chunked_cached_attention_matches_full_causal():
         k_c, v_c, _, _ = write_layer(
             cache.k[0], cache.v[0],
             jnp.asarray(k[:, start : start + size]), jnp.asarray(v[:, start : start + size]),
-            plan,
+            plan, rope_theta=THETA,
         )
         cache = advance(cache, plan, k_c[None], v_c[None])
         out = cached_attention(
-            jnp.asarray(q[:, start : start + size]), k_c, v_c, cache.key_pos, plan,
+            jnp.asarray(q[:, start : start + size]), k_c, v_c, plan,
             rope_theta=THETA,
         )
         outs.append(np.asarray(out))
