@@ -226,6 +226,29 @@ def run_bench(preset: str) -> dict:
 
     multi_fps, multi_lo, multi_hi = _stats(run_multi)
 
+    # same 8 streams under the W8A8 serving recipe (dynamic per-token int8
+    # activations onto the int8 MXU, ~1% relative hidden-state error —
+    # the recommended batched-serving mode, AHA_QUANT_MATMUL=w8a8)
+    from aha_tpu.ops import quant as _quant
+
+    _quant._FORCE_BACKEND = "w8a8"
+    try:
+        multi8 = _SE(engine.params, cfg, engine.policy, batch=B)
+        mcache8 = multi8.new_cache()
+        _, ms8 = multi8.score_stream(mcache8, stacked)
+        jax.device_get(ms8)
+        def run_multi_w8a8():
+            mc = multi8.new_cache()
+            t0 = time.perf_counter()
+            _, ms = multi8.score_stream(mc, stacked)
+            jax.device_get(ms)
+            return B * mb_frames / (time.perf_counter() - t0)
+
+        multi_w8a8_fps, m8_lo, m8_hi = _stats(run_multi_w8a8)
+        del multi8, mcache8
+    finally:
+        _quant._FORCE_BACKEND = None
+
     # multi-stream streaming QA: 8 concurrent streams with per-row triggers
     # + batched ragged generation (MultiStreamSession — the serving mode the
     # reference runs one-process-per-GPU, test/inference.py:857-908).
@@ -293,6 +316,7 @@ def run_bench(preset: str) -> dict:
         "p50_frame_latency_ms": round(p50_ms, 2),
         "decode_tokens_per_sec": round(decode_tps, 3),
         "multi_stream_8x_aggregate_fps": round(multi_fps, 3),
+        "multi_stream_8x_w8a8_fps": round(multi_w8a8_fps, 3),
         "multi_stream_qa_8x_fps": round(multi_qa_fps, 3),
         "repeats": REPEATS,
         "spread": {
@@ -300,6 +324,7 @@ def run_bench(preset: str) -> dict:
             "trigger_loop_fps": [round(trig_lo, 2), round(trig_hi, 2)],
             "scan_fps": [round(scan_lo, 2), round(scan_hi, 2)],
             "multi_stream_8x_aggregate_fps": [round(multi_lo, 2), round(multi_hi, 2)],
+            "multi_stream_8x_w8a8_fps": [round(m8_lo, 2), round(m8_hi, 2)],
             "multi_stream_qa_8x_fps": [round(qa_lo, 2), round(qa_hi, 2)],
             "decode_tokens_per_sec": [round(dec_lo, 2), round(dec_hi, 2)],
         },
