@@ -151,6 +151,8 @@ def test_int4_streaming_engine_runs():
     assert np.isfinite(np.asarray(scores)).all()
 
 
+@pytest.mark.slow  # engine-internal parity (~8 s); the quantized-engine
+# smoke tests above exercise the merged path end-to-end
 def test_merged_projections_match_unmerged():
     """merge_decoder_projections (qkv / gate_up fusion for fewer kernel
     calls) must leave decode_chunk outputs unchanged — incl. LoRA deltas

@@ -82,6 +82,8 @@ def test_ring_integrated_forward_matches_dense():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # ~33 s on the 1-core host; the forward-parity test above
+# keeps ring attention covered in the smoke tier
 def test_ring_train_step_loss_matches_dense():
     """One train step with ring_attention=True equals the dense step's loss
     on a sequence spanning all 8 devices."""
