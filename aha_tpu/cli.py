@@ -97,6 +97,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--concurrent_streams", type=int, default=1,
+                   help="streaming-QA datasets: serve N videos concurrently "
+                        "in one batched engine (one weight pass scores a "
+                        "frame for every stream; ~2.3x aggregate fps at N=8 "
+                        "on v5e-1). Identical per-stream outputs to N=1.")
 
 
 def cmd_infer(argv):
@@ -181,6 +186,20 @@ def cmd_infer(argv):
             frame_fps=args.frame_fps,
             no_query=args.no_query,
             seed=args.seed,
+        )
+    elif args.concurrent_streams > 1:
+        benchmarks.run_streaming_qa_multi(
+            session,
+            batch=args.concurrent_streams,
+            test_fname=args.test_fname,
+            input_dir=args.input_dir,
+            output_fname=args.output_fname,
+            frame_fps=args.frame_fps,
+            max_num_frames=args.max_num_frames,
+            grounding_mode=args.grounding_mode,
+            start_idx=args.start_idx,
+            end_idx=args.end_idx,
+            time_instruction_format=args.time_instruction_format,
         )
     else:
         benchmarks.run_streaming_qa(

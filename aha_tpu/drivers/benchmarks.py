@@ -320,3 +320,98 @@ def run_streaming_qa(
             if i % 5 == 0:
                 f_out.flush()
     return results
+
+
+def run_streaming_qa_multi(
+    session: StreamSession,
+    *,
+    batch: int,
+    test_fname: str,
+    input_dir: str,
+    output_fname: str,
+    frame_fps: float,
+    max_num_frames: int,
+    grounding_mode: bool = False,
+    start_idx: int = 0,
+    end_idx: int | None = None,
+    time_instruction_format: str | None = None,
+) -> list[dict]:
+    """run_streaming_qa over `batch` concurrent streams on one chip
+    (`aha infer --concurrent_streams N`).
+
+    The batch dimension runs over videos, so every weight pass from HBM
+    scores a frame for all N streams (the reference runs one stream per
+    process/GPU — test/inference.py:857-908). Outputs are identical in
+    format and, per stream, in content to the solo driver (the multi-stream
+    engines reproduce independent sessions exactly — tests/test_multi_stream.py);
+    order of the JSONL lines follows the dataset, and the last group is
+    padded with empty streams internally. Requires a fixed --frame_fps
+    (no 'auto' per-video fps)."""
+    from aha_tpu.streaming.multi import MultiStreamScorer, MultiStreamSession
+
+    if not isinstance(frame_fps, (int, float)):
+        raise ValueError("concurrent streams need a fixed numeric frame_fps "
+                         "(per-video 'auto' fps cannot run in lockstep)")
+
+    dataset = StreamingVideoQADataset(
+        test_fname, input_dir,
+        start_idx=start_idx, end_idx=end_idx,
+        output_fps=frame_fps, output_resolution=session.args.frame_resolution,
+        max_num_frames=max_num_frames,
+        time_instruction_format=time_instruction_format,
+        system_prompt=session.args.system_prompt,
+    )
+    cls = MultiStreamScorer if grounding_mode else MultiStreamSession
+    multi = cls(session.engine.params, session.cfg, session.tokenizer,
+                session.args, batch=batch)
+
+    def flush_group(group, f_out, results):
+        n = len(group)
+        if n == 0:
+            return
+        S = session.args.frame_resolution
+        # zero-frame pads: the session loop skips T=0 rows entirely and the
+        # scorer's active mask blanks them, so pads cost nothing
+        pad = [(None, np.zeros((0, S, S, 3), np.uint8), [], frame_fps, 0.0)
+               ] * (batch - n)
+        items = group + pad
+        videos = [it[1] for it in items]
+        if grounding_mode:
+            queries = [next((t["content"] for t in it[2] if t["role"] == "user"),
+                            None) for it in items]
+            debugs = multi.score_videos(videos, queries, fps=frame_fps)
+            per_row = [
+                {"responses": [
+                    {"time": t.get("time", 0), "content": t["content"],
+                     "role": "user"}
+                    for t in it[2] if t["role"] == "user"],
+                 "debug_data": dbg}
+                for it, dbg in zip(items, debugs)
+            ]
+        else:
+            convs = [[t for t in it[2] if t["role"] == "user"] for it in items]
+            per_row = multi.run(videos, convs, fps=frame_fps)
+        for it, row in zip(items[:n], per_row[:n]):
+            res = {
+                "question_id": it[0],
+                "model_response_list": row["responses"],
+                "video_duration": it[4],
+                "debug_data": round_numbers(row["debug_data"], 3),
+            }
+            results.append(res)
+            f_out.write(json.dumps(res) + "\n")
+        f_out.flush()
+
+    results: list[dict] = []
+    group: list = []
+    with open(output_fname, "w") as f_out:
+        for i in range(len(dataset)):
+            item = dataset[i]
+            if item[0] is None:
+                continue
+            group.append(item)
+            if len(group) == batch:
+                flush_group(group, f_out, results)
+                group = []
+        flush_group(group, f_out, results)
+    return results

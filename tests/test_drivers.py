@@ -252,6 +252,80 @@ def test_streaming_qa_with_generation(video_dir, tmp_path):
     assert len(results[0]["debug_data"]) == 3
 
 
+def _write_qa_file(path, videos, with_missing=True):
+    entries = [
+        {"question_id": f"q{i}", "video": f"{v}.mp4",
+         "conversation": [{"role": "user", "content": "what?", "time": 0}]}
+        for i, v in enumerate(videos)
+    ]
+    if with_missing:
+        entries.insert(1, {"question_id": "qX", "video": "missing.mp4",
+                           "conversation": [{"role": "user", "content": "?",
+                                             "time": 0}]})
+    path.write_text(json.dumps(entries))
+
+
+def test_streaming_qa_multi_matches_solo(session, video_dir, tmp_path):
+    """`aha infer --concurrent_streams N` (batched serving driver) produces
+    the same per-stream outputs as the solo driver; 3 videos at batch=2
+    exercises both grouping and the padded final group."""
+    write_fake_video(video_dir / "vidC.mp4", n_frames=16)
+    test_file = tmp_path / "multi_test.json"
+    _write_qa_file(test_file, ["vidA", "vidB", "vidC"])
+    common = dict(test_fname=str(test_file), input_dir=str(video_dir),
+                  frame_fps=1.0, max_num_frames=10, grounding_mode=True)
+    solo = benchmarks.run_streaming_qa(
+        session, output_fname=str(tmp_path / "solo.jsonl"), **common)
+    multi = benchmarks.run_streaming_qa_multi(
+        session, batch=2, output_fname=str(tmp_path / "multi.jsonl"), **common)
+    assert [r["question_id"] for r in multi] == [r["question_id"] for r in solo]
+    for s, m in zip(solo, multi):
+        assert m["model_response_list"] == s["model_response_list"]
+        assert m["video_duration"] == s["video_duration"]
+        assert len(m["debug_data"]) == len(s["debug_data"])
+        for x, y in zip(s["debug_data"], m["debug_data"]):
+            for k in x:
+                # both sides are rounded to 3 significant figures
+                np.testing.assert_allclose(y[k], x[k], rtol=2e-3, atol=1e-3)
+    lines = [json.loads(l) for l in (tmp_path / "multi.jsonl").read_text().splitlines()]
+    assert lines == multi
+
+
+@pytest.mark.slow
+def test_streaming_qa_multi_generation_matches_solo(video_dir, tmp_path):
+    """Generation mode (magqa-style): batched trigger + decode path equals
+    per-video solo sessions through the driver layer."""
+    cfg = aha_tiny(vocab_size=256)
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(cfg, seed=0)
+    infer_cfg = InferConfig(
+        frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+        stream_end_prob_threshold=0.0,  # fire every frame
+        kv_cache_policy="sink", kv_window=128, num_sink_tokens=8,
+        max_new_tokens=8, remove_assistant_turns=True,
+    )
+    gen_session = build_session(params, cfg, tokenizer, infer_cfg)
+    test_file = tmp_path / "gen_multi.json"
+    _write_qa_file(test_file, ["vidA", "vidB"], with_missing=False)
+    common = dict(test_fname=str(test_file), input_dir=str(video_dir),
+                  frame_fps=1.0, max_num_frames=4, grounding_mode=False)
+    solo = benchmarks.run_streaming_qa(
+        gen_session, output_fname=str(tmp_path / "solo.jsonl"), **common)
+    multi = benchmarks.run_streaming_qa_multi(
+        gen_session, batch=2, output_fname=str(tmp_path / "multi.jsonl"), **common)
+    assert len(multi) == len(solo) == 2
+    for s, m in zip(solo, multi):
+        s_turns = s["model_response_list"]
+        m_turns = m["model_response_list"]
+        assert [t["role"] for t in m_turns] == [t["role"] for t in s_turns]
+        assert [t["content"] for t in m_turns] == [t["content"] for t in s_turns]
+        np.testing.assert_allclose([t["time"] for t in m_turns],
+                                   [t["time"] for t in s_turns])
+        assert len(m["debug_data"]) == len(s["debug_data"])
+        for x, y in zip(s["debug_data"], m["debug_data"]):
+            for k in x:
+                np.testing.assert_allclose(y[k], x[k], rtol=2e-3, atol=1e-3)
+
+
 def test_tvsum_title_ablation(session, video_dir, tmp_path):
     caption_file = tmp_path / "cap.tsv"
     caption_file.write_text("c\ti\tt\tu\tl\nGA\tvidA\treal title\tu\t0:24\n")
