@@ -497,6 +497,10 @@ def cmd_train(argv):
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--quantize_base", action="store_true",
+                   help="QLoRA analog (ref NF4+LoRA): freeze the trunk as "
+                        "int8, train bf16 adapters + dense finetune modules."
+                        " Fits 7B LoRA fine-tuning on a single 16 GB chip.")
     args = p.parse_args(argv)
 
     cfg = aha_tiny() if args.model_preset == "tiny" else aha_7b()
@@ -504,6 +508,10 @@ def cmd_train(argv):
         cfg, tokenizer_pretrained=args.tokenizer_pretrained,
         weights_path=args.llm_pretrained,
     )
+    if args.quantize_base:
+        from aha_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params, keep_dense=("projector", "lm_head"))
     train_cfg = TrainConfig(
         output_dir=args.output_dir,
         learning_rate=args.learning_rate,

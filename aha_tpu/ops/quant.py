@@ -208,7 +208,8 @@ _SKIP_SUBSTRINGS = ("norm", "ln1", "ln2", "post_ln", "bias", "scale", "pos_embed
 
 def quantize_params(params: dict, *, quantize_embed: bool = True,
                     bits: int = 8, group: int = 128,
-                    quantize_vision: bool = False) -> dict:
+                    quantize_vision: bool = False,
+                    keep_dense: tuple[str, ...] = ()) -> dict:
     """Quantize every large matmul kernel in an Aha param tree.
 
     bits=8: per-channel int8 (default). bits=4: group-wise packed int4 for
@@ -219,6 +220,10 @@ def quantize_params(params: dict, *, quantize_embed: bool = True,
     compute-bound (weights are read once per 32-frame batch, ~0.6 GB bf16),
     so int8 there only adds dequant conversions to the per-frame hot path
     (measured: vision-inclusive scoring 38 -> 6x faster tower dense).
+
+    keep_dense: path substrings to leave unquantized. QLoRA-style training
+    needs the densely-trained finetune modules kept bf16/f32:
+    ``keep_dense=("projector", "lm_head")`` (heads are already skipped).
     """
     assert bits in (4, 8), bits
 
@@ -227,7 +232,7 @@ def quantize_params(params: dict, *, quantize_embed: bool = True,
         joined = "/".join(keys)
         if not quantize_vision and keys and keys[0] == "vision":
             return leaf
-        if any(s in joined for s in _SKIP_SUBSTRINGS):
+        if any(s in joined for s in _SKIP_SUBSTRINGS + tuple(keep_dense)):
             return leaf
         if keys[-1] not in _QUANT_KEYS:
             return leaf

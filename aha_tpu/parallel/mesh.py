@@ -82,6 +82,13 @@ def _path_keys(path_tuple) -> tuple[str, ...]:
 
 
 def spec_for(path_keys: tuple[str, ...], shape: tuple[int, ...]) -> P:
+    # quantized kernels (ops/quant.py) nest {"qvalue","scale"} /
+    # {"q4value","scale4"} under the kernel key: inherit the kernel's rule.
+    # qvalue shares the kernel's shape; the scales keep the contracted dim
+    # at size 1 (int8) or K/G (int4), so the divisibility guard in `_guard`
+    # keeps only the axis assignments that still apply.
+    if path_keys and path_keys[-1] in ("qvalue", "scale", "q4value", "scale4"):
+        return spec_for(path_keys[:-1], shape)
     # longest suffix wins (projector/fc1/kernel beats fc1/kernel)
     for suffix, spec in sorted(_KERNEL_RULES, key=lambda r: -len(r[0])):
         if path_keys[-len(suffix):] == suffix:

@@ -106,10 +106,3 @@ def trainable_labels(params: dict, lora: dict | None, finetune_modules: tuple[st
     if lora is not None:
         out["lora"] = jax.tree_util.tree_map(lambda _: "train", lora)
     return out
-
-
-def freeze_stop_gradient(tree: dict, labels: dict) -> dict:
-    """stop_gradient on frozen leaves so their grad paths are pruned."""
-    return jax.tree_util.tree_map(
-        lambda x, l: x if l == "train" else jax.lax.stop_gradient(x), tree, labels
-    )

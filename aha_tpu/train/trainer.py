@@ -70,15 +70,24 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
     """Build the jitted train step. batch keys: input_ids, attention_mask,
     labels, informative_labels, relevance_labels, frames (all [B, ...]).
 
+    The step differentiates ONLY the 'train'-labeled leaves: frozen leaves
+    are closed over, never entering grad position. Besides skipping the
+    (dead) backward accumulation buffers for the frozen 7B trunk, this is
+    what lets the base tree hold int8/int4 quantized kernels — the QLoRA
+    analog of the reference's NF4 + LoRA path
+    (`/root/reference/models/modeling_live.py:114-133,148-168`): JAX
+    refuses integer leaves in grad position, but gradients flowing
+    *through* the dequant matmuls to the bf16 adapters are well-defined.
+
     device_mesh: required when train_cfg.ring_attention is on — sequences
     at/above ring_min_seq run sequence-parallel ring attention over the
     mesh's data axis."""
     weights = train_cfg.loss_weights
     if train_cfg.ring_attention and device_mesh is None:
         raise ValueError("ring_attention=True needs device_mesh")
+    label_leaves = jax.tree_util.tree_leaves(labels)
 
-    def loss_fn(tree, batch):
-        tree = lora_lib.freeze_stop_gradient(tree, labels)
+    def forward_loss(tree, batch):
         params = tree["model"]
         lora_tree = tree.get("lora")
         T = batch["input_ids"].shape[1]
@@ -106,7 +115,26 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
         return parts.total, parts
 
     def train_step(state: TrainState, batch: dict):
-        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.tree, batch)
+        treedef = jax.tree_util.tree_structure(state.tree)
+        flat = jax.tree_util.tree_leaves(state.tree)
+        assert len(flat) == len(label_leaves), "labels/tree structure mismatch"
+        train_leaves = [x for x, l in zip(flat, label_leaves) if l == "train"]
+        frozen_leaves = [x for x, l in zip(flat, label_leaves) if l != "train"]
+
+        def loss_fn(train_leaves, batch):
+            it_t, it_f = iter(train_leaves), iter(frozen_leaves)
+            tree = jax.tree_util.tree_unflatten(
+                treedef,
+                [next(it_t) if l == "train" else next(it_f) for l in label_leaves])
+            return forward_loss(tree, batch)
+
+        (_, parts), tgrads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_leaves, batch)
+        it_g = iter(tgrads)
+        grads = jax.tree_util.tree_unflatten(
+            treedef,
+            [next(it_g) if l == "train" else jnp.zeros_like(x)
+             for l, x in zip(label_leaves, flat)])
         updates, opt_state = tx.update(grads, state.opt_state, state.tree)
         tree = jax.tree_util.tree_map(lambda p, u: p + u.astype(p.dtype), state.tree, updates)
         return TrainState(tree=tree, opt_state=opt_state, step=state.step + 1), parts

@@ -191,3 +191,34 @@ def test_merged_projections_match_unmerged():
                                   lora=lora, lora_scale=0.5)
         outs.append(np.asarray(h))
     np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+
+
+def test_param_specs_shard_quantized_kernels():
+    """Quantized kernel dicts inherit the dense kernel's sharding rule
+    (qvalue = full spec; scales keep only the axes that still divide)."""
+    from jax.sharding import PartitionSpec as P
+
+    from aha_tpu.parallel import mesh as mesh_lib
+
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, _ = aha.build_model_and_tokenizer(cfg, seed=0)
+    qparams = quant.quantize_params(params, keep_dense=("projector", "lm_head"))
+    mesh = mesh_lib.make_mesh(2, 2, devices=jax.devices()[:4])
+    specs = mesh_lib.param_specs(qparams, mesh)
+    q_proj = specs["llm"]["layers"]["q_proj"]["kernel"]
+    dims = dict(zip(("L", "in", "out"),
+                    params["llm"]["layers"]["q_proj"]["kernel"].shape))
+    want_in = "data" if dims["in"] % 2 == 0 else None
+    want_out = "model" if dims["out"] % 2 == 0 else None
+    assert tuple(q_proj["qvalue"]) == (None, want_in, want_out)
+    # scale is [L, 1, out]: the contracted axis can never shard
+    assert tuple(q_proj["scale"]) == (None, None, want_out)
+    # a sharded dequant forward still runs and matches the unsharded one
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 4, cfg.llm.hidden_size)).astype(np.float32))
+    h0 = qwen2.forward_hidden(qparams["llm"], cfg.llm, x)
+    sharded = mesh_lib.apply_named_sharding(qparams["llm"], mesh,
+                                            specs=specs["llm"])
+    h1 = qwen2.forward_hidden(sharded, cfg.llm, x)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                               rtol=2e-4, atol=2e-5)

@@ -251,6 +251,67 @@ def test_overfit_tiny(tiny):
 
 
 @pytest.mark.slow
+def test_qlora_int8_base_train_step(tiny):
+    """QLoRA analog (ref NF4+LoRA, modeling_live.py:114-133,148-168): LoRA
+    fine-tuning over a frozen int8-quantized base. The train step must never
+    put the integer leaves in grad position; the quantized trunk stays
+    bit-identical while adapters + dense finetune modules learn."""
+    from aha_tpu.ops.quant import quantize_params
+
+    params, cfg, tok = tiny
+    qparams = quantize_params(params, keep_dense=("projector", "lm_head"))
+    # finetune modules stayed dense (trainable), trunk is quantized
+    assert isinstance(qparams["llm"]["layers"]["q_proj"]["kernel"], dict)
+    assert not isinstance(qparams["llm"]["lm_head"]["kernel"], dict)
+    assert not isinstance(qparams["projector"]["fc1"]["kernel"], dict)
+
+    rng = np.random.default_rng(3)
+    train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1, warmup_ratio=0.0)
+    state, tx, labels, scale = init_train_state(cfg, train_cfg, qparams, total_steps=20)
+    step_fn = make_train_step(cfg, train_cfg, tx, labels, scale)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, tok, rng).items()}
+    q_before = np.asarray(state.tree["model"]["llm"]["layers"]["q_proj"]["kernel"]["qvalue"])
+    losses = []
+    for _ in range(20):
+        state, parts = step_fn(state, batch)
+        losses.append(float(parts.total))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.9, losses
+    np.testing.assert_array_equal(
+        np.asarray(state.tree["model"]["llm"]["layers"]["q_proj"]["kernel"]["qvalue"]),
+        q_before)
+    assert np.abs(np.asarray(state.tree["lora"]["q_proj"]["b"])).max() > 0
+
+
+@pytest.mark.slow
+def test_qlora_fsdp_step_matches_single_device(tiny):
+    """QLoRA + FSDP: the int8 trunk shards like its dense counterpart
+    (mesh.spec_for quantized-leaf rules) and the sharded step's loss equals
+    the single-device step's."""
+    from aha_tpu.ops.quant import quantize_params
+
+    params, cfg, tok = tiny
+    rng = np.random.default_rng(5)
+    train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1, warmup_ratio=0.0)
+    batch_np = make_batch(cfg, tok, rng, B=4, n_frames=2)
+    qparams = quantize_params(params, keep_dense=("projector", "lm_head"))
+
+    q1 = jax.tree_util.tree_map(jnp.array, qparams)
+    state1, tx, labels, scale = init_train_state(cfg, train_cfg, q1, total_steps=10)
+    step1 = make_train_step(cfg, train_cfg, tx, labels, scale)
+    _, parts1 = step1(state1, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    m = mesh_lib.make_mesh(4, 2)
+    state2, tx2, labels2, scale2 = init_train_state(cfg, train_cfg, qparams, total_steps=10)
+    tree = mesh_lib.apply_named_sharding(state2.tree, m)
+    state2 = type(state2)(tree=tree, opt_state=tx2.init(tree), step=state2.step)
+    step2 = make_train_step(cfg, train_cfg, tx2, labels2, scale2)
+    batch = mesh_lib.shard_batch(batch_np, m)
+    state2, parts2 = step2(state2, batch)
+    np.testing.assert_allclose(float(parts1.total), float(parts2.total), rtol=5e-4)
+
+
+@pytest.mark.slow
 def test_fsdp_step_matches_single_device(tiny):
     params, cfg, tok = tiny
     rng = np.random.default_rng(1)
