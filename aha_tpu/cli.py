@@ -101,7 +101,9 @@ def _add_infer_flags(p: argparse.ArgumentParser):
                    help="streaming-QA datasets: serve N videos concurrently "
                         "in one batched engine (one weight pass scores a "
                         "frame for every stream; ~2.3x aggregate fps at N=8 "
-                        "on v5e-1). Identical per-stream outputs to N=1.")
+                        "on v5e-1). Generation mode runs continuous "
+                        "batching (a finished stream's slot is refilled "
+                        "immediately). Identical per-stream outputs to N=1.")
 
 
 def cmd_infer(argv):

@@ -343,11 +343,16 @@ def run_streaming_qa_multi(
     scores a frame for all N streams (the reference runs one stream per
     process/GPU — test/inference.py:857-908). Outputs are identical in
     format and, per stream, in content to the solo driver (the multi-stream
-    engines reproduce independent sessions exactly — tests/test_multi_stream.py);
-    order of the JSONL lines follows the dataset, and the last group is
-    padded with empty streams internally. Requires a fixed --frame_fps
+    engines reproduce independent sessions exactly — tests/test_multi_stream.py),
+    and the JSONL lines follow dataset order.
+
+    Generation mode runs continuous batching (`MultiStreamServer`): a slot
+    is refilled the moment its stream finishes, so ragged video lengths
+    don't idle the batch. Grounding mode scores fixed groups in one
+    `lax.scan` each (the faster shape when nothing can trigger), padding
+    the last group with empty streams. Requires a fixed --frame_fps
     (no 'auto' per-video fps)."""
-    from aha_tpu.streaming.multi import MultiStreamScorer, MultiStreamSession
+    from aha_tpu.streaming.multi import MultiStreamScorer, MultiStreamServer
 
     if not isinstance(frame_fps, (int, float)):
         raise ValueError("concurrent streams need a fixed numeric frame_fps "
@@ -361,57 +366,92 @@ def run_streaming_qa_multi(
         time_instruction_format=time_instruction_format,
         system_prompt=session.args.system_prompt,
     )
-    cls = MultiStreamScorer if grounding_mode else MultiStreamSession
-    multi = cls(session.engine.params, session.cfg, session.tokenizer,
-                session.args, batch=batch)
+    results: list[dict] = []
+    if grounding_mode:
+        multi = MultiStreamScorer(session.engine.params, session.cfg,
+                                  session.tokenizer, session.args, batch=batch)
 
-    def flush_group(group, f_out, results):
-        n = len(group)
-        if n == 0:
-            return
-        S = session.args.frame_resolution
-        # zero-frame pads: the session loop skips T=0 rows entirely and the
-        # scorer's active mask blanks them, so pads cost nothing
-        pad = [(None, np.zeros((0, S, S, 3), np.uint8), [], frame_fps, 0.0)
-               ] * (batch - n)
-        items = group + pad
-        videos = [it[1] for it in items]
-        if grounding_mode:
+        def flush_group(group, f_out):
+            n = len(group)
+            if n == 0:
+                return
+            S = session.args.frame_resolution
+            # zero-frame pads: the scorer's active mask blanks them, so
+            # pads cost nothing
+            pad = [(None, np.zeros((0, S, S, 3), np.uint8), [], frame_fps, 0.0)
+                   ] * (batch - n)
+            items = group + pad
             queries = [next((t["content"] for t in it[2] if t["role"] == "user"),
                             None) for it in items]
-            debugs = multi.score_videos(videos, queries, fps=frame_fps)
-            per_row = [
-                {"responses": [
-                    {"time": t.get("time", 0), "content": t["content"],
-                     "role": "user"}
-                    for t in it[2] if t["role"] == "user"],
-                 "debug_data": dbg}
-                for it, dbg in zip(items, debugs)
-            ]
-        else:
-            convs = [[t for t in it[2] if t["role"] == "user"] for it in items]
-            per_row = multi.run(videos, convs, fps=frame_fps)
-        for it, row in zip(items[:n], per_row[:n]):
-            res = {
-                "question_id": it[0],
-                "model_response_list": row["responses"],
-                "video_duration": it[4],
-                "debug_data": round_numbers(row["debug_data"], 3),
-            }
-            results.append(res)
-            f_out.write(json.dumps(res) + "\n")
-        f_out.flush()
+            debugs = multi.score_videos([it[1] for it in items], queries,
+                                        fps=frame_fps)
+            for it, dbg in zip(items[:n], debugs[:n]):
+                res = {
+                    "question_id": it[0],
+                    "model_response_list": [
+                        {"time": t.get("time", 0), "content": t["content"],
+                         "role": "user"}
+                        for t in it[2] if t["role"] == "user"],
+                    "video_duration": it[4],
+                    "debug_data": round_numbers(dbg, 3),
+                }
+                results.append(res)
+                f_out.write(json.dumps(res) + "\n")
+            f_out.flush()
 
-    results: list[dict] = []
-    group: list = []
-    with open(output_fname, "w") as f_out:
-        for i in range(len(dataset)):
-            item = dataset[i]
-            if item[0] is None:
+        group: list = []
+        with open(output_fname, "w") as f_out:
+            for i in range(len(dataset)):
+                item = dataset[i]
+                if item[0] is None:
+                    continue
+                group.append(item)
+                if len(group) == batch:
+                    flush_group(group, f_out)
+                    group = []
+            flush_group(group, f_out)
+        return results
+
+    # generation mode: continuous batching over the dataset
+    server = MultiStreamServer(session.engine.params, session.cfg,
+                               session.tokenizer, session.args, batch=batch,
+                               max_frames=max_num_frames)
+    meta: dict[int, tuple] = {}
+    order: list[int] = []
+
+    def gen_items():
+        for idx in range(len(dataset)):
+            qid, frames, conversation, _fps, duration = dataset[idx]
+            if qid is None:
                 continue
-            group.append(item)
-            if len(group) == batch:
-                flush_group(group, f_out, results)
-                group = []
-        flush_group(group, f_out, results)
+            meta[idx] = (qid, duration)
+            order.append(idx)
+            yield idx, frames, [t for t in conversation if t["role"] == "user"]
+
+    done: dict[int, dict] = {}
+    written = [0]
+    with open(output_fname, "w") as f_out:
+
+        def flush_ordered():
+            while written[0] < len(order) and order[written[0]] in done:
+                idx = order[written[0]]
+                row = done.pop(idx)
+                qid, duration = meta[idx]
+                res = {
+                    "question_id": qid,
+                    "model_response_list": row["responses"],
+                    "video_duration": duration,
+                    "debug_data": round_numbers(row["debug_data"], 3),
+                }
+                results.append(res)
+                f_out.write(json.dumps(res) + "\n")
+                written[0] += 1
+            f_out.flush()
+
+        def on_result(idx, row):
+            done[idx] = row
+            flush_ordered()
+
+        server.run_items(gen_items(), fps=frame_fps, on_result=on_result)
+        flush_ordered()
     return results

@@ -143,6 +143,21 @@ def reset_cache(cache: KVCache) -> KVCache:
     )
 
 
+def reset_cache_rows(cache: KVCache, rows: jnp.ndarray) -> KVCache:
+    """Reset only the batch rows where `rows` ([B] bool) is True — the
+    continuous-batching admit path (a finished stream's slot is recycled for
+    the next one). Like `reset_cache`, stale K/V stay in place: emptied
+    metadata (order=-1, length=0) masks them out of every attention read."""
+    r = rows
+    return dataclasses.replace(
+        cache,
+        order=jnp.where(r[:, None], -1, cache.order),
+        key_pos=jnp.where(r[:, None], 0, cache.key_pos),
+        seen=jnp.where(r, 0, cache.seen),
+        length=jnp.where(r, 0, cache.length),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Update planning
 # ---------------------------------------------------------------------------

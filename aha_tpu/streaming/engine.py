@@ -31,7 +31,8 @@ import numpy as np
 
 from aha_tpu.config import AhaConfig
 from aha_tpu.models import aha, qwen2
-from aha_tpu.ops.kv_cache import CachePolicy, KVCache, init_cache, reset_cache
+from aha_tpu.ops.kv_cache import (CachePolicy, KVCache, init_cache,
+                                  reset_cache, reset_cache_rows)
 
 
 ID_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
@@ -158,6 +159,11 @@ class StreamEngine:
 
     def reset_cache(self, cache: KVCache) -> KVCache:
         return self._reset_cache(cache)
+
+    def reset_cache_rows(self, cache: KVCache, rows) -> KVCache:
+        """Recycle finished slots (continuous batching): reset only the rows
+        where `rows` ([B] bool) is True, in place (donated)."""
+        return self._reset_cache_rows(cache, jnp.asarray(rows, bool))
 
     def new_rep_counts(self) -> jnp.ndarray:
         return jnp.zeros((self.batch, self.cfg.llm.vocab_size), jnp.int32)
@@ -393,6 +399,7 @@ class StreamEngine:
         self._generate = _jit(generate)
         # donated: k/v pass through aliased, metadata buffers reset in place
         self._reset_cache = jax.jit(reset_cache, donate_argnums=(0,))
+        self._reset_cache_rows = jax.jit(reset_cache_rows, donate_argnums=(0,))
 
     # -- host-facing wrappers ---------------------------------------------
 

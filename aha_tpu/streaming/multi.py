@@ -7,7 +7,7 @@ throughput scales nearly linearly in the batch until compute-bound. The
 reference processes one stream per process/GPU; this is the TPU-native
 replacement.
 
-Two classes:
+Three classes:
 
 * :class:`MultiStreamScorer` — score-only lockstep batch (grounding /
   highlight workloads, no generation triggers).
@@ -20,6 +20,12 @@ Two classes:
   Every row reproduces an independent StreamSession's outputs: frozen /
   inactive rows append zero valid tokens, so their cache slice never
   diverges from a solo run.
+* :class:`MultiStreamServer` — continuous batching over B slots: a fixed
+  MultiStreamSession group runs in lockstep, so the whole batch idles
+  until its longest stream finishes; the server instead admits the next
+  waiting stream into a slot the moment it frees (per-row cache reset —
+  `ops.kv_cache.reset_cache_rows`), keeping all B rows busy on ragged
+  workloads. Per-stream outputs still equal independent sessions.
 
 Ragged batches are padded and masked with per-row active flags (finished
 rows write into the cache's junk slot, never polluting attention).
@@ -304,3 +310,208 @@ class MultiStreamSession:
              "debug_data": debug[b]}
             for b in range(B)
         ]
+
+
+class MultiStreamServer(MultiStreamSession):
+    """Continuous batching over ``batch`` slots (see module docstring).
+
+    API: ``run_items(items, fps)`` with ``items`` an iterable of
+    ``(key, video, conversation)``; returns ``{key: {"responses",
+    "debug_data"}}``. Streams are admitted in order as slots free; a slot is
+    recycled with a per-row cache reset, so each stream's outputs equal an
+    independent :class:`StreamSession`'s (tests/test_multi_stream.py).
+    """
+
+    def __init__(self, params, cfg, tokenizer, infer_cfg, *, batch,
+                 max_frames, engine=None):
+        super().__init__(params, cfg, tokenizer, infer_cfg, batch=batch,
+                         engine=engine)
+        self.max_frames = max_frames
+
+    def run_items(self, items, *, fps: float, on_result=None) -> dict:
+        """on_result(key, result): optional callback fired the moment a
+        stream retires (completion order — callers wanting dataset order
+        buffer and reorder)."""
+        a = self.args
+        B = self.batch
+        eng = self.engine
+        cfg = self.cfg
+        it = iter(items)
+        exhausted = False
+
+        frames_buf = jnp.zeros(
+            (B, self.max_frames, cfg.frame_num_tokens, cfg.llm.hidden_size),
+            jnp.dtype(cfg.dtype))
+        cache = eng.new_cache()
+        counts = eng.new_rep_counts()
+
+        occupied = [False] * B
+        key = [None] * B
+        T = np.zeros(B, np.int64)
+        i = np.zeros(B, np.int64)
+        score_sum = np.zeros(B, np.float64)
+        last_role = ["system"] * B
+        init_vision = [False] * B
+        pending_last: list[list[int]] = [[] for _ in range(B)]
+        queries: list[list[dict]] = [[] for _ in range(B)]
+        q_ptr = [0] * B
+        responses: list[list[dict]] = [[] for _ in range(B)]
+        debug: list[list[dict]] = [[] for _ in range(B)]
+        results: dict = {}
+
+        def query_due(b):
+            return (q_ptr[b] < len(queries[b])
+                    and i[b] / fps >= queries[b][q_ptr[b]]["time"])
+
+        while True:
+            # 0. admit waiting streams into free slots
+            admit = np.zeros(B, bool)
+            for b in range(B):
+                if occupied[b]:
+                    continue
+                while not exhausted:
+                    try:
+                        k, video, conv = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    user_turns = sorted(
+                        [t for t in conv if t.get("role") == "user"],
+                        key=lambda t: t["time"])
+                    if video is None or video.shape[0] == 0:
+                        results[k] = {
+                            "responses": [
+                                {"time": t["time"], "content": t["content"],
+                                 "role": "user"} for t in user_turns],
+                            "debug_data": []}
+                        if on_result is not None:
+                            on_result(k, results[k])
+                        continue
+                    n = video.shape[0]
+                    assert n <= self.max_frames, (n, self.max_frames)
+                    emb = eng.encode_frames(video)            # [n, F, H]
+                    frames_buf = frames_buf.at[b, :n].set(
+                        emb.astype(frames_buf.dtype))
+                    occupied[b] = True
+                    key[b] = k
+                    T[b], i[b], score_sum[b] = n, 0, 0.0
+                    last_role[b], init_vision[b] = "system", False
+                    pending_last[b] = []
+                    queries[b], q_ptr[b] = user_turns, 0
+                    responses[b] = [
+                        {"time": t["time"], "content": t["content"],
+                         "role": "user"} for t in user_turns]
+                    debug[b] = []
+                    admit[b] = True
+                    break
+            if admit.any():
+                cache = eng.reset_cache_rows(cache, admit)
+                counts = counts * jnp.asarray(~admit, counts.dtype)[:, None]
+            if not any(occupied):
+                break
+
+            # 1. queries due now (per-row ragged chunk; [] rows are no-ops)
+            q_rows = [[] for _ in range(B)]
+            any_q = False
+            for b in range(B):
+                if occupied[b] and i[b] < T[b] and query_due(b):
+                    q = queries[b][q_ptr[b]]
+                    q_rows[b] = self.tokenizer.apply_chat_template(
+                        [{"role": "user", "content": q["content"]}],
+                        add_stream_query_prompt=last_role[b] == "stream",
+                        add_stream_prompt=True,
+                    )
+                    q_ptr[b] += 1
+                    last_role[b] = "user"
+                    any_q = True
+            if any_q:
+                cache, _ = eng.append_ids(cache, q_rows)
+
+            # 2. role-transition prefixes owed before the next frame
+            p_rows = [[] for _ in range(B)]
+            any_p = False
+            for b in range(B):
+                if not occupied[b] or i[b] >= T[b]:
+                    continue
+                if not init_vision[b]:
+                    p_rows[b] = list(self._start_ids)
+                    init_vision[b] = True
+                elif last_role[b] == "assistant" and not a.remove_assistant_turns:
+                    p_rows[b] = pending_last[b] + list(self._stream_prompt_ids)
+                if p_rows[b]:
+                    any_p = True
+            if any_p:
+                cache, _ = eng.append_ids(cache, p_rows)
+
+            # 3. per-row frame limit: own length or next query boundary
+            limit = np.where(occupied, T, 0)
+            for b in range(B):
+                if occupied[b] and q_ptr[b] < len(queries[b]):
+                    boundary = int(np.ceil(queries[b][q_ptr[b]]["time"] * fps))
+                    limit[b] = min(limit[b], max(boundary, i[b]))
+            cache, scores, i_new, new_sum, triggered = \
+                eng.score_until_trigger_multi(
+                    cache, frames_buf, i, limit, score_sum,
+                    a.stream_end_prob_threshold,
+                    a.stream_end_score_sum_threshold,
+                    tuple(a.score_heads),
+                )
+            i_new = np.asarray(jax.device_get(i_new), np.int64)
+            triggered = np.asarray(jax.device_get(triggered), bool) \
+                & np.asarray(occupied)
+            s_host = np.asarray(jax.device_get(scores), np.float64)
+            score_sum = np.where(occupied,
+                                 np.asarray(jax.device_get(new_sum), np.float64),
+                                 score_sum)
+            for b in range(B):
+                if not occupied[b]:
+                    continue
+                if i_new[b] > i[b]:
+                    last_role[b] = "stream"
+                for t in range(int(i[b]), int(i_new[b])):
+                    debug[b].append(dict(
+                        time=t / fps,
+                        informative_score=float(s_host[b, t, 0]),
+                        relevance_score=float(s_host[b, t, 1]),
+                        uncertainty_score=float(s_host[b, t, 2]),
+                    ))
+                i[b] = i_new[b]
+
+            # 4. batched generation for the triggered subset
+            if triggered.any():
+                pre_cache = cache
+                g_rows = [list(self._gen_prompt_ids) if triggered[b] else []
+                          for b in range(B)]
+                gen_cache, out_ids, out_len, counts, last_tok = \
+                    eng.generate(cache, g_rows, counts,
+                                 active=jnp.asarray(triggered))
+                cache = pre_cache if a.remove_assistant_turns else gen_cache
+                out_ids = np.asarray(jax.device_get(out_ids))
+                out_len = np.asarray(jax.device_get(out_len))
+                last_tok = np.asarray(jax.device_get(last_tok))
+                for b in range(B):
+                    if not triggered[b]:
+                        continue
+                    n = int(out_len[b])
+                    text = self.tokenizer.decode(out_ids[b, :n],
+                                                 skip_special_tokens=True)
+                    responses[b].append({
+                        "time": (int(i[b]) - 1) / fps,
+                        "content": text, "role": "assistant",
+                    })
+                    if not a.remove_assistant_turns:
+                        pending_last[b] = [int(last_tok[b])]
+                        last_role[b] = "assistant"
+
+            # 5. retire finished streams (slot frees for the next admit)
+            for b in range(B):
+                if occupied[b] and i[b] >= T[b]:
+                    results[key[b]] = {
+                        "responses": sorted(responses[b],
+                                            key=lambda x: x["time"]),
+                        "debug_data": debug[b]}
+                    occupied[b] = False
+                    if on_result is not None:
+                        on_result(key[b], results[key[b]])
+
+        return results

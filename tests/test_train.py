@@ -283,6 +283,24 @@ def test_qlora_int8_base_train_step(tiny):
     assert np.abs(np.asarray(state.tree["lora"]["q_proj"]["b"])).max() > 0
 
 
+def test_lora_train_step_bf16_activations():
+    """bf16 model dtype (the 7B deployment config) with f32 LoRA masters:
+    the f32 adapter delta must cast back to bf16 or the decoder scan carry
+    changes dtype mid-scan (regression: 7B QLoRA on-chip)."""
+    from aha_tpu.ops.quant import quantize_params
+
+    cfg = aha_tiny(vocab_size=128).replace(dtype="bfloat16")
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=1)
+    qparams = quantize_params(params, keep_dense=("projector", "lm_head"))
+    train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1, warmup_ratio=0.0)
+    state, tx, labels, scale = init_train_state(cfg, train_cfg, qparams, total_steps=5)
+    step_fn = make_train_step(cfg, train_cfg, tx, labels, scale)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, tok, np.random.default_rng(7)).items()}
+    state, parts = step_fn(state, batch)
+    assert np.isfinite(float(parts.total))
+
+
 @pytest.mark.slow
 def test_qlora_fsdp_step_matches_single_device(tiny):
     """QLoRA + FSDP: the int8 trunk shards like its dense counterpart
