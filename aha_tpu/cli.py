@@ -49,6 +49,7 @@ def _build_session(args):
         kv_cache_policy=args.kv_cache_policy,
         kv_window=args.kv_window,
         num_sink_tokens=args.num_sink_tokens,
+        kv_cache_dtype=getattr(args, "kv_cache_dtype", "auto"),
     )
     return build_session(params, cfg, tokenizer, infer_cfg)
 
@@ -90,6 +91,9 @@ def _add_infer_flags(p: argparse.ArgumentParser):
                    choices=["sink", "sliding", "static", "none"])
     p.add_argument("--kv_window", type=int, default=2048)
     p.add_argument("--num_sink_tokens", type=int, default=32)
+    p.add_argument("--kv_cache_dtype", default="auto", choices=["auto", "int8"],
+                   help="int8: per-(slot, head) quantized KV cache — half "
+                        "the cache HBM / attention DMA, ~0.5% output error")
     p.add_argument("--no_query", action="store_true")
     p.add_argument("--title_ablation", default=None, choices=["ambiguous", "unrelated"])
     p.add_argument("--title_table", default=None)

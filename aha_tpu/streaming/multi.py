@@ -62,7 +62,9 @@ class MultiStreamScorer:
             window=infer_cfg.kv_window,
             num_sink=infer_cfg.num_sink_tokens,
         )
-        self.engine = StreamEngine(params, cfg, policy, batch=batch)
+        self.engine = StreamEngine(
+            params, cfg, policy, batch=batch,
+            kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None)
 
     def score_videos(
         self,
@@ -162,6 +164,7 @@ class MultiStreamSession:
             params, cfg, policy, batch=batch,
             max_new_tokens=infer_cfg.max_new_tokens,
             repetition_penalty=infer_cfg.repetition_penalty,
+            kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
         )
         tok = tokenizer
         self._start_ids = tok.apply_chat_template(

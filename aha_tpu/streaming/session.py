@@ -460,6 +460,8 @@ def build_session(
 ) -> StreamSession:
     """Convenience constructor: InferConfig -> CachePolicy -> engine -> session
     (the reference's `_init_cache` dispatch, test/inference.py:133-155)."""
+    import jax.numpy as jnp
+
     policy = CachePolicy(
         kind=infer_cfg.kv_cache_policy,
         window=infer_cfg.kv_window,
@@ -473,5 +475,6 @@ def build_session(
         repetition_penalty=infer_cfg.repetition_penalty,
         lora=lora,
         lora_scale=lora_scale,
+        kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
     )
     return StreamSession(engine, tokenizer, infer_cfg)

@@ -342,3 +342,27 @@ def test_int8_kv_cache_close_to_bf16():
     denom = np.abs(a).mean() + 1e-6
     rel = np.abs(a - b).mean() / denom
     assert rel < 0.02, rel
+
+
+def test_kv_cache_dtype_flag_reaches_engine():
+    """InferConfig.kv_cache_dtype='int8' must actually select the quantized
+    cache through build_session and the multi-stream engines (regression:
+    the flag used to be accepted but unwired)."""
+    from aha_tpu.config import InferConfig, aha_tiny
+    from aha_tpu.models import aha
+    from aha_tpu.streaming.multi import MultiStreamScorer
+    from aha_tpu.streaming.session import build_session
+
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    icfg = InferConfig(frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+                       grounding_mode=True, kv_cache_policy="sink",
+                       kv_window=32, num_sink_tokens=4, kv_cache_dtype="int8")
+    sess = build_session(params, cfg, tok, icfg)
+    assert sess.engine.new_cache().quantized
+    scorer = MultiStreamScorer(params, cfg, tok, icfg, batch=2)
+    assert scorer.engine.new_cache().quantized
+    icfg2 = InferConfig(frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+                        grounding_mode=True, kv_cache_policy="sink",
+                        kv_window=32, num_sink_tokens=4)
+    assert not build_session(params, cfg, tok, icfg2).engine.new_cache().quantized
