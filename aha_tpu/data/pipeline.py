@@ -30,6 +30,46 @@ from aha_tpu.data.collator import collate
 from aha_tpu.utils import dist
 
 
+_DONE = object()
+
+
+def prefetch_iterable(it, depth: int = 2):
+    """Yield `it`'s items in order, computed up to `depth` ahead by a daemon
+    thread. The eval drivers wrap their dataset loops with this so host
+    video decode (cv2/libav, GIL-releasing) overlaps device scoring of the
+    previous video. Exceptions from the producer re-raise at the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for x in it:
+                if stop.is_set():
+                    return
+                q.put(x)
+            q.put(_DONE)
+        except BaseException as e:            # re-raised consumer-side
+            q.put(e)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            x = q.get()
+            if x is _DONE:
+                break
+            if isinstance(x, BaseException):
+                raise x
+            yield x
+    finally:
+        stop.set()
+        try:                                   # unblock a full q.put
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
+
 def batch_iterator(
     dataset,
     tokenizer,

@@ -292,10 +292,14 @@ def run_streaming_qa(
         time_instruction_format=time_instruction_format,
         system_prompt=session.args.system_prompt,
     )
+    from aha_tpu.data.pipeline import prefetch_iterable
+
     results = []
+    items = prefetch_iterable(
+        (dataset[i] for i in range(len(dataset))), depth=2)
     with open(output_fname, "w") as f_out:
-        for i in range(len(dataset)):
-            question_id, frames, conversation, fps, duration = dataset[i]
+        for i, item in enumerate(items):
+            question_id, frames, conversation, fps, duration = item
             if question_id is None:
                 continue
             if grounding_mode:
@@ -413,6 +417,8 @@ def run_streaming_qa_multi(
         return results
 
     # generation mode: continuous batching over the dataset
+    from aha_tpu.data.pipeline import prefetch_iterable
+
     server = MultiStreamServer(session.engine.params, session.cfg,
                                session.tokenizer, session.args, batch=batch,
                                max_frames=max_num_frames)
@@ -420,8 +426,11 @@ def run_streaming_qa_multi(
     order: list[int] = []
 
     def gen_items():
-        for idx in range(len(dataset)):
-            qid, frames, conversation, _fps, duration = dataset[idx]
+        # prefetch: the next videos decode on the host while the chip
+        # serves the current admission wave
+        raw = prefetch_iterable(
+            ((idx, dataset[idx]) for idx in range(len(dataset))), depth=2)
+        for idx, (qid, frames, conversation, _fps, duration) in raw:
             if qid is None:
                 continue
             meta[idx] = (qid, duration)

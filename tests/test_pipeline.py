@@ -65,3 +65,27 @@ def test_extract_and_feature_source(tmp_path):
     src = FeatureSource(str(tmp_path / "feat"))
     embeds = src("clipA.mp4", range(0, 4))
     assert embeds.shape == (4, cfg.frame_num_tokens, cfg.llm.hidden_size)
+
+
+def test_prefetch_iterable_order_and_errors():
+    import pytest
+
+    from aha_tpu.data.pipeline import prefetch_iterable
+
+    assert list(prefetch_iterable(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = prefetch_iterable(boom(), depth=2)
+    assert next(it) == 1 and next(it) == 2
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+    # early break leaves no stuck producer (depth smaller than source)
+    it = prefetch_iterable(iter(range(1000)), depth=1)
+    for x in it:
+        if x == 3:
+            break
