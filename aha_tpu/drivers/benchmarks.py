@@ -117,31 +117,38 @@ def run_tvsum(
             titles = json.load(f)
     rng = random.Random(seed) if seed is not None else random
 
-    results = []
-    for video_name in metadata:
-        video_uuid = os.path.splitext(os.path.basename(video_name))[0]
-        if video_uuid not in captions:
-            continue
-        video_path = metadata[video_name]["path"]
-        title = captions[video_uuid]["query"]
-        if title_ablation:
-            title = titles[video_uuid][f"{title_ablation}_title"]
-        query = "" if no_query else rng.choice(QUERY_TEMPLATES) % title
+    from aha_tpu.data.pipeline import prefetch_iterable
 
-        dropout = None
-        if degraded:
-            dur = metadata[video_name]["duration"]
-            segs = media.generate_dropout_segments(dur, seed=hash(video_uuid) % 2**31)
-            dropout = [(s, e, rng.choice(dropout_types)) for s, e, _ in segs]
-        frames, true_frames = media.decode_video(
-            video_path, output_fps=frame_fps,
-            output_size=session.args.frame_resolution,
-            source_fps=metadata[video_name].get("fps"),
-            duration=metadata[video_name].get("duration"),
-            dropout_intervals=dropout,
-        )
-        if frames.shape[0] == 0:
-            continue
+    def decoded():
+        # next video decodes on the host while the chip scores the current
+        for video_name in metadata:
+            video_uuid = os.path.splitext(os.path.basename(video_name))[0]
+            if video_uuid not in captions:
+                continue
+            video_path = metadata[video_name]["path"]
+            title = captions[video_uuid]["query"]
+            if title_ablation:
+                title = titles[video_uuid][f"{title_ablation}_title"]
+            query = "" if no_query else rng.choice(QUERY_TEMPLATES) % title
+
+            dropout = None
+            if degraded:
+                dur = metadata[video_name]["duration"]
+                segs = media.generate_dropout_segments(dur, seed=hash(video_uuid) % 2**31)
+                dropout = [(s, e, rng.choice(dropout_types)) for s, e, _ in segs]
+            frames, true_frames = media.decode_video(
+                video_path, output_fps=frame_fps,
+                output_size=session.args.frame_resolution,
+                source_fps=metadata[video_name].get("fps"),
+                duration=metadata[video_name].get("duration"),
+                dropout_intervals=dropout,
+            )
+            if frames.shape[0] == 0:
+                continue
+            yield video_uuid, frames, true_frames, query
+
+    results = []
+    for video_uuid, frames, true_frames, query in prefetch_iterable(decoded()):
         duration = frames.shape[0] / frame_fps
         if generation:
             conv = [{"role": "user", "content": query, "time": 0}]
@@ -178,6 +185,8 @@ def run_hisum(
 
     import h5py
 
+    with h5py.File(h5_file, "r"):
+        pass  # fail fast on a bad gtscore file (used at evaluate time)
     metadata = media.scan_metadata(input_dir, video_metadata_file)
     with open(anno_file) as f:
         videos = json.load(f)["test_keys"]
@@ -196,8 +205,9 @@ def run_hisum(
                 "youtube_id": row["youtube_id"],
             }
 
-    results = []
-    with h5py.File(h5_file, "r") as hdf:
+    from aha_tpu.data.pipeline import prefetch_iterable
+
+    def decoded():
         for video_id in videos:
             info = video_info.get(video_id)
             if info is None:
@@ -215,18 +225,26 @@ def run_hisum(
                 )
                 if frames.shape[0] == 0:
                     continue
-                responses, debug = _score_only_pass(session, frames, frame_fps, query)
-                results.append({
-                    "categories": info["categories"],
-                    "h5_identifier": video_id,
-                    "video_uuid": info["youtube_id"],
-                    "model_response_list": responses,
-                    "video_duration": frames.shape[0] / frame_fps,
-                    "true_frames_list": true_frames,
-                    "debug_data": round_numbers(debug, 3),
-                })
+                yield video_id, info, fname, frames, true_frames, query
             except Exception as e:  # per-video resilience (ref :787-788)
                 print(f"Exception on video {fname}: {e}")
+
+    results = []
+    for video_id, info, fname, frames, true_frames, query in \
+            prefetch_iterable(decoded()):
+        try:
+            responses, debug = _score_only_pass(session, frames, frame_fps, query)
+            results.append({
+                "categories": info["categories"],
+                "h5_identifier": video_id,
+                "video_uuid": info["youtube_id"],
+                "model_response_list": responses,
+                "video_duration": frames.shape[0] / frame_fps,
+                "true_frames_list": true_frames,
+                "debug_data": round_numbers(debug, 3),
+            })
+        except Exception as e:  # per-video resilience (ref :787-788)
+            print(f"Exception on video {fname}: {e}")
     with open(output_fname, "w") as f:
         json.dump(results, f, indent=4)
     return results

@@ -110,6 +110,41 @@ def test_tvsum_pipeline(session, video_dir, tmp_path):
     assert "GA" in metrics["per_category"]
 
 
+def test_hisum_driver(session, video_dir, tmp_path):
+    """run_hisum end-to-end on synthetic assets (ref test/inference.py:714-794):
+    anno keys -> metadata CSV -> decode -> scores, with the ref JSON shape."""
+    import h5py
+
+    h5_path = tmp_path / "gt.h5"
+    with h5py.File(h5_path, "w") as hdf:
+        hdf.create_group("video_1").create_dataset("gtscore", data=np.zeros(4))
+    anno = tmp_path / "anno.json"
+    anno.write_text(json.dumps({"test_keys": ["video_1", "video_missing"]}))
+    meta_csv = tmp_path / "meta.csv"
+    meta_csv.write_text(
+        "video_id,title,labels,youtube_id,yt8m_file\n"
+        "video_1,a cooking show,\"['Food']\",vidA,f1\n"
+        "video_missing,gone,\"[]\",nope,f2\n")
+    out = tmp_path / "hisum_pred.json"
+    results = benchmarks.run_hisum(
+        session,
+        input_dir=str(video_dir),
+        anno_file=str(anno),
+        h5_file=str(h5_path),
+        hisum_metadata=str(meta_csv),
+        video_metadata_file=str(tmp_path / "vmeta.json"),
+        output_fname=str(out),
+        frame_fps=1.0,
+        seed=0,
+    )
+    assert len(results) == 1  # missing video skipped
+    r = results[0]
+    assert r["h5_identifier"] == "video_1" and r["video_uuid"] == "vidA"
+    assert r["categories"] == ["Food"]
+    assert len(r["debug_data"]) == len(r["true_frames_list"]) == 3
+    assert json.loads(out.read_text()) == results
+
+
 def test_streaming_qa_driver(session, video_dir, tmp_path):
     test_file = tmp_path / "test.json"
     test_file.write_text(json.dumps([
