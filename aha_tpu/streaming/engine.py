@@ -265,18 +265,27 @@ class StreamEngine:
             zero valid tokens, so their cache state is untouched — exactly
             a paused independent session).
 
+            The loop returns to the host as soon as the ACTIVE SET SHRINKS
+            (any row triggers or reaches its limit), not when the whole
+            batch drains: every stop needs host action anyway (generate for
+            a trigger, refill/retire for a limit), and returning early
+            keeps continuous-batching slots busy instead of idling frozen
+            rows behind the batch's longest stream.
+
             Returns (cache, scores [B, T, 3], i [B] next index, score_sum
             [B], triggered [B]).
             """
             B, T = frames.shape[:2]
             scores_buf = jnp.zeros((B, T, 3), jnp.float32)
+            entry_active = start < limit
 
             def row_active(i, triggered):
                 return (i < limit) & ~triggered
 
             def cond(state):
                 i, _, _, _, triggered = state
-                return jnp.any(row_active(i, triggered))
+                act = row_active(i, triggered)
+                return jnp.any(act) & ~jnp.any(entry_active & ~act)
 
             def body(state):
                 i, cache, scores_buf, score_sum, triggered = state
