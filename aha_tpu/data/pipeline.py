@@ -33,6 +33,14 @@ from aha_tpu.utils import dist
 _DONE = object()
 
 
+class _Raise:
+    """Private wrapper so producer errors are unambiguous even if the
+    wrapped iterable legitimately yields exception objects as items."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_iterable(it, depth: int = 2):
     """Yield `it`'s items in order, computed up to `depth` ahead by a daemon
     thread. The eval drivers wrap their dataset loops with this so host
@@ -49,7 +57,7 @@ def prefetch_iterable(it, depth: int = 2):
                 q.put(x)
             q.put(_DONE)
         except BaseException as e:            # re-raised consumer-side
-            q.put(e)
+            q.put(_Raise(e))
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -58,8 +66,8 @@ def prefetch_iterable(it, depth: int = 2):
             x = q.get()
             if x is _DONE:
                 break
-            if isinstance(x, BaseException):
-                raise x
+            if isinstance(x, _Raise):
+                raise x.exc
             yield x
     finally:
         stop.set()

@@ -376,8 +376,8 @@ def run_streaming_qa_multi(
     (no 'auto' per-video fps)."""
     from aha_tpu.streaming.multi import MultiStreamScorer, MultiStreamServer
 
-    if not isinstance(frame_fps, (int, float)):
-        raise ValueError("concurrent streams need a fixed numeric frame_fps "
+    if not isinstance(frame_fps, (int, float)) or frame_fps <= 0:
+        raise ValueError("concurrent streams need a fixed positive frame_fps "
                          "(per-video 'auto' fps cannot run in lockstep)")
 
     dataset = StreamingVideoQADataset(
@@ -403,8 +403,11 @@ def run_streaming_qa_multi(
             pad = [(None, np.zeros((0, S, S, 3), np.uint8), [], frame_fps, 0.0)
                    ] * (batch - n)
             items = group + pad
+            # real rows default to "" like the solo driver (score_video
+            # appends an empty user turn — same cache prefix as N=1);
+            # zero-frame pad rows get None = no prefix at all
             queries = [next((t["content"] for t in it[2] if t["role"] == "user"),
-                            None) for it in items]
+                            "" if it[0] is not None else None) for it in items]
             debugs = multi.score_videos([it[1] for it in items], queries,
                                         fps=frame_fps)
             for it, dbg in zip(items[:n], debugs[:n]):

@@ -33,6 +33,8 @@ rows write into the cache's junk slot, never polluting attention).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,6 +130,14 @@ class MultiStreamScorer:
         return out
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _admit_row(buf, row, b):
+    """Write one stream's padded embed row into the serving frames buffer
+    in place (donated) — a plain eager ``buf.at[b].set`` would copy the
+    whole [B, max_frames, F, H] buffer on every admission."""
+    return buf.at[b].set(row)
+
+
 class MultiStreamSession:
     """B concurrent streaming-QA sessions in one batched engine.
 
@@ -173,19 +183,6 @@ class MultiStreamSession:
         self._gen_prompt_ids = tok.apply_chat_template(
             [{}], add_stream_generation_prompt=True)
 
-    def _pack_frames(self, videos):
-        lengths = [v.shape[0] for v in videos]
-        T_max = max(lengths)
-        flat = np.concatenate(videos, axis=0)
-        embeds = self.engine.encode_frames(flat)
-        F, H = embeds.shape[1], embeds.shape[2]
-        packed = jnp.zeros((self.batch, T_max, F, H), embeds.dtype)
-        off = 0
-        for i, n in enumerate(lengths):
-            packed = packed.at[i, :n].set(embeds[off:off + n])
-            off += n
-        return packed, lengths
-
     def run(
         self,
         videos: list[np.ndarray],          # B arrays [T_i, S, S, 3]
@@ -193,148 +190,29 @@ class MultiStreamSession:
         *,
         fps: float,
     ) -> list[dict]:
+        """Lockstep serving of exactly `batch` streams — a fixed-group
+        special case of :meth:`run_items` (all slots admitted up front, no
+        refill). Kept as the API the bench and the lockstep A/B drive."""
         B = self.batch
         assert len(videos) == B and len(conversations) == B
-        a = self.args
-        frames, lengths = self._pack_frames(videos)
-        T = [lengths[b] for b in range(B)]
+        T_max = max((int(v.shape[0]) for v in videos), default=1)
+        res = self.run_items(
+            list(zip(range(B), videos, conversations)),
+            fps=fps, max_frames=max(T_max, 1),
+        )
+        return [res[b] for b in range(B)]
 
-        cache = self.engine.new_cache()
-        counts = self.engine.new_rep_counts()
-        i = np.zeros(B, np.int64)                  # next frame index per row
-        score_sum = np.zeros(B, np.float64)
-        last_role = ["system"] * B
-        init_vision = [False] * B
-        pending_last: list[list[int]] = [[] for _ in range(B)]
-        queries = [sorted(
-            [t for t in conv if t.get("role") == "user"], key=lambda t: t["time"]
-        ) for conv in conversations]
-        q_ptr = [0] * B
-        responses: list[list[dict]] = [
-            [{"time": t["time"], "content": t["content"], "role": "user"}
-             for t in queries[b]] for b in range(B)]
-        debug: list[list[dict]] = [[] for _ in range(B)]
+    def run_items(self, items, *, fps: float, on_result=None,
+                  max_frames: int | None = None) -> dict:
+        """The serving loop: admit -> queries -> prefixes -> trigger
+        scoring -> generation -> retire, over `batch` slots.
 
-        def query_due(b):
-            return (q_ptr[b] < len(queries[b])
-                    and i[b] / fps >= queries[b][q_ptr[b]]["time"])
-
-        while any(i[b] < T[b] for b in range(B)):
-            # 1. queries due now (per-row ragged chunk; [] rows are no-ops)
-            q_rows = [[] for _ in range(B)]
-            any_q = False
-            for b in range(B):
-                if i[b] < T[b] and query_due(b):
-                    q = queries[b][q_ptr[b]]
-                    q_rows[b] = self.tokenizer.apply_chat_template(
-                        [{"role": "user", "content": q["content"]}],
-                        add_stream_query_prompt=last_role[b] == "stream",
-                        add_stream_prompt=True,
-                    )
-                    q_ptr[b] += 1
-                    last_role[b] = "user"
-                    any_q = True
-            if any_q:
-                cache, _ = self.engine.append_ids(cache, q_rows)
-
-            # 2. role-transition prefixes owed before the next frame
-            p_rows = [[] for _ in range(B)]
-            any_p = False
-            for b in range(B):
-                if i[b] >= T[b]:
-                    continue
-                if not init_vision[b]:
-                    p_rows[b] = list(self._start_ids)
-                    init_vision[b] = True
-                elif last_role[b] == "assistant" and not a.remove_assistant_turns:
-                    p_rows[b] = pending_last[b] + list(self._stream_prompt_ids)
-                if p_rows[b]:
-                    any_p = True
-            if any_p:
-                cache, _ = self.engine.append_ids(cache, p_rows)
-
-            # 3. per-row frame limit: own length or next query boundary
-            limit = np.array(T, np.int64)
-            for b in range(B):
-                if q_ptr[b] < len(queries[b]):
-                    boundary = int(np.ceil(queries[b][q_ptr[b]]["time"] * fps))
-                    limit[b] = min(limit[b], max(boundary, i[b]))
-            cache, scores, i_new, new_sum, triggered = \
-                self.engine.score_until_trigger_multi(
-                    cache, frames, i, limit, score_sum,
-                    a.stream_end_prob_threshold,
-                    a.stream_end_score_sum_threshold,
-                    tuple(a.score_heads),
-                )
-            i_new = np.asarray(jax.device_get(i_new), np.int64)
-            triggered = np.asarray(jax.device_get(triggered), bool)
-            s_host = np.asarray(jax.device_get(scores), np.float64)
-            score_sum = np.asarray(jax.device_get(new_sum), np.float64)
-            for b in range(B):
-                if i_new[b] > i[b]:
-                    last_role[b] = "stream"
-                for t in range(int(i[b]), int(i_new[b])):
-                    debug[b].append(dict(
-                        time=t / fps,
-                        informative_score=float(s_host[b, t, 0]),
-                        relevance_score=float(s_host[b, t, 1]),
-                        uncertainty_score=float(s_host[b, t, 2]),
-                    ))
-            i = i_new
-
-            # 4. batched generation for the triggered subset
-            if triggered.any():
-                pre_cache = cache
-                g_rows = [list(self._gen_prompt_ids) if triggered[b] else []
-                          for b in range(B)]
-                gen_cache, out_ids, out_len, counts, last_tok = \
-                    self.engine.generate(cache, g_rows, counts,
-                                         active=jnp.asarray(triggered))
-                cache = pre_cache if a.remove_assistant_turns else gen_cache
-                out_ids = np.asarray(jax.device_get(out_ids))
-                out_len = np.asarray(jax.device_get(out_len))
-                last_tok = np.asarray(jax.device_get(last_tok))
-                for b in range(B):
-                    if not triggered[b]:
-                        continue
-                    n = int(out_len[b])
-                    text = self.tokenizer.decode(out_ids[b, :n],
-                                                 skip_special_tokens=True)
-                    responses[b].append({
-                        "time": (int(i[b]) - 1) / fps,
-                        "content": text, "role": "assistant",
-                    })
-                    if not a.remove_assistant_turns:
-                        pending_last[b] = [int(last_tok[b])]
-                        last_role[b] = "assistant"
-
-        return [
-            {"responses": sorted(responses[b], key=lambda x: x["time"]),
-             "debug_data": debug[b]}
-            for b in range(B)
-        ]
-
-
-class MultiStreamServer(MultiStreamSession):
-    """Continuous batching over ``batch`` slots (see module docstring).
-
-    API: ``run_items(items, fps)`` with ``items`` an iterable of
-    ``(key, video, conversation)``; returns ``{key: {"responses",
-    "debug_data"}}``. Streams are admitted in order as slots free; a slot is
-    recycled with a per-row cache reset, so each stream's outputs equal an
-    independent :class:`StreamSession`'s (tests/test_multi_stream.py).
-    """
-
-    def __init__(self, params, cfg, tokenizer, infer_cfg, *, batch,
-                 max_frames, engine=None):
-        super().__init__(params, cfg, tokenizer, infer_cfg, batch=batch,
-                         engine=engine)
-        self.max_frames = max_frames
-
-    def run_items(self, items, *, fps: float, on_result=None) -> dict:
-        """on_result(key, result): optional callback fired the moment a
+        on_result(key, result): optional callback fired the moment a
         stream retires (completion order — callers wanting dataset order
-        buffer and reorder)."""
+        buffer and reorder). max_frames: per-call frames-buffer length
+        (defaults to the instance setting)."""
+        max_frames = max_frames or getattr(self, "max_frames", None)
+        assert max_frames, "max_frames required (ctor or call)"
         a = self.args
         B = self.batch
         eng = self.engine
@@ -343,7 +221,7 @@ class MultiStreamServer(MultiStreamSession):
         exhausted = False
 
         frames_buf = jnp.zeros(
-            (B, self.max_frames, cfg.frame_num_tokens, cfg.llm.hidden_size),
+            (B, max_frames, cfg.frame_num_tokens, cfg.llm.hidden_size),
             jnp.dtype(cfg.dtype))
         cache = eng.new_cache()
         counts = eng.new_rep_counts()
@@ -391,10 +269,12 @@ class MultiStreamServer(MultiStreamSession):
                             on_result(k, results[k])
                         continue
                     n = video.shape[0]
-                    assert n <= self.max_frames, (n, self.max_frames)
+                    assert n <= max_frames, (n, max_frames)
                     emb = eng.encode_frames(video)            # [n, F, H]
-                    frames_buf = frames_buf.at[b, :n].set(
-                        emb.astype(frames_buf.dtype))
+                    row = jnp.zeros((max_frames, *emb.shape[1:]),
+                                    frames_buf.dtype)
+                    row = row.at[:n].set(emb.astype(frames_buf.dtype))
+                    frames_buf = _admit_row(frames_buf, row, jnp.int32(b))
                     occupied[b] = True
                     key[b] = k
                     T[b], i[b], score_sum[b] = n, 0, 0.0
@@ -518,3 +398,20 @@ class MultiStreamServer(MultiStreamSession):
                         on_result(key[b], results[key[b]])
 
         return results
+
+
+class MultiStreamServer(MultiStreamSession):
+    """Continuous batching over ``batch`` slots (see module docstring).
+
+    API: ``run_items(items, fps)`` with ``items`` an iterable of
+    ``(key, video, conversation)``; returns ``{key: {"responses",
+    "debug_data"}}``. Streams are admitted in order as slots free; a slot is
+    recycled with a per-row cache reset, so each stream's outputs equal an
+    independent :class:`StreamSession`'s (tests/test_multi_stream.py).
+    """
+
+    def __init__(self, params, cfg, tokenizer, infer_cfg, *, batch,
+                 max_frames, engine=None):
+        super().__init__(params, cfg, tokenizer, infer_cfg, batch=batch,
+                         engine=engine)
+        self.max_frames = max_frames

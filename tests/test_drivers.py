@@ -307,6 +307,12 @@ def test_streaming_qa_multi_matches_solo(session, video_dir, tmp_path):
     write_fake_video(video_dir / "vidC.mp4", n_frames=16)
     test_file = tmp_path / "multi_test.json"
     _write_qa_file(test_file, ["vidA", "vidB", "vidC"])
+    # one stream with NO user turn: solo and multi must use the same ""
+    # query prefix (regression: multi used to skip the prefix entirely)
+    entries = json.loads(test_file.read_text())
+    entries.append({"question_id": "qE", "video": "vidC.mp4",
+                    "conversation": []})
+    test_file.write_text(json.dumps(entries))
     common = dict(test_fname=str(test_file), input_dir=str(video_dir),
                   frame_fps=1.0, max_num_frames=10, grounding_mode=True)
     solo = benchmarks.run_streaming_qa(
