@@ -279,6 +279,35 @@ def run_bench(preset: str) -> dict:
 
     multi_qa_fps, qa_lo, qa_hi = _stats(run_multi_qa, repeats=3)
 
+    # ragged continuous batching (MultiStreamServer): 16 streams of uneven
+    # length served over 8 slots — a finished stream's slot is refilled
+    # immediately (measured 1.9x over lockstep groups on the same ragged
+    # set, scripts/perf/ab_continuous_batching.py). Triggers disabled: this
+    # isolates the scheduler; multi_stream_qa_8x above covers trigger+gen.
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    cb_icfg = InferConfig(stream_end_score_sum_threshold=1e9, frame_fps=1.0,
+                          kv_cache_policy="sink", kv_window=2048,
+                          num_sink_tokens=32, max_new_tokens=8)
+    cb = MultiStreamServer(engine.params, cfg, qa_tok, cb_icfg, batch=B,
+                           max_frames=BENCH_FRAMES)
+    cb_rng = np.random.default_rng(7)
+    # longer ragged streams (16..64 frames): each retirement costs a host
+    # round-trip, so very short streams measure tunnel dispatch, not serving
+    cb_lens = cb_rng.integers(BENCH_FRAMES // 4, BENCH_FRAMES + 1, 16)
+    cb_lens[B - 1] = cb_lens[-1] = BENCH_FRAMES  # pin the compile shape
+    cb_items = [(j, frames[:int(n)], qa_convs[0]) for j, n in enumerate(cb_lens)]
+    cb_total = int(cb_lens.sum())
+    cb.run_items(cb_items, fps=1.0)              # warmup/compile
+
+    def run_cb():
+        t0 = time.perf_counter()
+        outs = cb.run_items(cb_items, fps=1.0)
+        assert len(outs) == 16
+        return cb_total / (time.perf_counter() - t0)
+
+    cb_fps, cb_lo, cb_hi = _stats(run_cb, repeats=3)
+
     # greedy decode throughput (MAGQA/YouCook2 generation mode)
     from aha_tpu.streaming.engine import StreamEngine as _SE2
 
@@ -318,6 +347,7 @@ def run_bench(preset: str) -> dict:
         "multi_stream_8x_aggregate_fps": round(multi_fps, 3),
         "multi_stream_8x_w8a8_fps": round(multi_w8a8_fps, 3),
         "multi_stream_qa_8x_fps": round(multi_qa_fps, 3),
+        "continuous_batching_16rag_fps": round(cb_fps, 3),
         "repeats": REPEATS,
         "spread": {
             "stepwise_fps": [round(fps_lo, 2), round(fps_hi, 2)],
@@ -326,6 +356,7 @@ def run_bench(preset: str) -> dict:
             "multi_stream_8x_aggregate_fps": [round(multi_lo, 2), round(multi_hi, 2)],
             "multi_stream_8x_w8a8_fps": [round(m8_lo, 2), round(m8_hi, 2)],
             "multi_stream_qa_8x_fps": [round(qa_lo, 2), round(qa_hi, 2)],
+            "continuous_batching_16rag_fps": [round(cb_lo, 2), round(cb_hi, 2)],
             "decode_tokens_per_sec": [round(dec_lo, 2), round(dec_hi, 2)],
         },
     }
