@@ -281,22 +281,24 @@ def run_bench(preset: str) -> dict:
 
     # ragged continuous batching (MultiStreamServer): 16 streams of uneven
     # length served over 8 slots — a finished stream's slot is refilled
-    # immediately (measured 1.9x over lockstep groups on the same ragged
-    # set, scripts/perf/ab_continuous_batching.py). Triggers disabled: this
-    # isolates the scheduler; multi_stream_qa_8x above covers trigger+gen.
+    # immediately. Triggers disabled: this isolates the scheduler;
+    # multi_stream_qa_8x above covers trigger+gen. Streams are pre-encoded
+    # device arrays: the axon tunnel's ~17 MB/s host->device path would
+    # otherwise dominate (vision + transfer costs are measured elsewhere).
     from aha_tpu.streaming.multi import MultiStreamServer
 
     cb_icfg = InferConfig(stream_end_score_sum_threshold=1e9, frame_fps=1.0,
                           kv_cache_policy="sink", kv_window=2048,
                           num_sink_tokens=32, max_new_tokens=8)
     cb = MultiStreamServer(engine.params, cfg, qa_tok, cb_icfg, batch=B,
-                           max_frames=BENCH_FRAMES)
+                           max_frames=BENCH_FRAMES, engine=qa.engine)
+    cb.engine.encode_frames = lambda v: v        # qa section is done with it
     cb_rng = np.random.default_rng(7)
     # longer ragged streams (16..64 frames): each retirement costs a host
     # round-trip, so very short streams measure tunnel dispatch, not serving
     cb_lens = cb_rng.integers(BENCH_FRAMES // 4, BENCH_FRAMES + 1, 16)
     cb_lens[B - 1] = cb_lens[-1] = BENCH_FRAMES  # pin the compile shape
-    cb_items = [(j, frames[:int(n)], qa_convs[0]) for j, n in enumerate(cb_lens)]
+    cb_items = [(j, embeds[:int(n)], qa_convs[0]) for j, n in enumerate(cb_lens)]
     cb_total = int(cb_lens.sum())
     cb.run_items(cb_items, fps=1.0)              # warmup/compile
 

@@ -52,8 +52,13 @@ def main():
     lengths = rng.integers(30, 151, N_STREAMS)
     lengths[B - 1] = lengths[-1] = T_CAP     # pin both group maxima
     F, H = cfg.frame_num_tokens, cfg.llm.hidden_size
-    embeds = [(0.02 * rng.standard_normal((int(n), F, H))).astype(np.float32)
-              for n in lengths]
+    # place embeds on device ONCE, before timing: the axon tunnel moves
+    # host->device data at ~17 MB/s, so host-resident streams would make
+    # both sides measure the tunnel (1.7 GB here), not the scheduler
+    embeds = [jnp.asarray(
+        (0.02 * rng.standard_normal((int(n), F, H))).astype(np.float32),
+        jnp.bfloat16) for n in lengths]
+    jax.block_until_ready(embeds)
     total = int(lengths.sum())
     print("lengths:", lengths.tolist(), "total frames:", total, flush=True)
 
