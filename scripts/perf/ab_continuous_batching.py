@@ -13,12 +13,16 @@ threshold so both sides do pure scoring through the same machinery.
 Run on the TPU: python scripts/perf/ab_continuous_batching.py
 (One TPU process at a time.)
 
-Measured 2026-08-17, v5e-1 via axon tunnel (1599 frames total):
-    continuous batching: 63.0 s  (25.4 fps aggregate)
-    lockstep groups:    119.7 s  (13.4 fps aggregate)   -> 1.9x
-Both absolute rates ride the per-frame trigger loop
-(score_until_trigger_multi), which is the next lever — the pure-scan
-serving path does 139-195 fps on the same chip (BASELINE.md).
+Measured 2026-08-17, v5e-1 via axon tunnel, device-resident streams
+(1599 frames): server 282 batch iterations vs lockstep 300, both at
+~60 ms/iteration of device time (the batched trigger loop runs at scan
+speed — see BASELINE.md "Serving scheduler"). NOTE the workload pins both
+group maxima to T_CAP so lockstep compiles once — that also makes
+lockstep near-optimal on iterations; its real-world costs (per-group-
+length recompiles, whole group idling behind its longest stream) don't
+show here. Wall-clock on this tunnel is dominated by ~40 ms-per-dispatch
+RTT (the server intentionally returns per retirement to refill slots),
+so iteration counts are the robust comparison.
 """
 import json
 import pathlib
