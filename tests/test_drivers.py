@@ -259,6 +259,36 @@ def test_cli_infer_live_demo_branch(video_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_offline_baseline_driver(video_dir, tmp_path):
+    """run_offline_baseline (ref test/inference.py:910-951): whole video +
+    question -> one generated answer per example, JSONL."""
+    cfg = aha_tiny(vocab_size=256)
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(cfg, seed=0)
+    sess = build_session(params, cfg, tokenizer, InferConfig(
+        frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+        stream_end_prob_threshold=0.5, kv_cache_policy="sink",
+        kv_window=128, num_sink_tokens=8, max_new_tokens=6,
+    ))
+    test_file = tmp_path / "ob_test.json"
+    test_file.write_text(json.dumps([
+        {"question_id": "b1", "video": "vidA.mp4",
+         "conversation": [{"role": "user", "content": "what happens?",
+                           "time": 0}]},
+    ]))
+    out = tmp_path / "ob_pred.jsonl"
+    results = benchmarks.run_offline_baseline(
+        sess, test_fname=str(test_file), input_dir=str(video_dir),
+        output_fname=str(out), frame_fps=1.0, max_num_frames=4,
+    )
+    assert len(results) == 1
+    r = results[0]
+    assert r["question_id"] == "b1" and r["question"] == "what happens?"
+    assert isinstance(r["model_response"], list) and len(r["model_response"]) == 1
+    assert isinstance(r["model_response"][0], str)
+    assert [json.loads(l) for l in out.read_text().splitlines()] == results
+
+
+@pytest.mark.slow
 def test_streaming_qa_with_generation(video_dir, tmp_path):
     """Full streaming QA pass with generation triggers (magqa/youcook2 mode)."""
     cfg = aha_tiny(vocab_size=256)
