@@ -566,6 +566,8 @@ def cmd_visualize(argv):
 
     from aha_tpu.drivers import visualize as viz
 
+    if args.func in ("hisum_sota", "pred_vs_gt") and not args.gold_file:
+        p.error(f"--gold_file is required for --func {args.func}")
     os.makedirs(args.output, exist_ok=True)
     if args.func == "hisum_sota":
         with open(args.params_file) as f:
@@ -581,8 +583,6 @@ def cmd_visualize(argv):
             metrics, os.path.join(args.output, "tvsum_results_comparison.png"))
         print(path)
     else:
-        with open(args.params_file) as f:
-            params = json.load(f)[args.params_key or "tvsum"]
         with open(args.gold_file) as f:
             gt = json.load(f)
         paths = viz.visualize_benchmark(

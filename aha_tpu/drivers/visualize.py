@@ -196,8 +196,13 @@ def tvsum_sota_figure(
 ) -> str:
     """TVSum comparison panel from already-computed metrics (cli evaluate
     --func tvsum output); callers pass published baselines for the setting
-    they compare against (prompt-ablation tables etc.)."""
-    ours = {k: round(float(metrics_ours[k]) * (100 if metrics_ours[k] <= 1 else 1), 2)
-            for k in metrics if k in metrics_ours}
+    they compare against (prompt-ablation tables etc.).
+
+    Fractions are rescaled to percent once PER DICT (evaluate emits all
+    metrics in [0, 1]; a per-value heuristic would mis-scale a legitimately
+    small percentage next to unscaled ones)."""
+    vals = {k: float(metrics_ours[k]) for k in metrics if k in metrics_ours}
+    scale = 100.0 if vals and max(vals.values()) <= 1.0 else 1.0
+    ours = {k: round(v * scale, 2) for k, v in vals.items()}
     return sota_comparison_plot(ours, baselines or {}, tuple(ours.keys()),
                                 out_path, title="TVSum results")

@@ -105,16 +105,20 @@ def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float 
     else:
         y = jnp.einsum("...i,io->...o", x, _idx(kernel, layer))
     if lora is not None:
-        # y += scale * (x @ A) @ B — computed at low rank, never materializing
-        # W+ΔW. Adapters are f32 masters; the delta is cast back to the
-        # activation dtype so bf16 carries stay bf16 under scan.
-        y = y + (lora_scale * jnp.einsum(
-            "...r,ro->...o",
-            jnp.einsum("...i,ir->...r", x, _idx(lora["a"], layer)),
-            _idx(lora["b"], layer))).astype(y.dtype)
+        y = y + _ab_delta(x, lora, lora_scale, layer)
     if "bias" in p:
         y = y + _idx(p["bias"], layer)
     return y
+
+
+def _ab_delta(x, ab: dict, lora_scale, layer):
+    """scale * (x @ A) @ B — computed at low rank, never materializing
+    W+ΔW. Adapters are f32 masters; the delta is cast back to the
+    activation dtype so bf16 carries stay bf16 under scan."""
+    return (lora_scale * jnp.einsum(
+        "...r,ro->...o",
+        jnp.einsum("...i,ir->...r", x, _idx(ab["a"], layer)),
+        _idx(ab["b"], layer))).astype(x.dtype)
 
 
 def _layer_lora(lora: dict | None, name: str):
@@ -127,10 +131,7 @@ def _lora_delta(x, lora, name, lora_scale, layer):
     l = _layer_lora(lora, name)
     if l is None:
         return 0.0
-    return (lora_scale * jnp.einsum(
-        "...r,ro->...o",
-        jnp.einsum("...i,ir->...r", x, _idx(l["a"], layer)),
-        _idx(l["b"], layer))).astype(x.dtype)
+    return _ab_delta(x, l, lora_scale, layer)
 
 
 def _mlp(x, lp, lora, lora_scale, layer=None):

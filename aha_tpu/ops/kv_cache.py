@@ -46,8 +46,9 @@ class CachePolicy:
     slot_pad — extra slots beyond the window (>= 1). Slot `window` is the
         junk slot that absorbs padded-token writes; any further pad slots
         are never written (order stays -1, so they are masked everywhere).
-        The engine rounds num_slots up to a multiple of 128 so the Pallas
-        decode-attention kernel gets tileable cache shapes.
+        Under AHA_DECODE_ATTN=pallas the engine rounds num_slots up to a
+        multiple of 128 (`with_aligned_slots`) so the Pallas decode-
+        attention kernel gets tileable cache shapes.
     """
 
     kind: str = "sink"

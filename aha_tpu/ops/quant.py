@@ -117,11 +117,13 @@ def matmul_backend() -> str:
     return os.environ.get("AHA_QUANT_MATMUL", "auto")
 
 
-def _fused_ok(K: int, N: int) -> bool:
+def _fused_ok(K: int, N: int, group: int | None = None) -> bool:
     import jax
 
+    from aha_tpu.ops.pallas.fused_matmul import fused_compatible
+
     return (jax.default_backend() in ("tpu", "axon")
-            and K % 256 == 0 and N % 128 == 0)
+            and fused_compatible(K, N, group))
 
 
 def use_pallas_matmul() -> bool:
@@ -166,7 +168,9 @@ def qlinear(x: jnp.ndarray, qkernel: dict, layer=None) -> jnp.ndarray:
     backend = matmul_backend()
     if "q4value" in qkernel:
         Kh, N = qkernel["q4value"].shape[-2:]
-        if backend in ("auto", "fused", "fused_a8") and _fused_ok(2 * Kh, N):
+        group = 2 * Kh // qkernel["scale4"].shape[-2]
+        if (backend in ("auto", "fused", "fused_a8")
+                and _fused_ok(2 * Kh, N, group)):
             from aha_tpu.ops.pallas.fused_matmul import int4_matmul
 
             return int4_matmul(x, qkernel["q4value"], qkernel["scale4"],

@@ -119,13 +119,15 @@ def cache_specs(cache, mesh: Mesh):
     """PartitionSpecs for a streaming KVCache: kv heads over `model`
     (TP inference — each shard attends with its own heads), batch over
     `data` (multi-stream serving), metadata along batch. Divisibility-
-    guarded like everything else (GQA has only 4 kv heads on the 7B)."""
-    import dataclasses
-
+    guarded like everything else (GQA has only 4 kv heads on the 7B).
+    int8 KV mode adds per-(slot, head) scales sharded like k/v."""
     from aha_tpu.ops.kv_cache import KVCache
 
     def g(spec, arr):
         return _guard(spec, np.shape(arr), mesh)
+
+    def g_opt(spec, arr):
+        return None if arr is None else g(spec, arr)
 
     return KVCache(
         k=g(P(None, "data", None, "model", None), cache.k),
@@ -134,6 +136,8 @@ def cache_specs(cache, mesh: Mesh):
         order=g(P("data", None), cache.order),
         seen=g(P("data"), cache.seen),
         length=g(P("data"), cache.length),
+        k_scale=g_opt(P(None, "data", None, "model"), cache.k_scale),
+        v_scale=g_opt(P(None, "data", None, "model"), cache.v_scale),
     )
 
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from aha_tpu.config import AhaConfig
 from aha_tpu.models import aha, qwen2
+from aha_tpu.ops import attention
 from aha_tpu.ops.kv_cache import (CachePolicy, KVCache, init_cache,
                                   reset_cache, reset_cache_rows)
 
@@ -105,6 +106,11 @@ class StreamEngine:
         (15.8 GB weights) serves on a v5e-4 where one 16 GB chip cannot
         hold it (SURVEY §7 "7B weights + cache on small-HBM chips")."""
         self.cfg = cfg
+        if attention._decode_attn_backend() == "pallas":
+            # the fused decode-attention kernel needs tileable cache shapes;
+            # without this the opt-in env var silently fell back to jnp
+            # (the default 2049-slot cache fails _pallas_decode_ok)
+            policy = policy.with_aligned_slots(128)
         self.policy = policy
         self.batch = batch
         self.max_new_tokens = max_new_tokens

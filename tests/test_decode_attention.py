@@ -91,3 +91,25 @@ def test_aligned_slots_policy():
     assert p.junk == 2048
     tiny = CachePolicy("sliding", window=8).with_aligned_slots()
     assert tiny.num_slots % 128 == 0
+
+
+def test_engine_aligns_slots_for_pallas(monkeypatch):
+    """AHA_DECODE_ATTN=pallas must actually reach the kernel: the engine
+    realigns the cache slots (regression: the env var silently fell back
+    to jnp because 2049 % 8 != 0)."""
+    import jax.numpy as jnp
+
+    from aha_tpu.config import aha_tiny
+    from aha_tpu.models import aha as aha_mod
+    from aha_tpu.ops.kv_cache import CachePolicy
+    from aha_tpu.streaming.engine import StreamEngine
+
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha_mod.build_model_and_tokenizer(cfg, seed=0)
+    policy = CachePolicy("sink", window=64, num_sink=4)
+    monkeypatch.setenv("AHA_DECODE_ATTN", "pallas")
+    eng = StreamEngine(params, cfg, policy)
+    assert eng.policy.num_slots % 128 == 0
+    monkeypatch.delenv("AHA_DECODE_ATTN")
+    eng2 = StreamEngine(params, cfg, policy)
+    assert eng2.policy.num_slots == 65

@@ -189,3 +189,35 @@ def test_mesh_sharded_engine_matches_single_device(model):
     g1 = sharded.generate(c1, [[5, 6, 7], [8, 9]], sharded.new_rep_counts())
     np.testing.assert_array_equal(np.asarray(g0[1]), np.asarray(g1[1]))  # out_ids
     np.testing.assert_array_equal(np.asarray(g0[2]), np.asarray(g1[2]))  # out_len
+
+
+def test_mesh_sharded_int8_kv_cache(model):
+    """docs/DISTRIBUTED.md recommends mesh serving + int8 KV for wide
+    batches; shard_cache must handle the k_scale/v_scale fields
+    (regression: cache_specs omitted them and crashed)."""
+    import jax
+    import jax.numpy as jnp
+    from aha_tpu.ops.kv_cache import CachePolicy
+    from aha_tpu.parallel.mesh import make_mesh
+    from aha_tpu.streaming.engine import StreamEngine
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(4)
+    r = cfg.frame_resolution
+    frames = rng.integers(0, 255, (3, r, r, 3), dtype=np.uint8)
+    policy = CachePolicy("sink", window=32, num_sink=4)
+
+    base = StreamEngine(params, cfg, policy, batch=2, kv_dtype=jnp.int8)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = StreamEngine(params, cfg, policy, batch=2, kv_dtype=jnp.int8,
+                           mesh=mesh)
+    embeds = base.encode_frames(frames)
+    stacked = np.broadcast_to(np.asarray(embeds)[None], (2, *embeds.shape)).copy()
+    c0 = base.new_cache()
+    assert c0.quantized
+    c0, s0 = base.score_stream(c0, stacked)
+    c1 = sharded.new_cache()
+    assert c1.quantized
+    c1, s1 = sharded.score_stream(c1, np.asarray(stacked))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=2e-4, atol=2e-4)
