@@ -106,18 +106,10 @@ def test_load_frame_folder(tmp_path):
     assert duration == pytest.approx(1.5)
 
 
-def test_load_params_from_files(tmp_path, monkeypatch):
-    """File-level checkpoint roundtrip: write a torch-style .bin state dict
-    for the tiny composite model, load via load_params, check forward parity
-    with the in-memory conversion."""
+def _hf_style_state_dict(params, cfg):
+    """Build an HF-style torch state dict from our params (reverse layout)."""
     import torch
 
-    from aha_tpu.config import aha_tiny
-
-    cfg = aha_tiny(vocab_size=64)
-    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=3)
-
-    # build an HF-style state dict from our params (reverse layout)
     sd = {}
     llm = params["llm"]
     L = cfg.llm.num_layers
@@ -177,6 +169,21 @@ def test_load_params_from_files(tmp_path, monkeypatch):
         sd[f"{name}_head.weight"] = torch.tensor(
             np.asarray(params["heads"][name]["kernel"]).T)
 
+    return sd
+
+
+def test_load_params_from_files(tmp_path, monkeypatch):
+    """File-level checkpoint roundtrip: write a torch-style .bin state dict
+    for the tiny composite model, load via load_params, check forward parity
+    with the in-memory conversion."""
+    import torch
+
+    from aha_tpu.config import aha_tiny
+
+    cfg = aha_tiny(vocab_size=64)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=3)
+    sd = _hf_style_state_dict(params, cfg)
+
     ckpt_dir = tmp_path / "ckpt"
     ckpt_dir.mkdir()
     torch.save(sd, ckpt_dir / "pytorch_model.bin")
@@ -192,3 +199,39 @@ def test_load_params_from_files(tmp_path, monkeypatch):
     a = np.asarray(visual_embed(params, cfg, frames))
     b = np.asarray(visual_embed(loaded, cfg, frames))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_load_params_from_sharded_bf16_safetensors(tmp_path):
+    """The real llava-onevision checkpoint ships as sharded bf16
+    .safetensors; _read_state_dict must merge shards and preserve bf16
+    (numpy framework reads bf16 via ml_dtypes)."""
+    import torch
+    from safetensors.torch import save_file
+
+    from aha_tpu.config import aha_tiny
+
+    cfg = aha_tiny(vocab_size=64)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=4)
+    sd = {k: v.to(torch.bfloat16).contiguous()
+          for k, v in _hf_style_state_dict(params, cfg).items()}
+
+    ckpt_dir = tmp_path / "ckpt_st"
+    ckpt_dir.mkdir()
+    keys = sorted(sd)
+    half = len(keys) // 2
+    save_file({k: sd[k] for k in keys[:half]},
+              str(ckpt_dir / "model-00001-of-00002.safetensors"))
+    save_file({k: sd[k] for k in keys[half:]},
+              str(ckpt_dir / "model-00002-of-00002.safetensors"))
+
+    import jax.numpy as jnp
+
+    loaded = loader.load_params(str(ckpt_dir), cfg, dtype=jnp.bfloat16)
+    assert loaded["llm"]["embed"]["weight"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(loaded["llm"]["layers"]["q_proj"]["kernel"], np.float32),
+        np.asarray(params["llm"]["layers"]["q_proj"]["kernel"], np.float32),
+        rtol=1e-2, atol=1e-2)  # bf16 round-trip
+    # converted projector/heads present and sane
+    assert loaded["projector"]["fc1"]["kernel"].dtype == jnp.bfloat16
+    assert set(loaded["heads"]) == {"informative", "relevance", "uncertainty"}
