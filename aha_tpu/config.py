@@ -290,11 +290,16 @@ class InferConfig:
 
     first_n_frames_no_generate: int = 0
     running_list_length: int = 20
+    # accepted for LiveTestArguments flag parity but BEHAVIORALLY INERT —
+    # the reference assigns these in __init__ (test/inference.py:66-81) and
+    # never reads them in any decision (consecutive_n_frames is reset at
+    # :326 but the threshold is never compared; the wait flags appear in no
+    # loop). Kept so reference run scripts parse; do not expect an effect.
     consecutive_n_frames_threshold: int = 1
-    remove_assistant_turns: bool = False
-    score_heads: tuple[str, ...] = ("relevance_score", "informative_score")
     uncertainty_wait_threshold: float = 0.0
     max_wait_frames: int = 3
+    remove_assistant_turns: bool = False
+    score_heads: tuple[str, ...] = ("relevance_score", "informative_score")
     max_new_tokens: int = 200
 
     # KV cache policy: "sink" | "sliding" | "static" | "none"

@@ -194,11 +194,15 @@ def forward_train(
     lora_scale: float = 0.0,
     remat: bool = True,
     ring: tuple | None = None,
+    lora_dropout: float = 0.0,
+    dropout_rng: jnp.ndarray | None = None,
 ) -> AhaOutputs:
     """Full-sequence forward used by training and offline eval.
 
     ring=(mesh, seq_axis): route attention through sequence-parallel ring
-    attention (long-context training past one device's memory)."""
+    attention (long-context training past one device's memory).
+    lora_dropout/dropout_rng: train-time peft-style adapter-input dropout
+    (see qwen2.forward_hidden)."""
     frame_embeds = None
     if frames is not None:
         fe = visual_embed(params, cfg, frames)          # [N, F, H]
@@ -212,6 +216,7 @@ def forward_train(
         params["llm"], cfg.llm, embeds,
         attn_mask=attn_mask, positions=positions, lora=lora, lora_scale=lora_scale,
         remat=remat, ring=ring,
+        lora_dropout=lora_dropout, dropout_rng=dropout_rng,
     )
     return apply_heads(params, cfg, hidden)
 

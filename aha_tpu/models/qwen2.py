@@ -91,7 +91,7 @@ def _idx(a, layer):
 
 
 def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float = 0.0,
-           layer=None) -> jnp.ndarray:
+           layer=None, lora_dropout: float = 0.0) -> jnp.ndarray:
     """layer: optional traced int — p (and lora) carry stacked [L, ...]
     leaves and this layer is selected. Quantized kernels pass the index all
     the way into the Pallas kernel (scalar prefetch) so the scan never
@@ -105,16 +105,25 @@ def linear(x: jnp.ndarray, p: dict, lora: dict | None = None, lora_scale: float 
     else:
         y = jnp.einsum("...i,io->...o", x, _idx(kernel, layer))
     if lora is not None:
-        y = y + _ab_delta(x, lora, lora_scale, layer)
+        y = y + _ab_delta(x, lora, lora_scale, layer, lora_dropout)
     if "bias" in p:
         y = y + _idx(p["bias"], layer)
     return y
 
 
-def _ab_delta(x, ab: dict, lora_scale, layer):
+def _ab_delta(x, ab: dict, lora_scale, layer, dropout_rate: float = 0.0):
     """scale * (x @ A) @ B — computed at low rank, never materializing
     W+ΔW. Adapters are f32 masters; the delta is cast back to the
-    activation dtype so bf16 carries stay bf16 under scan."""
+    activation dtype so bf16 carries stay bf16 under scan.
+
+    dropout_rate > 0 with an "rng" leaf in `ab` (train-time only — see
+    forward_hidden) applies inverted dropout to the ADAPTER INPUT, the
+    reference's peft `lora_dropout=0.05` semantics (one independent mask
+    per projection per layer per step; the frozen base path never sees it)."""
+    if dropout_rate > 0.0 and "rng" in ab:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(_idx(ab["rng"], layer), keep, x.shape)
+        x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
     return (lora_scale * jnp.einsum(
         "...r,ro->...o",
         jnp.einsum("...i,ir->...r", x, _idx(ab["a"], layer)),
@@ -127,40 +136,40 @@ def _layer_lora(lora: dict | None, name: str):
     return lora[name]
 
 
-def _lora_delta(x, lora, name, lora_scale, layer):
+def _lora_delta(x, lora, name, lora_scale, layer, lora_dropout: float = 0.0):
     l = _layer_lora(lora, name)
     if l is None:
         return 0.0
-    return _ab_delta(x, l, lora_scale, layer)
+    return _ab_delta(x, l, lora_scale, layer, lora_dropout)
 
 
-def _mlp(x, lp, lora, lora_scale, layer=None):
+def _mlp(x, lp, lora, lora_scale, layer=None, lora_dropout=0.0):
     if "gate_up_proj" in lp:
         # merged layout (ops/quant.merge_decoder_projections): one kernel
         # call for gate+up, per-projection LoRA added on the output slices
         y = linear(x, {"kernel": lp["gate_up_proj"]["kernel"]}, None, 0.0, layer)
         I = y.shape[-1] // 2
-        gate = y[..., :I] + _lora_delta(x, lora, "gate_proj", lora_scale, layer)
-        up = y[..., I:] + _lora_delta(x, lora, "up_proj", lora_scale, layer)
+        gate = y[..., :I] + _lora_delta(x, lora, "gate_proj", lora_scale, layer, lora_dropout)
+        up = y[..., I:] + _lora_delta(x, lora, "up_proj", lora_scale, layer, lora_dropout)
     else:
-        gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale, layer)
-        up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale, layer)
+        gate = linear(x, {"kernel": lp["gate_proj"]["kernel"]}, _layer_lora(lora, "gate_proj"), lora_scale, layer, lora_dropout)
+        up = linear(x, {"kernel": lp["up_proj"]["kernel"]}, _layer_lora(lora, "up_proj"), lora_scale, layer, lora_dropout)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear(act, {"kernel": lp["down_proj"]["kernel"]}, _layer_lora(lora, "down_proj"), lora_scale, layer)
+    return linear(act, {"kernel": lp["down_proj"]["kernel"]}, _layer_lora(lora, "down_proj"), lora_scale, layer, lora_dropout)
 
 
-def _qkv(x, lp, cfg: QwenConfig, lora, lora_scale, layer=None):
+def _qkv(x, lp, cfg: QwenConfig, lora, lora_scale, layer=None, lora_dropout=0.0):
     B, S, _ = x.shape
     if "qkv_proj" in lp:
         y = linear(x, lp["qkv_proj"], None, 0.0, layer)
         QD, KD = cfg.q_dim, cfg.kv_dim
-        q = y[..., :QD] + _lora_delta(x, lora, "q_proj", lora_scale, layer)
-        k = y[..., QD:QD + KD] + _lora_delta(x, lora, "k_proj", lora_scale, layer)
-        v = y[..., QD + KD:] + _lora_delta(x, lora, "v_proj", lora_scale, layer)
+        q = y[..., :QD] + _lora_delta(x, lora, "q_proj", lora_scale, layer, lora_dropout)
+        k = y[..., QD:QD + KD] + _lora_delta(x, lora, "k_proj", lora_scale, layer, lora_dropout)
+        v = y[..., QD + KD:] + _lora_delta(x, lora, "v_proj", lora_scale, layer, lora_dropout)
     else:
-        q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale, layer)
-        k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale, layer)
-        v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale, layer)
+        q = linear(x, lp["q_proj"], _layer_lora(lora, "q_proj"), lora_scale, layer, lora_dropout)
+        k = linear(x, lp["k_proj"], _layer_lora(lora, "k_proj"), lora_scale, layer, lora_dropout)
+        v = linear(x, lp["v_proj"], _layer_lora(lora, "v_proj"), lora_scale, layer, lora_dropout)
     q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -183,14 +192,30 @@ def forward_hidden(
     lora_scale: float = 0.0,
     remat: bool = False,
     ring: tuple | None = None,   # (mesh, seq_axis): sequence-parallel attention
+    lora_dropout: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Final hidden states [B, T, H] via scan over stacked layers.
 
     ring=(mesh, axis): attention runs sequence-sharded over the mesh axis
     via parallel/ring_attention.py (the SURVEY §5 long-context scaling path
     beyond the cache window) — K/V shards rotate over ICI with overlapping
-    compute; everything else in the layer stays under GSPMD."""
+    compute; everything else in the layer stays under GSPMD.
+
+    lora_dropout + dropout_rng (train-time): the reference's peft
+    lora_dropout (modeling_live.py:153-164, rate LoraConfig.dropout) —
+    per-(projection, layer) keys are pre-split and stacked on the layer
+    axis so the same lax.scan slices them alongside the adapters."""
     x = inputs_embeds
+    if lora is not None and lora_dropout > 0.0 and dropout_rng is not None:
+        L = next(iter(lora.values()))["a"].shape[0]
+        lora = {
+            name: {**ab, "rng": jax.random.split(
+                jax.random.fold_in(dropout_rng, i), L)}
+            for i, (name, ab) in enumerate(sorted(lora.items()))
+        }
+    else:
+        lora_dropout = 0.0
     B, T = x.shape[:2]
     # cos/sin are layer-invariant: compute once, not once per scanned layer
     pos = positions if positions is not None else jnp.broadcast_to(
@@ -220,12 +245,13 @@ def forward_hidden(
     def layer_fn(x, scanned):
         lp, lora_l = scanned
         h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
-        q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale)
+        q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale, lora_dropout=lora_dropout)
         attn = attention(q, k, v)
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
-        x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"), lora_scale)
+        x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"),
+                       lora_scale, lora_dropout=lora_dropout)
         h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp(h, lp, lora_l, lora_scale)
+        x = x + _mlp(h, lp, lora_l, lora_scale, lora_dropout=lora_dropout)
         return x, None
 
     if remat:

@@ -38,12 +38,21 @@ def proj_dims(cfg: QwenConfig) -> dict[str, tuple[int, int]]:
 
 
 def init_lora(cfg: QwenConfig, lora_cfg: LoraConfig, key: jax.Array, dtype=jnp.float32) -> dict:
-    """A ~ kaiming-uniform (peft default), B = 0 so the initial delta is 0."""
+    """A ~ kaiming-uniform (peft default), B = 0 so the initial delta is 0.
+
+    Projections are selected by ``lora_cfg.target_patterns`` (the
+    reference's `lora_modules` regex, arguments_live.py:15; the default
+    matches all seven decoder projections)."""
+    import re
+
     tree = {}
     L = cfg.num_layers
     r = lora_cfg.r
+    pattern = re.compile(lora_cfg.target_patterns)
     keys = jax.random.split(key, len(LORA_PROJS))
     for k, (name, (din, dout)) in zip(keys, proj_dims(cfg).items()):
+        if not pattern.search(f"layers_0/{name}/kernel"):
+            continue
         bound = (6.0 / din) ** 0.5  # kaiming_uniform(a=sqrt(5)) on [r, din]
         tree[name] = {
             "a": jax.random.uniform(k, (L, din, r), dtype, -bound, bound),

@@ -86,8 +86,9 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
     if train_cfg.ring_attention and device_mesh is None:
         raise ValueError("ring_attention=True needs device_mesh")
     label_leaves = jax.tree_util.tree_leaves(labels)
+    base_rng = jax.random.PRNGKey(train_cfg.seed + 13)
 
-    def forward_loss(tree, batch):
+    def forward_loss(tree, batch, step):
         params = tree["model"]
         lora_tree = tree.get("lora")
         T = batch["input_ids"].shape[1]
@@ -103,6 +104,10 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
             lora_scale=lora_scale,
             remat=True,
             ring=ring,
+            # peft-style adapter-input dropout (ref lora_dropout=0.05):
+            # fresh masks every step, deterministic in (seed, step)
+            lora_dropout=train_cfg.lora.dropout,
+            dropout_rng=jax.random.fold_in(base_rng, step),
         )
         parts = aha_loss(
             outs.logits, outs.informative_logits, outs.relevance, outs.log_variance,
@@ -126,7 +131,7 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
             tree = jax.tree_util.tree_unflatten(
                 treedef,
                 [next(it_t) if l == "train" else next(it_f) for l in label_leaves])
-            return forward_loss(tree, batch)
+            return forward_loss(tree, batch, state.step)
 
         (_, parts), tgrads = jax.value_and_grad(loss_fn, has_aux=True)(
             train_leaves, batch)

@@ -370,3 +370,46 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
         np.asarray(restored.tree["lora"]["q_proj"]["b"]),
         np.asarray(state.tree["lora"]["q_proj"]["b"]),
     )
+
+
+def test_lora_dropout_and_target_patterns():
+    """LoRA dropout (ref peft lora_dropout=0.05) + target_patterns regex
+    (ref lora_modules): dropout perturbs the train-time forward only and is
+    deterministic in the rng; the regex selects which projections get
+    adapters."""
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=1)
+    lcfg = TrainConfig().lora
+    lora_tree = lora_lib.init_lora(cfg.llm, lcfg, jax.random.PRNGKey(0))
+    assert set(lora_tree) == set(lora_lib.LORA_PROJS)
+    # restrict to attention projections only
+    import dataclasses as _dc
+    narrow = _dc.replace(lcfg, target_patterns=r"layers_\d+/(q_proj|v_proj)/kernel")
+    assert set(lora_lib.init_lora(cfg.llm, narrow, jax.random.PRNGKey(0))) == \
+        {"q_proj", "v_proj"}
+
+    from aha_tpu.models import qwen2
+
+    # nonzero adapters so dropout visibly changes the output
+    lora_tree = jax.tree_util.tree_map(lambda x: x + 0.01, lora_tree)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 6, cfg.llm.hidden_size),
+                          jnp.float32)
+    h_eval = qwen2.forward_hidden(params["llm"], cfg.llm, x,
+                                  lora=lora_tree, lora_scale=2.0)
+    rng = jax.random.PRNGKey(9)
+    h_drop = qwen2.forward_hidden(params["llm"], cfg.llm, x, lora=lora_tree,
+                                  lora_scale=2.0, lora_dropout=0.5,
+                                  dropout_rng=rng)
+    h_drop2 = qwen2.forward_hidden(params["llm"], cfg.llm, x, lora=lora_tree,
+                                   lora_scale=2.0, lora_dropout=0.5,
+                                   dropout_rng=rng)
+    h_drop3 = qwen2.forward_hidden(params["llm"], cfg.llm, x, lora=lora_tree,
+                                   lora_scale=2.0, lora_dropout=0.5,
+                                   dropout_rng=jax.random.PRNGKey(10))
+    assert np.abs(np.asarray(h_drop - h_eval)).max() > 1e-5   # masks applied
+    np.testing.assert_array_equal(np.asarray(h_drop), np.asarray(h_drop2))
+    assert np.abs(np.asarray(h_drop - h_drop3)).max() > 1e-6  # rng-dependent
+    # no rng -> dropout disabled even with a rate (the eval path)
+    h_no_rng = qwen2.forward_hidden(params["llm"], cfg.llm, x, lora=lora_tree,
+                                    lora_scale=2.0, lora_dropout=0.5)
+    np.testing.assert_array_equal(np.asarray(h_no_rng), np.asarray(h_eval))
