@@ -33,6 +33,16 @@ def _build_session(args):
         weights_path=args.llm_pretrained,
         dtype=jnp.dtype(cfg.dtype),
     )
+    lora, lora_scale = None, 0.0
+    if getattr(args, "lora_pretrained", None):
+        # published adapter-only artifact (ref modeling_live.py:149-163):
+        # dense modules_to_save override the base; adapters apply at
+        # matmul time (quantization below never touches them)
+        from aha_tpu.models import loader
+
+        lora, overrides, lora_scale = loader.load_adapter(
+            args.lora_pretrained, cfg, dtype=jnp.float32)
+        params = loader.apply_overrides(params, overrides)
     if args.int8:
         params = quant.quantize_params(params)
     infer_cfg = InferConfig(
@@ -51,7 +61,8 @@ def _build_session(args):
         num_sink_tokens=args.num_sink_tokens,
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "auto"),
     )
-    return build_session(params, cfg, tokenizer, infer_cfg)
+    return build_session(params, cfg, tokenizer, infer_cfg,
+                         lora=lora, lora_scale=lora_scale)
 
 
 def _add_infer_flags(p: argparse.ArgumentParser):
@@ -59,6 +70,10 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--llm_pretrained", default=None,
                    help="converted/HF checkpoint dir (random init if absent)")
     p.add_argument("--tokenizer_pretrained", default=None)
+    p.add_argument("--lora_pretrained", default=None,
+                   help="peft adapter-only checkpoint dir (the published "
+                        "reference artifact): adapters + modules_to_save "
+                        "are applied on top of --llm_pretrained")
     p.add_argument("--int8", action="store_true", help="int8 weight quantization")
     p.add_argument("--test_dataset", required=True,
                    choices=["tvsum", "tvsum_degraded", "hisum", "youcook2",

@@ -391,7 +391,9 @@ def run_streaming_qa_multi(
     results: list[dict] = []
     if grounding_mode:
         multi = MultiStreamScorer(session.engine.params, session.cfg,
-                                  session.tokenizer, session.args, batch=batch)
+                                  session.tokenizer, session.args, batch=batch,
+                                  lora=session.engine.lora,
+                                  lora_scale=session.engine.lora_scale)
 
         def flush_group(group, f_out):
             n = len(group)
@@ -442,7 +444,9 @@ def run_streaming_qa_multi(
 
     server = MultiStreamServer(session.engine.params, session.cfg,
                                session.tokenizer, session.args, batch=batch,
-                               max_frames=max_num_frames)
+                               max_frames=max_num_frames,
+                               lora=session.engine.lora,
+                               lora_scale=session.engine.lora_scale)
     meta: dict[int, tuple] = {}
     order: list[int] = []
 

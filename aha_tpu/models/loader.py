@@ -273,6 +273,29 @@ def convert_peft_modules_to_save(sd: dict, dtype=jnp.float32) -> dict:
     return _cast(out, dtype)
 
 
+def load_adapter(path: str, cfg: AhaConfig, dtype=jnp.float32):
+    """Load a peft adapter-only checkpoint directory (the reference's
+    published artifact, `modeling_live.py:149-151`): returns
+    (lora_tree, overrides, lora_scale).
+
+    lora_scale = alpha / r from `adapter_config.json` when present
+    (peft writes it next to the weights); falls back to the reference's
+    r16/alpha32 ratio."""
+    import json
+
+    sd = _read_state_dict(path)
+    lora = convert_peft_lora(sd, cfg.llm, dtype=dtype)
+    overrides = convert_peft_modules_to_save(sd, dtype=dtype)
+    scale = 32.0 / 16.0
+    cfg_path = os.path.join(path, "adapter_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            ac = json.load(f)
+        if ac.get("r"):
+            scale = float(ac.get("lora_alpha", 2 * ac["r"])) / float(ac["r"])
+    return lora, overrides, scale
+
+
 def apply_overrides(params: dict, overrides: dict) -> dict:
     """Deep-merge partial param overrides into a full tree."""
     out = dict(params)

@@ -54,6 +54,8 @@ class MultiStreamScorer:
         infer_cfg: InferConfig,
         *,
         batch: int,
+        lora: dict | None = None,
+        lora_scale: float = 0.0,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -66,6 +68,7 @@ class MultiStreamScorer:
         )
         self.engine = StreamEngine(
             params, cfg, policy, batch=batch,
+            lora=lora, lora_scale=lora_scale,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None)
 
     def score_videos(
@@ -155,6 +158,8 @@ class MultiStreamSession:
         *,
         batch: int,
         engine: StreamEngine | None = None,
+        lora: dict | None = None,
+        lora_scale: float = 0.0,
     ):
         infer_cfg.validate()
         if infer_cfg.threshold_z is not None:
@@ -174,6 +179,7 @@ class MultiStreamSession:
             params, cfg, policy, batch=batch,
             max_new_tokens=infer_cfg.max_new_tokens,
             repetition_penalty=infer_cfg.repetition_penalty,
+            lora=lora, lora_scale=lora_scale,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
         )
         tok = tokenizer
@@ -411,7 +417,7 @@ class MultiStreamServer(MultiStreamSession):
     """
 
     def __init__(self, params, cfg, tokenizer, infer_cfg, *, batch,
-                 max_frames, engine=None):
+                 max_frames, engine=None, lora=None, lora_scale=0.0):
         super().__init__(params, cfg, tokenizer, infer_cfg, batch=batch,
-                         engine=engine)
+                         engine=engine, lora=lora, lora_scale=lora_scale)
         self.max_frames = max_frames

@@ -235,3 +235,68 @@ def test_load_params_from_sharded_bf16_safetensors(tmp_path):
     # converted projector/heads present and sane
     assert loaded["projector"]["fc1"]["kernel"].dtype == jnp.bfloat16
     assert set(loaded["heads"]) == {"informative", "relevance", "uncertainty"}
+
+
+def test_load_adapter_dir_end_to_end(tmp_path):
+    """`aha infer --lora_pretrained`: a peft adapter-only dir (safetensors +
+    adapter_config.json) loads into (lora, overrides, scale); adapters
+    change session scores and the multi-stream path applies the same lora
+    (regression: --concurrent_streams used to drop adapters)."""
+    import json
+
+    import torch
+    from safetensors.torch import save_file
+
+    from aha_tpu.config import InferConfig, aha_tiny
+    from aha_tpu.streaming.multi import MultiStreamScorer
+    from aha_tpu.streaming.session import build_session
+    from aha_tpu.train import lora as lora_lib
+
+    cfg = aha_tiny(vocab_size=64)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=5)
+    rng = np.random.default_rng(2)
+    r = 4
+    dims = lora_lib.proj_dims(cfg.llm)
+    prefix = "base_model.model.model."
+    hf_names = {
+        "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+        "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+        "down_proj": "mlp.down_proj",
+    }
+    sd = {}
+    for name, hf in hf_names.items():
+        din, dout = dims[name]
+        for i in range(cfg.llm.num_layers):
+            sd[f"{prefix}layers.{i}.{hf}.lora_A.weight"] = torch.tensor(
+                0.3 * rng.normal(size=(r, din)).astype(np.float32))
+            sd[f"{prefix}layers.{i}.{hf}.lora_B.weight"] = torch.tensor(
+                0.3 * rng.normal(size=(dout, r)).astype(np.float32))
+    adir = tmp_path / "adapter"
+    adir.mkdir()
+    save_file(sd, str(adir / "adapter_model.safetensors"))
+    (adir / "adapter_config.json").write_text(
+        json.dumps({"r": r, "lora_alpha": 8}))
+
+    lora, overrides, scale = loader.load_adapter(str(adir), cfg)
+    assert scale == 2.0 and set(lora) == set(dims) and overrides == {}
+
+    icfg = InferConfig(frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+                       grounding_mode=True, kv_cache_policy="sink",
+                       kv_window=32, num_sink_tokens=4)
+    video = rng.integers(0, 255, (3, cfg.frame_resolution,
+                                  cfg.frame_resolution, 3), dtype=np.uint8)
+    base = build_session(params, cfg, tok, icfg).score_video(video, query="q")
+    with_lora = build_session(params, cfg, tok, icfg, lora=lora,
+                              lora_scale=scale).score_video(video, query="q")
+    assert any(abs(a["relevance_score"] - b["relevance_score"]) > 1e-6
+               for a, b in zip(base, with_lora))
+
+    scorer = MultiStreamScorer(params, cfg, tok, icfg, batch=2,
+                               lora=lora, lora_scale=scale)
+    batched = scorer.score_videos([video, video], ["q", "q"], fps=1.0)
+    for row in batched:
+        for a, b in zip(row, with_lora):
+            for k in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(a[k], b[k], rtol=3e-4, atol=3e-5)
