@@ -522,6 +522,10 @@ def cmd_train(argv):
                    help="QLoRA analog (ref NF4+LoRA): freeze the trunk as "
                         "int8, train bf16 adapters + dense finetune modules."
                         " Fits 7B LoRA fine-tuning on a single 16 GB chip.")
+    p.add_argument("--lora_pretrained", default=None,
+                   help="continue fine-tuning from a published peft adapter "
+                        "dir (ref README continuation flow): adapters seed "
+                        "the LoRA state, modules_to_save override the base")
     args = p.parse_args(argv)
 
     cfg = aha_tiny() if args.model_preset == "tiny" else aha_7b()
@@ -529,6 +533,18 @@ def cmd_train(argv):
         cfg, tokenizer_pretrained=args.tokenizer_pretrained,
         weights_path=args.llm_pretrained,
     )
+    lora_init = None
+    if args.lora_pretrained:
+        from aha_tpu.models import loader
+        from aha_tpu.train.lora import lora_scale as _lscale
+
+        lora_init, overrides, ad_scale = loader.load_adapter(
+            args.lora_pretrained, cfg)
+        params = loader.apply_overrides(params, overrides)
+        if abs(ad_scale - _lscale(TrainConfig().lora)) > 1e-6:
+            print(f"warning: adapter alpha/r scale {ad_scale} != training "
+                  f"config scale {_lscale(TrainConfig().lora)} — adjust "
+                  f"TrainConfig.lora to match the adapter")
     if args.quantize_base:
         from aha_tpu.ops.quant import quantize_params
 
@@ -561,7 +577,7 @@ def cmd_train(argv):
                               frame_num_tokens=cfg.frame_num_tokens).asdict()
 
     train(cfg, train_cfg, params, batches(), total_steps=args.num_steps,
-          use_wandb=args.wandb)
+          lora_init=lora_init, use_wandb=args.wandb)
 
 
 def cmd_visualize(argv):

@@ -45,12 +45,17 @@ def init_train_state(
     total_steps: int,
     seed: int = 0,
     use_lora: bool = True,
+    lora_init: dict | None = None,
 ):
-    """Returns (state, tx, labels, lora_scale)."""
+    """Returns (state, tx, labels, lora_scale).
+
+    lora_init: start the adapters from an existing tree (fine-tune
+    continuation from a published adapter — ref README continuation flow,
+    modeling_live.py:149-151) instead of fresh init."""
     lora_tree = None
     scale = 0.0
     if use_lora:
-        lora_tree = lora_lib.init_lora(
+        lora_tree = lora_init if lora_init is not None else lora_lib.init_lora(
             cfg.llm, train_cfg.lora, jax.random.PRNGKey(seed + 7),
             dtype=jnp.float32,
         )
@@ -259,6 +264,7 @@ def train(
     total_steps: int,
     device_mesh=None,
     use_lora: bool = True,
+    lora_init: dict | None = None,
     log_every: int | None = None,
     use_wandb: bool = False,
 ) -> TrainState:
@@ -267,7 +273,7 @@ def train(
     m = device_mesh or mesh_lib.make_mesh(train_cfg.mesh_data, train_cfg.mesh_model)
     state, tx, labels, scale = init_train_state(
         cfg, train_cfg, params, total_steps=total_steps, seed=train_cfg.seed,
-        use_lora=use_lora,
+        use_lora=use_lora, lora_init=lora_init,
     )
     state = TrainState(
         tree=mesh_lib.apply_named_sharding(state.tree, m),

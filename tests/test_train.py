@@ -413,3 +413,18 @@ def test_lora_dropout_and_target_patterns():
     h_no_rng = qwen2.forward_hidden(params["llm"], cfg.llm, x, lora=lora_tree,
                                     lora_scale=2.0, lora_dropout=0.5)
     np.testing.assert_array_equal(np.asarray(h_no_rng), np.asarray(h_eval))
+
+
+def test_train_continues_from_adapter(tiny):
+    """Fine-tune continuation (ref README continuation, adapters reloaded
+    via PeftModel): init_train_state(lora_init=...) seeds the LoRA state
+    from an existing tree instead of fresh-initializing."""
+    params, cfg, tok = tiny
+    seed_tree = lora_lib.init_lora(cfg.llm, TrainConfig().lora,
+                                   jax.random.PRNGKey(3))
+    seed_tree = jax.tree_util.tree_map(lambda x: x + 0.25, seed_tree)
+    state, *_ = init_train_state(cfg, TrainConfig(), params, total_steps=5,
+                                 lora_init=seed_tree)
+    np.testing.assert_array_equal(
+        np.asarray(state.tree["lora"]["q_proj"]["b"]),
+        np.asarray(seed_tree["q_proj"]["b"]))
