@@ -509,7 +509,11 @@ def cmd_train(argv):
     p.add_argument("--tokenizer_pretrained", default=None)
     p.add_argument("--dataset_config", required=True)
     p.add_argument("--output_dir", default="outputs/train")
-    p.add_argument("--num_steps", type=int, required=True)
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="total optimizer steps; alternatively --num_epochs")
+    p.add_argument("--num_epochs", type=int, default=None,
+                   help="epochs over the mixture (ref num_train_epochs); "
+                        "converted to steps from the dataset size")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=2e-5)
     p.add_argument("--grad_accum_steps", type=int, default=2)
@@ -562,6 +566,12 @@ def cmd_train(argv):
     dataset = build_mixture_from_config(args.dataset_config, tokenizer,
                                         system_prompt=train_cfg.system_prompt,
                                         frame_size=cfg.frame_resolution)
+    num_steps = args.num_steps
+    if num_steps is None:
+        if args.num_epochs is None:
+            p.error("one of --num_steps / --num_epochs is required")
+        steps_per_epoch = max(len(dataset) // args.batch_size, 1)
+        num_steps = args.num_epochs * steps_per_epoch
 
     def batches():
         import random as _r
@@ -576,7 +586,7 @@ def cmd_train(argv):
                               v_placeholder_id=cfg.v_placeholder_id,
                               frame_num_tokens=cfg.frame_num_tokens).asdict()
 
-    train(cfg, train_cfg, params, batches(), total_steps=args.num_steps,
+    train(cfg, train_cfg, params, batches(), total_steps=num_steps,
           lora_init=lora_init, use_wandb=args.wandb)
 
 
