@@ -17,6 +17,27 @@ import sys
 
 import numpy as np
 
+# The reference repo ships its published grid-search calibration at
+# outputs/grid_search_params.json; the rebuild commits those values so
+# evaluate/highlight/visualize work out of the box before the user ever
+# runs `aha grid-search`.
+_DEFAULT_PARAMS_FILE = "configs/grid_search_params.default.json"
+
+
+def _resolve_params_file(path: str) -> str:
+    """Fall back to the committed reference calibration when `path`
+    (normally outputs/grid_search_params.json) does not exist yet."""
+    if os.path.exists(path):
+        return path
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (_DEFAULT_PARAMS_FILE,
+                 os.path.join(repo_root, _DEFAULT_PARAMS_FILE)):
+        if os.path.exists(cand):
+            print(f"[aha] {path} not found; using committed calibration "
+                  f"{cand}", file=sys.stderr)
+            return cand
+    return path
+
 
 def _build_session(args):
     import jax.numpy as jnp
@@ -318,6 +339,7 @@ def cmd_evaluate(argv):
 
     key = args.params_key or {"tvsum": "tvsum", "hisum": "hisum",
                               "grounding": "charades", "qvh": "charades"}[args.func]
+    args.params_file = _resolve_params_file(args.params_file)
     with open(args.params_file) as f:
         bp = json.load(f)[key]
     a, b, e, t = bp["alpha"], bp["beta"], bp["epsilon"], bp["uncertainty_threshold"]
@@ -487,7 +509,7 @@ def cmd_highlight(argv):
     with open(args.pred_file) as f:
         preds = json.load(f)
     pred = next(p_ for p_ in preds if p_["video_uuid"] == args.video_uuid)
-    a, b, e = highlight.load_calibrated_params(args.params_file)
+    a, b, e = highlight.load_calibrated_params(_resolve_params_file(args.params_file))
     result = highlight.generate_highlight(
         pred["debug_data"], pred["true_frames_list"], args.max_duration,
         alpha=a, beta=b, epsilon=e, source_fps=args.source_fps,
@@ -610,6 +632,7 @@ def cmd_visualize(argv):
     if args.func in ("hisum_sota", "pred_vs_gt") and not args.gold_file:
         p.error(f"--gold_file is required for --func {args.func}")
     os.makedirs(args.output, exist_ok=True)
+    args.params_file = _resolve_params_file(args.params_file)
     if args.func == "hisum_sota":
         with open(args.params_file) as f:
             params = json.load(f)[args.params_key or "hisum"]

@@ -7,7 +7,11 @@ Re-derivation of `/root/reference/test/live_video/infer_live_video.py`
 heuristic importance tagger (`/root/reference/test/arl_scout/
 prepare_data.py:10-56`).
 
-Tick-table JSON schema: {"<name>": {"ticks": [seconds...], "label": str}}.
+Tick-table JSON schema: {"<name>": {"spans": [[start, end, label]...],
+"label": str}} — the `(start, end, label)` interval schema of the
+reference's hand-labeled ARL_TICKS / HUBBLE_SPACE_TELESCOPE_TICKS tables
+(infer_live_video.py:14-68). A legacy {"ticks": [seconds...]} list is
+accepted and treated as zero-length spans.
 """
 
 from __future__ import annotations
@@ -22,9 +26,21 @@ from aha_tpu.ops.signal import find_ticks
 from aha_tpu.streaming.session import StreamSession
 
 
-def load_tick_table(path: str, name: str) -> list[float]:
+def load_tick_table(path: str, name: str) -> list[tuple[float, float, str]]:
+    """Return the hand-labeled GT as (start, end, label) spans."""
     with open(path) as f:
-        return json.load(f)[name]["ticks"]
+        entry = json.load(f)[name]
+    if "spans" in entry:
+        return [(float(s), float(e), str(lbl)) for s, e, lbl in entry["spans"]]
+    # legacy flat-float schema: zero-length unlabeled spans
+    return [(float(t), float(t), "") for t in entry["ticks"]]
+
+
+def spans_to_ticks(spans) -> list[float]:
+    """Flatten GT spans to representative tick times (span starts — the
+    reference's gt_tics list, infer_live_video.py:293-295)."""
+    return [float(s[0]) if isinstance(s, (tuple, list)) else float(s)
+            for s in spans]
 
 
 def infer_on_live_video(
@@ -46,10 +62,15 @@ def infer_on_live_video(
     debug = session.score_video(video_frames, query=query)
     scores = np.asarray([d[score_key] for d in debug])
     ticks = find_ticks(scores, fps)
+    gt_spans = [
+        (s, s, "") if not isinstance(s, (tuple, list)) else tuple(s)
+        for s in (gt_ticks or [])
+    ]
     result = {
         "debug_data": round_numbers(debug, 3),
         "ticks": [float(t) for t in ticks],
-        "gt_ticks": gt_ticks or [],
+        "gt_ticks": spans_to_ticks(gt_spans),
+        "gt_spans": [[float(s), float(e), str(lbl)] for s, e, lbl in gt_spans],
         "fps": fps,
         "query": query,
     }
@@ -61,14 +82,16 @@ def infer_on_live_video(
         with open(os.path.join(output_dir, "live_scores.json"), "w") as f:
             json.dump(result, f)
         plot_scores(
-            scores, fps, ticks, gt_ticks or [],
+            scores, fps, ticks, gt_spans,
             os.path.join(output_dir, "live_scores.png"),
         )
     return result
 
 
 def plot_scores(scores, fps, ticks, gt_ticks, out_path, *, title="per-frame scores"):
-    """Score curve with predicted/GT tick overlays (ref :287-347)."""
+    """Score curve with predicted tick lines and GT span overlays
+    (ref :287-347: axvspan per (start, end, label) entry, zero-length
+    spans widened to 1 s and drawn darker)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -80,9 +103,19 @@ def plot_scores(scores, fps, ticks, gt_ticks, out_path, *, title="per-frame scor
     for t in ticks:
         ax.axvline(t, color="tab:red", alpha=0.6, lw=1,
                    label="pred tick" if t == ticks[0] else None)
-    for t in gt_ticks:
-        ax.axvline(t, color="tab:green", ls="--", alpha=0.6, lw=1,
-                   label="gt tick" if t == gt_ticks[0] else None)
+    gt_spans = [(s, s, "") if not isinstance(s, (tuple, list)) else tuple(s)
+                for s in gt_ticks]
+    for idx, (start, end, label) in enumerate(gt_spans):
+        color = f"C{idx % 10}"
+        alpha = 0.3
+        if start == end:
+            end, alpha = start + 1, 0.8
+        ax.axvspan(start, end, color=color, alpha=alpha,
+                   label="gt span" if idx == 0 else None)
+        if label:
+            ax.text(0.5 * (start + end), 0.02, str(label), rotation=90,
+                    va="bottom", ha="center", fontsize=5, clip_on=True,
+                    transform=ax.get_xaxis_transform())
     ax.set_xlabel("time (s)")
     ax.set_ylabel("score")
     ax.set_title(title)

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# TVSum with the static-size sink cache (attention sinks retained, ring
+# buffer for the rest) — the production policy
+# (ref scripts/inference/tvsum_cache_static_sink.sh, outputs/tvsum_static_sink).
+set -euo pipefail
+OUT=${OUT:-outputs/tvsum_static_sink}
+mkdir -p "$OUT"
+
+python -m aha_tpu.cli infer \
+  --test_dataset tvsum \
+  --model_preset 7b --int8 \
+  --llm_pretrained "${LLM_PRETRAINED:-}" \
+  --input_dir "${TVSUM_VIDEOS:-datasets/tvsum/videos}" \
+  --caption_metadata_file "${TVSUM_INFO:-datasets/tvsum/data/ydata-tvsum50-info.tsv}" \
+  --video_metadata_file "$OUT/videos_metadata.json" \
+  --output_fname "$OUT/pred.json" \
+  --kv_cache_policy sink --kv_window "${KV_WINDOW:-2048}" \
+  --num_sink_tokens "${NUM_SINK_TOKENS:-32}" \
+  --frame_fps 1 "$@"
+
+python -m aha_tpu.cli evaluate \
+  --func tvsum \
+  --pred_file "$OUT/pred.json" \
+  --gold_file "${TVSUM_ANNO:-datasets/tvsum/data/ydata-tvsum50-anno.tsv}" \
+  --output_file "$OUT/metrics.json"

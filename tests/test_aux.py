@@ -118,10 +118,29 @@ def test_visualize_benchmark(tmp_path):
 
 
 def test_tick_table_roundtrip(tmp_path):
+    # legacy flat-float schema -> zero-length spans
     table = {"arl_scout": {"ticks": [10.0, 55.0], "label": "demo"}}
     p = tmp_path / "ticks.json"
     p.write_text(json.dumps(table))
-    assert live_video.load_tick_table(str(p), "arl_scout") == [10.0, 55.0]
+    spans = live_video.load_tick_table(str(p), "arl_scout")
+    assert spans == [(10.0, 10.0, ""), (55.0, 55.0, "")]
+    assert live_video.spans_to_ticks(spans) == [10.0, 55.0]
+
+
+def test_tick_table_reference_spans():
+    """The committed demo table carries the reference's hand-labeled GT
+    verbatim (infer_live_video.py:14-68)."""
+    spans = live_video.load_tick_table(
+        "configs/tick_tables/demo_ticks.json", "arl_scout")
+    assert len(spans) == 31
+    assert spans[0] == (0.0, 0.0, "TV")
+    assert spans[6] == (131.0, 161.0, "static at door")
+    assert spans[-1] == (1031.0, 1031.0, "switch angle")
+    hubble = live_video.load_tick_table(
+        "configs/tick_tables/demo_ticks.json", "hubble_space")
+    assert len(hubble) == 18
+    assert hubble[0] == (590.0, 590.0, "Launch")
+    assert hubble[-1] == (3299.0, 3299.0, "Astronauts exiting Shuttle")
 
 
 def test_flops_estimate():
@@ -147,3 +166,39 @@ def test_write_video(tmp_path):
     cap = cv2.VideoCapture(out)
     assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == 6
     cap.release()
+
+
+def test_inference_scripts_exist_and_parse():
+    """All 12 reference ablation scripts have named equivalents that at
+    least pass bash -n (ref scripts/inference/)."""
+    import glob
+    import subprocess
+
+    expected = {"tvsum", "tvsum_degraded", "tvsum_prompt", "tvsum_cache",
+                "tvsum_cache_static", "tvsum_cache_static_sink", "hisum",
+                "charades", "magqa", "youcook2", "arl_scout", "grid_search"}
+    have = {s.rsplit("/", 1)[1][:-3] for s in glob.glob("scripts/inference/*.sh")}
+    assert expected <= have, expected - have
+    for sh in glob.glob("scripts/inference/*.sh"):
+        subprocess.run(["bash", "-n", sh], check=True)
+
+
+def test_params_file_fallback(tmp_path, capsys):
+    """evaluate/highlight/visualize fall back to the committed reference
+    calibration when outputs/grid_search_params.json is absent."""
+    from aha_tpu.cli import _resolve_params_file
+
+    missing = str(tmp_path / "nope" / "grid_search_params.json")
+    resolved = _resolve_params_file(missing)
+    assert resolved.endswith("configs/grid_search_params.default.json")
+    with open(resolved) as f:
+        params = json.load(f)
+    # the published paper values (ref outputs/grid_search_params.json)
+    assert params["tvsum"] == {"alpha": 0.0, "beta": -1.0, "epsilon": -5.0,
+                               "uncertainty_threshold": 0.04}
+    assert abs(params["qvh"]["beta"] - 1.5555555555555554) < 1e-12
+    assert params["arl_scout"]["beta"] == 1.5555
+    # an existing file wins over the fallback
+    p = tmp_path / "mine.json"
+    p.write_text("{}")
+    assert _resolve_params_file(str(p)) == str(p)
