@@ -532,10 +532,13 @@ def cmd_train(argv):
     p.add_argument("--dataset_config", required=True)
     p.add_argument("--output_dir", default="outputs/train")
     p.add_argument("--num_steps", type=int, default=None,
-                   help="total optimizer steps; alternatively --num_epochs")
+                   help="total MICRO-BATCH steps (one batch each; with "
+                        "--grad_accum_steps G the optimizer updates every "
+                        "G of them); alternatively --num_epochs")
     p.add_argument("--num_epochs", type=int, default=None,
                    help="epochs over the mixture (ref num_train_epochs); "
-                        "converted to steps from the dataset size")
+                        "converted to micro-batch steps as "
+                        "len(dataset) // batch_size per epoch")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=2e-5)
     p.add_argument("--grad_accum_steps", type=int, default=2)
@@ -544,6 +547,9 @@ def cmd_train(argv):
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--video_head_stop_grad", action="store_true",
+                   help="ablation: detach hidden states before the score "
+                        "heads (ref video_head_live_llava_qwen.py:44-47)")
     p.add_argument("--quantize_base", action="store_true",
                    help="QLoRA analog (ref NF4+LoRA): freeze the trunk as "
                         "int8, train bf16 adapters + dense finetune modules."
@@ -559,6 +565,8 @@ def cmd_train(argv):
         cfg, tokenizer_pretrained=args.tokenizer_pretrained,
         weights_path=args.llm_pretrained,
     )
+    if args.video_head_stop_grad:
+        cfg = cfg.replace(video_head_stop_grad=True)
     lora_init = None
     if args.lora_pretrained:
         from aha_tpu.models import loader

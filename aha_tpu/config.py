@@ -98,6 +98,11 @@ class AhaConfig:
     eos_token_id: int = -1      # filled in by tokenizer build
     pooling_mode: str = "average"  # average | max | bilinear
 
+    # ablation: detach hidden states before the three score heads so the
+    # video losses never backprop into the trunk (ref
+    # video_head_live_llava_qwen.py:44-47,180-184; default off there too)
+    video_head_stop_grad: bool = False
+
     # dtype of the compute path ("bfloat16" on TPU; tests may use float32)
     dtype: str = "bfloat16"
 

@@ -170,6 +170,11 @@ def joint_embed(
 
 def apply_heads(params: AhaParams, cfg: AhaConfig, hidden: jnp.ndarray) -> AhaOutputs:
     hf = hidden.astype(jnp.float32)
+    if cfg.video_head_stop_grad:
+        # ablation (ref video_head_live_llava_qwen.py:180-184): the score
+        # heads see detached hidden states — video losses train only the
+        # head kernels, never the trunk
+        hf = jax.lax.stop_gradient(hf)
     logits = qwen2.lm_logits(params["llm"], cfg.llm, hidden).astype(jnp.float32)
     info = jnp.einsum("...h,ho->...o", hf, params["heads"]["informative"]["kernel"].astype(jnp.float32))
     rel = jnp.einsum("...h,ho->...o", hf, params["heads"]["relevance"]["kernel"].astype(jnp.float32))

@@ -290,8 +290,9 @@ def decode_chunk(
     # over the S chunk tokens (the old scheme built a [B, W+1] key table
     # and re-rotated the whole cache every layer).
     w_cos, w_sin = rope_cos_sin(plan.write_pos, cfg.head_dim, cfg.rope_theta)
-    sink_slots = policy.num_sink if policy.kind == "sink" else 0
-    if sink_slots:
+    sink_policy = policy.kind == "sink"
+    sink_slots = policy.num_sink if sink_policy else 0
+    if sink_policy:
         e_cos, e_sin = rope_cos_sin(plan.q_pos, cfg.head_dim, cfg.rope_theta)
     else:
         e_cos, e_sin = w_cos, w_sin      # write_pos == q_pos for these policies
@@ -312,7 +313,7 @@ def decode_chunk(
         attn = cached_attention(
             q, k_c, v_c, plan,
             rope_theta=cfg.rope_theta, sink_slots=sink_slots,
-            rope_tables=rope_tables,
+            sink_policy=sink_policy, rope_tables=rope_tables,
             kv_scales=None if ks_c is None else (ks_c, vs_c))
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),

@@ -46,6 +46,7 @@ def cached_attention(
     *,
     rope_theta: float,
     sink_slots: int = 0,               # policy.num_sink for the sink policy
+    sink_policy: bool = False,         # True iff policy.kind == 'sink'
     rope_tables: tuple | None = None,  # (w_cos, w_sin, e_cos, e_sin), layer-invariant
     kv_scales: tuple | None = None,    # (k_scale, v_scale) [B, W+1, KVH] — int8 KV
 ) -> jnp.ndarray:
@@ -55,26 +56,43 @@ def cached_attention(
     index `g` under the sink policy, insert position otherwise), so there is
     NO O(W) per-chunk cache rotation here — the old scheme re-rotated all
     W+1 slots per chunk per layer, which dominated multi-stream serving
-    (measured 214 ms of a 339 ms B=32 frame step on v5e-1). Correctness:
-    for ring slots the reference's relative distance `q_pos - key_pos`
-    telescopes to `g_q - g_k` exactly (the eviction shift cancels against
-    the capped query position), so rotating q at `write_pos` reproduces the
-    sink cache's re-rotation semantics (`/root/reference/test/sink_cache.py:
-    35-55,140-152`). Only the `sink_slots` sink columns differ — their
-    desired distance is `q_pos - g_k` — and they are fixed by recomputing
-    those S x sink_slots scores with q rotated at the *effective* position.
+    (measured 214 ms of a 339 ms B=32 frame step on v5e-1).
+
+    Correctness (sink policy; ref `/root/reference/test/sink_cache.py:
+    35-55,140-152`): the reference's relative distance for a cached key is
+    ``q_pos - key_pos`` where key_pos is the insert position shifted back by
+    the chunk length at every eviction event. Rotating q at write_pos `g`
+    against keys stored at `g_k` instead yields ``g_q - g_k``; the two agree
+    exactly iff the per-slot residual ``rho_k = g_k - key_pos_k`` equals the
+    per-row drift ``D = seen - length``. That holds (a) for sink columns
+    never (rho=0) — fixed by scoring them with q rotated at the *effective*
+    position q_pos — and (b) for ring columns ALWAYS EXCEPT the transient
+    after a *partial* first eviction event (length jumps L -> W by less than
+    the chunk size while retained keys still shift by the full chunk): keys
+    written at or before that event keep ``rho_k != D`` until they evict,
+    one window later. During that transient the jnp path switches (via
+    lax.cond on ``any(rho_k != D)`` over occupied ring slots) to the exact
+    rotate-at-read computation — q at q_pos against keys rotated to their
+    tracked key_pos — and is bit-equal to the reference everywhere else at
+    zero extra cost. The Pallas kernel composes a per-slot delta rotation
+    anyway, so it uses the closed form ``delta_k = key_pos_k - g_k + D``
+    (= D for sinks, 0 for steady ring slots) and is exact at all times.
 
     rope_tables lets the caller hoist the cos/sin computation out of the
     layer scan: (w_cos, w_sin) at plan.write_pos — the same tables
     write_layer rotates new keys with — and (e_cos, e_sin) at plan.q_pos
-    (only read when sink_slots > 0).
+    (only read when sink_policy).
 
     kv_scales: int8 KV cache mode — the per-(slot, head) scales fold into
     the score/prob tensors instead of dequantizing the whole cache: the
-    einsums stream the int8 buffers (cast only), halving attention DMA."""
+    einsums stream the int8 buffers (cast only), halving attention DMA.
+    (Exception: the Pallas backend and the transient exact path above
+    dequantize K before their key rotation — the kernel does not take
+    scales; see _decode_attn_backend for why pallas is opt-in anyway.)"""
     B, S, NH, Dh = q.shape
     KVH = k_cache.shape[2]
     n_rep = NH // KVH
+    sink_policy = sink_policy or sink_slots > 0   # back-compat: sinks imply sink kind
 
     if rope_tables is None:
         w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, rope_theta)
@@ -83,22 +101,27 @@ def cached_attention(
         w_cos, w_sin, e_cos, e_sin = rope_tables
     q_rot = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(q.dtype)
 
+    # per-row drift between absolute index and reference query position
+    D = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)          # [B, 1]
+
     if _decode_attn_backend() == "pallas" and _pallas_decode_ok(q, k_cache):
         from aha_tpu.ops.pallas.decode_attention import cached_decode_attention
 
-        # The kernel composes a per-slot rotation on top of the stored keys:
-        # identity for ring slots, the sink correction delta for sink
-        # columns (score with q at g against key at g_k + (g - q_pos)
-        # depends on q_pos - g_k, the sink-policy distance).
+        # The kernel composes a per-slot rotation on top of the stored keys;
+        # delta_k = key_pos_k - g_k + D makes the scored distance equal the
+        # reference's q_pos - key_pos for every occupied slot (sinks get D,
+        # steady ring slots get 0, transition ring slots their residual).
         kc = k_cache
         vc = v_cache
         if kv_scales is not None:
-            ks, vs = kv_scales
-            kc = (kc.astype(jnp.float32) * ks[..., None]).astype(q.dtype)
-            vc = (vc.astype(jnp.float32) * vs[..., None]).astype(q.dtype)
-        delta = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)  # [B, 1]
-        slot_idx = jnp.arange(k_cache.shape[1], dtype=jnp.int32)[None, :]
-        delta_pos = jnp.where(slot_idx < sink_slots, delta, 0)         # [B, W+1]
+            ks_, vs_ = kv_scales
+            kc = (kc.astype(jnp.float32) * ks_[..., None]).astype(q.dtype)
+            vc = (vc.astype(jnp.float32) * vs_[..., None]).astype(q.dtype)
+        if sink_policy:
+            delta_pos = jnp.where(plan.new_order >= 0,
+                                  plan.new_key_pos - plan.new_order + D, 0)
+        else:
+            delta_pos = jnp.zeros_like(plan.new_key_pos)   # write_pos == key_pos
         d_cos, d_sin = rope_cos_sin(delta_pos, Dh, rope_theta)
         return cached_decode_attention(
             q_rot, kc, vc, d_cos, d_sin, plan.new_order, plan.g)
@@ -114,7 +137,7 @@ def cached_attention(
         ks = ks.transpose(0, 2, 1)[:, :, None, None, :]    # [B, KVH, 1, 1, W+1]
         vs = vs.transpose(0, 2, 1)[:, :, None, None, :]
 
-    def part(qg_p, lo, hi):
+    def part(qg_p, kc, lo, hi, *, ks_p):
         """Attention over cache slots [lo:hi) -> flash-combine state (m, l, o).
 
         Each part stays a single fused einsum -> mask -> exp -> einsum chain
@@ -122,17 +145,18 @@ def cached_attention(
         `.at[:sink].set()` splice on the [B, KVH, rep, S, W+1] f32 score
         tensor measured ~8 ms/frame of extra HBM traffic on the 7B at B=8).
         """
-        k_p = k_cache[:, lo:hi]
+        k_p = kc[:, lo:hi]
         v_p = v_cache[:, lo:hi]
         if k_p.dtype == jnp.int8:
             k_p = k_p.astype(q.dtype)
+        if v_p.dtype == jnp.int8:
             v_p = v_p.astype(q.dtype)
         # matmuls stay in the storage dtype (bf16 on TPU -> full-rate MXU)
         # with f32 accumulation; only softmax math runs in f32
         s = jnp.einsum("bsgrd,bwgd->bgrsw", qg_p, k_p,
                        preferred_element_type=jnp.float32)  # [B,KVH,rep,S,hi-lo]
-        if ks is not None:
-            s = s * ks[..., lo:hi]
+        if ks_p is not None:
+            s = s * ks_p[..., lo:hi]
         s = jnp.where(mask[..., lo:hi], s * scale, NEG_INF)
         m = jnp.max(s, axis=-1)                             # [B, KVH, rep, S]
         p = jnp.exp(s - m[..., None])
@@ -145,23 +169,52 @@ def cached_attention(
         # transposing the large output tensor
         return m.transpose(0, 3, 1, 2), l.transpose(0, 3, 1, 2), o
 
-    if sink_slots:
-        # sink columns score against q rotated at the *effective* position
-        # (the sink-policy distance q_pos - key_pos); ring columns use the
-        # write-position rotation. Combine with the standard online-softmax
-        # merge instead of splicing one score tensor.
+    qe = None
+    if sink_policy:
+        # sink columns (and the transient exact path) score against q rotated
+        # at the *effective* position (the sink-policy distance q_pos - key_pos)
         q_eff = apply_rope(q.astype(jnp.float32), e_cos, e_sin).astype(q.dtype)
         qe = q_eff.reshape(B, S, KVH, n_rep, Dh)
-        m1, l1, o1 = part(qe, 0, sink_slots)
-        m2, l2, o2 = part(qg, sink_slots, k_cache.shape[1])
-        m = jnp.maximum(m1, m2)
-        w1 = jnp.exp(m1 - m)
-        w2 = jnp.exp(m2 - m)
-        denom = l1 * w1 + l2 * w2
-        out = (o1 * w1[..., None] + o2 * w2[..., None]) / denom[..., None]
+
+    def fast_out(_=None):
+        if sink_policy and sink_slots:
+            m1, l1, o1 = part(qe, k_cache, 0, sink_slots, ks_p=ks)
+            m2, l2, o2 = part(qg, k_cache, sink_slots, k_cache.shape[1], ks_p=ks)
+            m = jnp.maximum(m1, m2)
+            w1 = jnp.exp(m1 - m)
+            w2 = jnp.exp(m2 - m)
+            denom = l1 * w1 + l2 * w2
+            return (o1 * w1[..., None] + o2 * w2[..., None]) / denom[..., None]
+        m, l, o = part(qg, k_cache, 0, k_cache.shape[1], ks_p=ks)
+        return o / l[..., None]
+
+    if sink_policy:
+        # transient after a partial first eviction event: some ring slots'
+        # residual rho_k = g_k - key_pos_k deviates from D (see docstring);
+        # the fast pre-rotation algebra is wrong for exactly those slots.
+        slot_ids = jnp.arange(k_cache.shape[1], dtype=jnp.int32)[None, :]
+        rho = plan.new_order - plan.new_key_pos
+        deviates = ((slot_ids >= sink_slots) & (plan.new_order >= 0)
+                    & (rho != D))
+
+        def exact_out(_):
+            # reference semantics computed directly: q at q_pos against keys
+            # rotated from their stored write_pos (g_k) to the tracked
+            # key_pos. O(W) rotation — paid only while the transient lasts
+            # (at most one window of tokens per stream, once).
+            kc = k_cache
+            if kv_scales is not None:
+                kc = kc.astype(jnp.float32) * kv_scales[0][..., None]
+            dpos = jnp.where(plan.new_order >= 0,
+                             plan.new_key_pos - plan.new_order, 0)
+            kc = rotate_by_positions(kc.astype(jnp.float32), dpos,
+                                     rope_theta).astype(q.dtype)
+            m, l, o = part(qe, kc, 0, k_cache.shape[1], ks_p=None)
+            return o / l[..., None]
+
+        out = jax.lax.cond(jnp.any(deviates), exact_out, fast_out, None)
     else:
-        m, l, o = part(qg, 0, k_cache.shape[1])
-        out = o / l[..., None]
+        out = fast_out()
     return out.reshape(B, S, NH, Dh).astype(q.dtype)
 
 

@@ -177,9 +177,11 @@ class UpdatePlan:
     q_pos: jnp.ndarray     # effective RoPE position of the query
     write_pos: jnp.ndarray  # position keys are PRE-ROTATED at before storage:
     #   sink policy -> g (absolute stream index; ring-slot relative distances
-    #   q_pos - key_pos == g_q - g_k exactly, so stored keys never need the
-    #   reference's eviction-time re-rotation — only the num_sink sink
-    #   columns get a score-side correction in cached_attention);
+    #   q_pos - key_pos == g_q - g_k whenever the slot residual g_k - key_pos
+    #   equals the row drift seen - length — true everywhere except the
+    #   transient after a partial first eviction event — so stored keys need
+    #   no per-chunk re-rotation; cached_attention corrects the sink columns
+    #   score-side and switches to exact rotate-at-read during the transient);
     #   other policies -> q_pos (key_pos never mutates after insert there).
     valid: jnp.ndarray     # bool — token is real (not padding)
     shift: jnp.ndarray     # [B] — sink-policy key_pos shift for retained ring slots

@@ -5,9 +5,11 @@ position* (absolute stream index `g` under the sink policy, insert
 position otherwise — see ops/kv_cache.py and ops/attention.py). The
 reference's eviction-time key re-rotation
 (`/root/reference/test/sink_cache.py:35-55,140-152`) reduces to a 32-slot
-sink-column score correction: for every ring slot the RoPE-relative
-distance `q_pos - key_pos` equals the absolute token age `g_q - g_k`
-exactly, so pre-rotated keys need no per-chunk touch-up at all.
+sink-column score correction: for ring slots the RoPE-relative distance
+`q_pos - key_pos` equals the absolute token age `g_q - g_k` except during
+the transient after a partial first eviction event, where
+cached_attention switches to exact rotate-at-read (see its docstring),
+so pre-rotated keys need no per-chunk touch-up on the steady path.
 """
 
 from __future__ import annotations

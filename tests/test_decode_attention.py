@@ -29,15 +29,22 @@ def _run_chunk(cache, policy, k_new, v_new, q, valid_len):
     sink_slots = policy.num_sink if policy.kind == "sink" else 0
 
     ref = attention.cached_attention(
-        q, k_c, v_c, plan, rope_theta=THETA, sink_slots=sink_slots)
+        q, k_c, v_c, plan, rope_theta=THETA, sink_slots=sink_slots,
+        sink_policy=policy.kind == "sink")
 
-    # kernel path: q rotated at write_pos; per-slot delta rotation composes
-    # the sink correction on top of the stored keys (identity on ring slots)
+    # kernel path: q rotated at write_pos; per-slot delta rotation
+    # delta_k = key_pos_k - g_k + D composes the reference's q_pos - key_pos
+    # distance on top of the stored keys for every occupied slot (D for
+    # sinks, 0 for steady ring slots, the residual during the fill
+    # transient) — mirrors the production formula in cached_attention
     w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, THETA)
     q_rot = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(q.dtype)
     delta = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)
-    slot_idx = jnp.arange(k_c.shape[1], dtype=jnp.int32)[None, :]
-    delta_pos = jnp.where(slot_idx < sink_slots, delta, 0)
+    if policy.kind == "sink":
+        delta_pos = jnp.where(plan.new_order >= 0,
+                              plan.new_key_pos - plan.new_order + delta, 0)
+    else:
+        delta_pos = jnp.zeros_like(plan.new_key_pos)
     d_cos, d_sin = rope_cos_sin(delta_pos, Dh, THETA)
     out = cached_decode_attention(
         q_rot, k_c, v_c, d_cos, d_sin, plan.new_order, plan.g, interpret=True)
@@ -63,9 +70,12 @@ def test_pallas_decode_attention_matches_jnp(kind, window, pad):
         k_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
         v_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
         q = jnp.asarray(rng.standard_normal((B, S, NH, Dh)), jnp.float32)
+        # 1e-4: during the fill transient the jnp path rotates keys
+        # write_pos -> key_pos while the kernel composes delta_pos on the
+        # stored keys — same angles, different f32 evaluation order
         cache, ref, out = _run_chunk(cache, policy, k_new, v_new, q,
                                      jnp.asarray(vl, jnp.int32))
-        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_decode_attention_single_token():

@@ -366,3 +366,98 @@ def test_kv_cache_dtype_flag_reaches_engine():
                         grounding_mode=True, kv_cache_policy="sink",
                         kv_window=32, num_sink_tokens=4)
     assert not build_session(params, cfg, tok, icfg2).engine.new_cache().quantized
+
+
+# ---------------------------------------------------------------------------
+# Attention-output parity vs the torch SinkCache oracle (past fill boundary)
+# ---------------------------------------------------------------------------
+
+
+def _ref_attention_outputs(torch, ref_cache, cos_t, sin_t, q, S, q_past):
+    """Reference attention for the chunk that was just updated into
+    ref_cache: q rotated at [q_past, q_past+S) — q_past is the PRE-update
+    cache length, exactly the position_ids HF attention uses — against the
+    post-update cache contents (stored rotated), causal only within the
+    chunk (the cache's last S entries). NH == KVH (no GQA rep)."""
+    T = ref_cache.get_seq_length(0)
+    pos = torch.arange(q_past, q_past + S)
+    past = T - S                     # chunk entries are the last S of T
+    qt = torch.tensor(q).permute(0, 2, 1, 3).to(torch.float64)      # [1,H,S,D]
+    q_rot = _rotate_torch(torch, qt, cos_t.to(torch.float64), sin_t.to(torch.float64), pos)
+    k = ref_cache.key_cache[0].to(torch.float64)                    # [1,H,T,D]
+    v = ref_cache.value_cache[0].to(torch.float64)
+    s = q_rot @ k.transpose(-1, -2) / (DH ** 0.5)                   # [1,H,S,T]
+    mask = torch.ones(S, T, dtype=torch.bool)
+    for i in range(S):
+        mask[i, past + i + 1:] = False
+    s = s.masked_fill(~mask, float("-inf"))
+    p = torch.softmax(s, dim=-1)
+    out = p @ v                                                     # [1,H,S,D]
+    return out.permute(0, 2, 1, 3).numpy()                          # [1,S,H,D]
+
+
+@pytest.mark.parametrize("chunks", [
+    # partial first event: 14 + 4 = 18 > W=16 — the transition where the
+    # pre-rotation algebra deviates (ADVICE r2 high finding); stream runs
+    # 2+ windows past the fill so the transient also drains back to the
+    # fast path and stays correct.
+    [14] + [4] * 14,
+    # exact-fill events (12 + 4 == 16): fast path throughout
+    [4] * 16,
+    # ragged chunks: several distinct residual values in flight at once
+    [9, 3, 1, 5, 2, 4, 4, 1, 3, 4, 4, 4, 4],
+])
+def test_sink_attention_parity_past_fill(reference_root, chunks):
+    """cached_attention == torch SinkCache + vanilla attention for every
+    chunk of a stream driven well past the cache-fill boundary (ADVICE r2:
+    the pre-rotated scheme used to diverge from the first partial eviction
+    event until the pre-fill keys evicted)."""
+    mod, torch = _load_ref(reference_root, "sink_cache")
+    policy = CachePolicy("sink", window=16, num_sink=4)
+    ref_cache = mod.SinkCache(window_length=16, num_sink_tokens=4)
+    my = init_cache(policy, num_layers=1, batch=1, num_kv_heads=KVH,
+                    head_dim=DH, dtype=jnp.float32)
+    cos_t, sin_t = _torch_rope_table(torch, 4096)
+    rng = np.random.default_rng(7)
+
+    saw_deviation = False
+    for ci, S in enumerate(chunks):
+        q = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+        k = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+        v = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+
+        # reference: rotate keys at current positions, update, attend
+        past = ref_cache.get_seq_length(0)
+        pos = torch.arange(past, past + S)
+        kt = torch.tensor(k).permute(0, 2, 1, 3)
+        k_rot_t = _rotate_torch(torch, kt, cos_t, sin_t, pos)
+        ref_cache.update(k_rot_t, torch.tensor(v).permute(0, 2, 1, 3), 0,
+                         cache_kwargs={"sin": sin_t, "cos": cos_t})
+        ref_out = _ref_attention_outputs(torch, ref_cache, cos_t, sin_t, q, S,
+                                         q_past=past)
+
+        # ours: plan/write/attend with the sink policy
+        plan = plan_update(my, policy, jnp.array([S], jnp.int32), S)
+        k_c, v_c, _, _ = write_layer(my.k[0], my.v[0], jnp.asarray(k),
+                                     jnp.asarray(v), plan, rope_theta=THETA)
+        my = advance(my, plan, k_c[None], v_c[None])
+        out = cached_attention(jnp.asarray(q), k_c, v_c, plan,
+                               rope_theta=THETA, sink_slots=policy.num_sink,
+                               sink_policy=True)
+
+        # track whether this chunk exercised the transient (exact) path
+        D = int(plan.g[0, 0] - plan.q_pos[0, 0])
+        rho = np.asarray(plan.new_order[0] - plan.new_key_pos[0])
+        occ_ring = (np.asarray(plan.new_order[0]) >= 0)
+        occ_ring[:policy.num_sink] = False
+        chunk_deviates = bool((rho[occ_ring] != D).any())
+        saw_deviation |= chunk_deviates
+
+        np.testing.assert_allclose(np.asarray(out), ref_out, rtol=5e-4,
+                                   atol=5e-4, err_msg=f"chunk {ci} (S={S})")
+
+    # every stream that fills the window hits the transient (keys written
+    # before the first eviction event keep rho != D until they evict) ...
+    assert saw_deviation
+    # ... and drains back to the fast pre-rotation path within ~one window
+    assert not chunk_deviates, "stream should end on the steady fast path"

@@ -428,3 +428,37 @@ def test_train_continues_from_adapter(tiny):
     np.testing.assert_array_equal(
         np.asarray(state.tree["lora"]["q_proj"]["b"]),
         np.asarray(seed_tree["q_proj"]["b"]))
+
+
+def test_video_head_stop_grad(tiny):
+    """AhaConfig.video_head_stop_grad detaches hidden states before the three
+    score heads (ref video_head_live_llava_qwen.py:44-47,180-184): video
+    losses then produce zero gradient in the trunk while the head kernels
+    still train; the LM path is unaffected."""
+    params, cfg, tok = tiny
+    B, T = 1, 8
+    rng = np.random.default_rng(0)
+    input_ids = jnp.asarray(rng.integers(0, 100, (B, T)), jnp.int32)
+    info_labels = jnp.asarray(rng.integers(0, 2, (B, T)), jnp.int32)
+    rel_labels = jnp.asarray(rng.random((B, T)), jnp.float32)
+
+    def video_loss(p, c):
+        out = aha.forward_train(p, c, input_ids, None, remat=False)
+        parts = aha_loss(
+            logits=out.logits, informative_logits=out.informative_logits,
+            relevance=out.relevance, log_variance=out.log_variance,
+            input_ids=input_ids, labels=jnp.full((B, T), IGNORE, jnp.int32),
+            informative_labels=info_labels, relevance_labels=rel_labels,
+            weights=LossWeights())
+        return parts.total
+
+    for flag in (False, True):
+        c = cfg.replace(video_head_stop_grad=flag, dtype="float32")
+        grads = jax.grad(video_loss)(params, c)
+        trunk = float(jnp.abs(grads["llm"]["layers"]["q_proj"]["kernel"]).sum())
+        head = float(jnp.abs(grads["heads"]["relevance"]["kernel"]).sum())
+        assert head > 0, flag
+        if flag:
+            assert trunk == 0.0
+        else:
+            assert trunk > 0.0
