@@ -81,6 +81,7 @@ def _build_session(args):
         kv_window=args.kv_window,
         num_sink_tokens=args.num_sink_tokens,
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "auto"),
+        kv_mask_mode=getattr(args, "kv_mask_mode", "hf"),
     )
     return build_session(params, cfg, tokenizer, infer_cfg,
                          lora=lora, lora_scale=lora_scale)
@@ -130,6 +131,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--kv_cache_dtype", default="auto", choices=["auto", "int8"],
                    help="int8: per-(slot, head) quantized KV cache — half "
                         "the cache HBM / attention DMA, ~0.5% output error")
+    p.add_argument("--kv_mask_mode", default="hf", choices=["hf", "strict"],
+                   help="hf: reference transformers-4.49 mask arithmetic "
+                        "(post-fill chunks attend non-causally within the "
+                        "chunk, like every published reference benchmark); "
+                        "strict: true causal masking")
     p.add_argument("--no_query", action="store_true")
     p.add_argument("--title_ablation", default=None, choices=["ambiguous", "unrelated"])
     p.add_argument("--title_table", default=None)
@@ -520,7 +526,6 @@ def cmd_highlight(argv):
 
 def cmd_train(argv):
     from aha_tpu.config import AhaConfig, TrainConfig, aha_7b, aha_tiny, config_from_dict
-    from aha_tpu.data.collator import collate
     from aha_tpu.data.datasets import build_mixture_from_config
     from aha_tpu.models import aha
     from aha_tpu.train.trainer import train
@@ -547,6 +552,10 @@ def cmd_train(argv):
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--prefetch_batches", type=int, default=2,
+                   help="batches decoded+collated ahead of the train step")
+    p.add_argument("--decode_workers", type=int, default=2,
+                   help="thread-pool workers for host video decode")
     p.add_argument("--video_head_stop_grad", action="store_true",
                    help="ablation: detach hidden states before the score "
                         "heads (ref video_head_live_llava_qwen.py:44-47)")
@@ -603,20 +612,21 @@ def cmd_train(argv):
         steps_per_epoch = max(len(dataset) // args.batch_size, 1)
         num_steps = args.num_epochs * steps_per_epoch
 
-    def batches():
-        import random as _r
+    # async input pipeline (SURVEY §7 hard part #5): thread-pool video
+    # decode + prefetch ahead of the jitted step, so host decode overlaps
+    # device compute instead of serializing with it
+    from aha_tpu.data.pipeline import batch_iterator
 
-        rng = _r.Random(args.seed)
-        order = list(range(len(dataset)))
-        while True:
-            rng.shuffle(order)
-            for i in range(0, len(order) - args.batch_size + 1, args.batch_size):
-                examples = [dataset[j] for j in order[i : i + args.batch_size]]
-                yield collate(examples, tokenizer,
-                              v_placeholder_id=cfg.v_placeholder_id,
-                              frame_num_tokens=cfg.frame_num_tokens).asdict()
-
-    train(cfg, train_cfg, params, batches(), total_steps=num_steps,
+    batches = batch_iterator(
+        dataset, tokenizer,
+        batch_size=args.batch_size,
+        v_placeholder_id=cfg.v_placeholder_id,
+        frame_num_tokens=cfg.frame_num_tokens,
+        seed=args.seed,
+        prefetch=args.prefetch_batches,
+        num_workers=args.decode_workers,
+    )
+    train(cfg, train_cfg, params, batches, total_steps=num_steps,
           lora_init=lora_init, use_wandb=args.wandb)
 
 

@@ -315,6 +315,10 @@ class InferConfig:
     # "auto" (model dtype) | "int8": per-(slot, head) quantized KV — half
     # the cache HBM / attention DMA, ~0.5% attention-output error
     kv_cache_dtype: str = "auto"
+    # "hf" (default): replicate the reference's transformers-4.49 mask
+    # arithmetic, incl. its post-fill intra-chunk non-causality (see
+    # CachePolicy.mask_mode); "strict": true causal order <= g
+    kv_mask_mode: str = "hf"
 
     def validate(self) -> None:
         n_set = sum(
@@ -334,6 +338,8 @@ class InferConfig:
             raise ValueError("first_n_frames_no_generate required with threshold_z")
         if self.kv_cache_policy not in ("sink", "sliding", "static", "none"):
             raise ValueError(f"unknown kv_cache_policy {self.kv_cache_policy}")
+        if self.kv_mask_mode not in ("hf", "strict"):
+            raise ValueError(f"unknown kv_mask_mode {self.kv_mask_mode}")
 
 
 # ---------------------------------------------------------------------------

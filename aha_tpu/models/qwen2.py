@@ -313,7 +313,9 @@ def decode_chunk(
         attn = cached_attention(
             q, k_c, v_c, plan,
             rope_theta=cfg.rope_theta, sink_slots=sink_slots,
-            sink_policy=sink_policy, rope_tables=rope_tables,
+            sink_policy=sink_policy, mask_mode=policy.mask_mode,
+            evicting=policy.kind in ("sink", "sliding"),
+            rope_tables=rope_tables,
             kv_scales=None if ks_c is None else (ks_c, vs_c))
         attn = attn.reshape(*x.shape[:2], cfg.q_dim)
         x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),

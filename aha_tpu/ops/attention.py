@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 import os
 
-from .kv_cache import UpdatePlan, attention_slot_mask
+from .kv_cache import UpdatePlan, reference_mask_operands
 from .rope import apply_rope, rope_cos_sin, rotate_by_positions
 
 NEG_INF = -1e30
@@ -47,6 +47,8 @@ def cached_attention(
     rope_theta: float,
     sink_slots: int = 0,               # policy.num_sink for the sink policy
     sink_policy: bool = False,         # True iff policy.kind == 'sink'
+    mask_mode: str = "hf",             # CachePolicy.mask_mode ('hf' | 'strict')
+    evicting: bool | None = None,      # policy evicts (sink/sliding); None -> sink_policy
     rope_tables: tuple | None = None,  # (w_cos, w_sin, e_cos, e_sin), layer-invariant
     kv_scales: tuple | None = None,    # (k_scale, v_scale) [B, W+1, KVH] — int8 KV
 ) -> jnp.ndarray:
@@ -93,6 +95,14 @@ def cached_attention(
     KVH = k_cache.shape[2]
     n_rep = NH // KVH
     sink_policy = sink_policy or sink_slots > 0   # back-compat: sinks imply sink kind
+    if evicting is None:
+        evicting = sink_policy
+    # 'hf' differs from 'strict' only for evicting policies (sink/sliding)
+    use_hf_mask = mask_mode == "hf" and evicting
+    if use_hf_mask:
+        mask_order, mask_g = reference_mask_operands(plan, sink_slots=sink_slots)
+    else:
+        mask_order, mask_g = plan.new_order, plan.g
 
     if rope_tables is None:
         w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, rope_theta)
@@ -123,14 +133,18 @@ def cached_attention(
         else:
             delta_pos = jnp.zeros_like(plan.new_key_pos)   # write_pos == key_pos
         d_cos, d_sin = rope_cos_sin(delta_pos, Dh, rope_theta)
+        # the kernel masks via (order >= 0) & (order <= g) — the hf-mode
+        # operands (ref_idx, q_pos) slot straight into that comparison
         return cached_decode_attention(
-            q_rot, kc, vc, d_cos, d_sin, plan.new_order, plan.g)
+            q_rot, kc, vc, d_cos, d_sin, mask_order, mask_g)
 
     # GQA without materializing repeated K/V: group the query heads
     # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]
     qg = q_rot.reshape(B, S, KVH, n_rep, Dh)
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-    mask = attention_slot_mask(plan)[:, None, None, :, :]  # [B, 1, 1, S, W+1]
+    mask = ((mask_order[:, None, :] >= 0)
+            & (mask_order[:, None, :] <= mask_g[:, :, None])
+            )[:, None, None, :, :]                         # [B, 1, 1, S, W+1]
     ks = vs = None
     if kv_scales is not None:
         ks, vs = kv_scales

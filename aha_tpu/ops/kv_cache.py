@@ -49,12 +49,26 @@ class CachePolicy:
         Under AHA_DECODE_ATTN=pallas the engine rounds num_slots up to a
         multiple of 128 (`with_aligned_slots`) so the Pallas decode-
         attention kernel gets tileable cache shapes.
+    mask_mode — 'hf' (default) replicates the reference's HF mask
+        arithmetic: a slot is visible iff its index in the reference's
+        concatenated cache layout (<= order - evicted_count for ring
+        entries) does not exceed the query's cache_position (q_pos). With
+        get_seq_length capped at the window this makes post-fill chunks
+        attend NON-CAUSALLY within the chunk — transformers 4.49
+        (`masking_utils`/`_prepare_4d_causal_attention_mask_with_cache_
+        position`) masks kv index > cache_position only, and once the
+        cache is full every stored index < window <= cache_position. All
+        reference benchmarks ran 400-frame (~19.6k-token) streams against
+        window 2048, so published scores embed this behavior; parity
+        requires it. 'strict' enforces true causality (order <= g) —
+        identical before the first eviction and for S=1 decode steps.
     """
 
     kind: str = "sink"
     window: int = 2048
     num_sink: int = 32
     slot_pad: int = 1
+    mask_mode: str = "hf"
 
     def __post_init__(self):
         if self.kind not in ("none", "sliding", "sink", "static"):
@@ -63,6 +77,8 @@ class CachePolicy:
             raise ValueError("need 0 <= num_sink < window")
         if self.slot_pad < 1:
             raise ValueError("slot_pad must be >= 1 (the junk slot)")
+        if self.mask_mode not in ("hf", "strict"):
+            raise ValueError(f"unknown mask_mode {self.mask_mode}")
 
     @property
     def num_slots(self) -> int:
@@ -334,14 +350,42 @@ def advance(cache: KVCache, plan: UpdatePlan, new_k: jnp.ndarray, new_v: jnp.nda
     )
 
 
-def attention_slot_mask(plan: UpdatePlan) -> jnp.ndarray:
+def attention_slot_mask(plan: UpdatePlan, *, sink_slots: int = 0,
+                        mode: str = "strict") -> jnp.ndarray:
     """[B, S, W+1] bool — which slots each query token may attend to.
 
-    A slot is visible iff it is occupied (order >= 0) and holds a token that
-    is not in the query's future (order <= g_query). Covers cross-chunk
-    causality, intra-chunk causality, eviction, and the static policy's
-    "prefix-only" semantics in one predicate.
+    mode='strict': a slot is visible iff it is occupied (order >= 0) and
+    holds a token that is not in the query's future (order <= g_query).
+    Covers cross-chunk causality, intra-chunk causality, eviction, and the
+    static policy's "prefix-only" semantics in one predicate.
+
+    mode='hf': the reference's transformers mask arithmetic (see
+    CachePolicy.mask_mode): visible iff occupied and the slot's index in
+    the reference's concatenated cache layout <= the query's
+    cache_position. The reference index of a slot is its order for sink
+    entries (the first `sink_slots` tokens, never moved) and
+    order - evicted_count for ring entries, where evicted_count =
+    seen - length (the ring always holds the most recent consecutive
+    tokens). Identical to 'strict' until the first eviction event;
+    afterwards post-fill chunks see their own future tokens, exactly like
+    the reference.
     """
     order = plan.new_order[:, None, :]      # [B, 1, W+1]
-    g = plan.g[:, :, None]                  # [B, S, 1]
-    return (order >= 0) & (order <= g)
+    if mode == "strict":
+        g = plan.g[:, :, None]              # [B, S, 1]
+        return (order >= 0) & (order <= g)
+    ref_idx, q_cap = reference_mask_operands(plan, sink_slots=sink_slots)
+    return (order >= 0) & (ref_idx[:, None, :] <= q_cap[:, :, None])
+
+
+def reference_mask_operands(plan: UpdatePlan, *, sink_slots: int = 0):
+    """(ref_idx [B, W+1], q_cap [B, S]) such that `occupied & (ref_idx <=
+    q_cap)` reproduces the reference's HF visibility (mask_mode='hf').
+    Shared by the jnp mask and the Pallas decode kernel (which compares
+    order <= g per (row, slot) — pass ref_idx as order and q_cap as g)."""
+    evicted = (plan.new_seen - plan.new_length)[:, None]          # [B, 1]
+    ref_idx = plan.new_order - jnp.where(
+        plan.new_order >= sink_slots, evicted, 0)
+    # keep empty slots at a sentinel below 0 so `order >= 0` still gates
+    ref_idx = jnp.where(plan.new_order >= 0, ref_idx, -1)
+    return ref_idx, plan.q_pos

@@ -65,6 +65,7 @@ class MultiStreamScorer:
             kind=infer_cfg.kv_cache_policy,
             window=infer_cfg.kv_window,
             num_sink=infer_cfg.num_sink_tokens,
+            mask_mode=infer_cfg.kv_mask_mode,
         )
         self.engine = StreamEngine(
             params, cfg, policy, batch=batch,
@@ -174,6 +175,7 @@ class MultiStreamSession:
             kind=infer_cfg.kv_cache_policy,
             window=infer_cfg.kv_window,
             num_sink=infer_cfg.num_sink_tokens,
+            mask_mode=infer_cfg.kv_mask_mode,
         )
         self.engine = engine or StreamEngine(
             params, cfg, policy, batch=batch,

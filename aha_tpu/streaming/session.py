@@ -466,6 +466,7 @@ def build_session(
         kind=infer_cfg.kv_cache_policy,
         window=infer_cfg.kv_window,
         num_sink=infer_cfg.num_sink_tokens,
+        mask_mode=infer_cfg.kv_mask_mode,
     )
     engine = StreamEngine(
         params,

@@ -30,7 +30,8 @@ def _run_chunk(cache, policy, k_new, v_new, q, valid_len):
 
     ref = attention.cached_attention(
         q, k_c, v_c, plan, rope_theta=THETA, sink_slots=sink_slots,
-        sink_policy=policy.kind == "sink")
+        sink_policy=policy.kind == "sink",
+        evicting=policy.kind in ("sink", "sliding"))
 
     # kernel path: q rotated at write_pos; per-slot delta rotation
     # delta_k = key_pos_k - g_k + D composes the reference's q_pos - key_pos
@@ -46,8 +47,17 @@ def _run_chunk(cache, policy, k_new, v_new, q, valid_len):
     else:
         delta_pos = jnp.zeros_like(plan.new_key_pos)
     d_cos, d_sin = rope_cos_sin(delta_pos, Dh, THETA)
+    # hf-mode mask operands, exactly as cached_attention hands them to the
+    # kernel (ref_idx <-> order, q_pos <-> g) for evicting policies
+    if policy.kind in ("sink", "sliding"):
+        from aha_tpu.ops.kv_cache import reference_mask_operands
+
+        mask_order, mask_g = reference_mask_operands(
+            plan, sink_slots=sink_slots)
+    else:
+        mask_order, mask_g = plan.new_order, plan.g
     out = cached_decode_attention(
-        q_rot, k_c, v_c, d_cos, d_sin, plan.new_order, plan.g, interpret=True)
+        q_rot, k_c, v_c, d_cos, d_sin, mask_order, mask_g, interpret=True)
 
     cache = advance(cache, plan, cache.k.at[0].set(k_c), cache.v.at[0].set(v_c))
     return cache, np.asarray(ref), np.asarray(out)

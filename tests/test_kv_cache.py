@@ -377,19 +377,19 @@ def _ref_attention_outputs(torch, ref_cache, cos_t, sin_t, q, S, q_past):
     """Reference attention for the chunk that was just updated into
     ref_cache: q rotated at [q_past, q_past+S) — q_past is the PRE-update
     cache length, exactly the position_ids HF attention uses — against the
-    post-update cache contents (stored rotated), causal only within the
-    chunk (the cache's last S entries). NH == KVH (no GQA rep)."""
+    post-update cache contents (stored rotated). The mask is transformers
+    4.49's cache_position arithmetic (kv index j visible to query i iff
+    j <= q_past + i): causal before the cache fills, intra-chunk
+    NON-causal after (all stored indices < window <= cache_position) —
+    see CachePolicy.mask_mode. NH == KVH (no GQA rep)."""
     T = ref_cache.get_seq_length(0)
     pos = torch.arange(q_past, q_past + S)
-    past = T - S                     # chunk entries are the last S of T
     qt = torch.tensor(q).permute(0, 2, 1, 3).to(torch.float64)      # [1,H,S,D]
     q_rot = _rotate_torch(torch, qt, cos_t.to(torch.float64), sin_t.to(torch.float64), pos)
     k = ref_cache.key_cache[0].to(torch.float64)                    # [1,H,T,D]
     v = ref_cache.value_cache[0].to(torch.float64)
     s = q_rot @ k.transpose(-1, -2) / (DH ** 0.5)                   # [1,H,S,T]
-    mask = torch.ones(S, T, dtype=torch.bool)
-    for i in range(S):
-        mask[i, past + i + 1:] = False
+    mask = torch.arange(T)[None, :] <= (q_past + torch.arange(S))[:, None]
     s = s.masked_fill(~mask, float("-inf"))
     p = torch.softmax(s, dim=-1)
     out = p @ v                                                     # [1,H,S,D]
@@ -461,3 +461,40 @@ def test_sink_attention_parity_past_fill(reference_root, chunks):
     assert saw_deviation
     # ... and drains back to the fast pre-rotation path within ~one window
     assert not chunk_deviates, "stream should end on the steady fast path"
+
+
+def test_sliding_attention_parity_past_fill(reference_root):
+    """Sliding policy: cached_attention (hf mask mode) == torch
+    SlidingWindowCache + transformers-4.49 mask arithmetic past the fill
+    boundary. The sliding reference keeps original key rotations (no
+    re-rotation), so this pins both the rotation bookkeeping and the
+    capped-cache_position visibility for the no-sink policy."""
+    mod, torch = _load_ref(reference_root, "sliding_window_cache")
+    policy = CachePolicy("sliding", window=12)
+    ref_cache = mod.SlidingWindowCache(window_length=12)
+    my = init_cache(policy, num_layers=1, batch=1, num_kv_heads=KVH,
+                    head_dim=DH, dtype=jnp.float32)
+    cos_t, sin_t = _torch_rope_table(torch, 4096)
+    rng = np.random.default_rng(11)
+
+    for ci, S in enumerate([5, 3, 4, 3, 3, 3, 3, 3]):
+        q = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+        k = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+        v = rng.standard_normal((1, S, KVH, DH)).astype(np.float32)
+
+        past = ref_cache.get_seq_length(0)
+        pos = torch.arange(past, past + S)
+        kt = torch.tensor(k).permute(0, 2, 1, 3)
+        k_rot_t = _rotate_torch(torch, kt, cos_t, sin_t, pos)
+        ref_cache.update(k_rot_t, torch.tensor(v).permute(0, 2, 1, 3), 0)
+        ref_out = _ref_attention_outputs(torch, ref_cache, cos_t, sin_t, q, S,
+                                         q_past=past)
+
+        plan = plan_update(my, policy, jnp.array([S], jnp.int32), S)
+        k_c, v_c, _, _ = write_layer(my.k[0], my.v[0], jnp.asarray(k),
+                                     jnp.asarray(v), plan, rope_theta=THETA)
+        my = advance(my, plan, k_c[None], v_c[None])
+        out = cached_attention(jnp.asarray(q), k_c, v_c, plan,
+                               rope_theta=THETA, evicting=True)
+        np.testing.assert_allclose(np.asarray(out), ref_out, rtol=5e-4,
+                                   atol=5e-4, err_msg=f"chunk {ci} (S={S})")
