@@ -115,11 +115,19 @@ def aha_loss(
         sl1 = jnp.where(valid, _smooth_l1(rv, rl), 0.0).sum() / jnp.maximum(count, 1)
         rel = jnp.where(count > 1, sl1, 0.0)
 
-        # Gaussian NLL with clamped log-variance
+        # Gaussian NLL with clamped log-variance. Reference quirk
+        # (video_head_live_llava_qwen.py:261-266): residual is [n] but
+        # variance_valid is [n, 1] (log_variance keeps its trailing head
+        # dim), so `residual**2 / (2*variance_valid + 1e-6)` broadcasts to
+        # an [n, n] OUTER matrix and `.mean()` averages all n^2 pairs —
+        # every variance is paired with the MEAN squared residual, not its
+        # own position's. Closed form of that outer mean:
+        #   mean_i [ mse_mean / (2 v_i + 1e-6) + 0.5 log(2 pi v_i) ]
         lv = jnp.clip(log_variance.astype(jnp.float32), -4.0, 1.5)
         var = jnp.exp(lv)
         residual2 = (rl - rv) ** 2
-        nll = residual2 / (2 * var + 1e-6) + 0.5 * jnp.log(2 * math.pi * var)
+        mse_mean = jnp.where(valid, residual2, 0.0).sum() / jnp.maximum(count, 1)
+        nll = mse_mean / (2 * var + 1e-6) + 0.5 * jnp.log(2 * math.pi * var)
         nll_mean = jnp.where(valid, nll, 0.0).sum() / jnp.maximum(count, 1)
         # unbiased std over every position (ref torch.std default)
         n = lv.size

@@ -69,10 +69,16 @@ def torch_oracle_loss(logits, info_logits, relevance, log_var, input_ids,
         rl = rel_labels.flatten().float()[valid.flatten()]
         if rl.numel() > 1:
             ref_loss = sl1(rv, rl)
-        lv = torch.clamp(log_variance, min=-4.0, max=1.5)
+        # verbatim reference shapes (video_head_live_llava_qwen.py:256-266):
+        # log_variance keeps its trailing head dim [B, T, 1], so
+        # variance_valid is [n, 1] and the nll broadcasts against the [n]
+        # residual into an [n, n] outer matrix whose mean pairs every
+        # variance with the mean squared residual
+        lv = torch.clamp(log_variance.unsqueeze(-1), min=-4.0, max=1.5)
         var = torch.exp(lv)
-        var_valid = var.flatten(0, 1)[valid.flatten()]
+        var_valid = var.flatten(0, 1)[valid.flatten()]          # [n, 1]
         nll = ((rl - rv) ** 2) / (2 * var_valid + 1e-6) + 0.5 * torch.log(2 * math.pi * var_valid)
+        assert nll.dim() == 2 and nll.shape[0] == nll.shape[1]  # the quirk
         unc_loss = nll.mean() - 1e-3 * torch.std(lv)
         unc_loss = torch.clamp(unc_loss, min=0)
 
