@@ -195,6 +195,9 @@ def forward_train(
     frames: jnp.ndarray | None,           # [N, H, W, 3] pixel frames (or None)
     *,
     attn_mask: jnp.ndarray | None = None,  # [B, T] bool
+    frame_embeds: jnp.ndarray | None = None,  # [N, F, H] or [N*F, H] post-
+    # projector embeddings (pre-extracted features path, data/pipeline.
+    # extract_features); mutually exclusive with `frames`
     lora: dict | None = None,
     lora_scale: float = 0.0,
     remat: bool = True,
@@ -208,10 +211,12 @@ def forward_train(
     attention (long-context training past one device's memory).
     lora_dropout/dropout_rng: train-time peft-style adapter-input dropout
     (see qwen2.forward_hidden)."""
-    frame_embeds = None
     if frames is not None:
+        assert frame_embeds is None, "pass frames or frame_embeds, not both"
         fe = visual_embed(params, cfg, frames)          # [N, F, H]
         frame_embeds = fe.reshape(-1, fe.shape[-1])
+    elif frame_embeds is not None:
+        frame_embeds = frame_embeds.reshape(-1, frame_embeds.shape[-1])
     embeds = joint_embed(params, cfg, input_ids, frame_embeds)
     positions = None
     if attn_mask is not None:
