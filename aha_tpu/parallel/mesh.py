@@ -107,11 +107,26 @@ def param_specs(tree: dict, mesh: Mesh) -> dict:
     )
 
 
+def _put(x, sharding: NamedSharding):
+    """Host array -> (possibly multi-process) sharded device array.
+
+    Single-process: plain device_put. Multi-process (jax.distributed):
+    device_put cannot target non-addressable shards, so build the global
+    array from a callback — every host holds the same full copy (our
+    replicated-input convention; the dataset loader seeds identically
+    across hosts) and contributes its addressable shards."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
+
 def apply_named_sharding(tree: dict, mesh: Mesh, specs: dict | None = None):
     """device_put the tree with NamedShardings (host -> sharded device arrays)."""
     specs = specs if specs is not None else param_specs(tree, mesh)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), tree, specs
     )
 
 
@@ -144,7 +159,7 @@ def cache_specs(cache, mesh: Mesh):
 def shard_cache(cache, mesh: Mesh):
     specs = cache_specs(cache, mesh)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), cache, specs
     )
 
 
@@ -157,6 +172,6 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     def put(x):
         x = np.asarray(x)
         spec = _guard(P("data"), x.shape, mesh)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put(x, NamedSharding(mesh, spec))
 
     return {k: put(v) for k, v in batch.items() if v is not None}

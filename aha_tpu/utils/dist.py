@@ -68,16 +68,25 @@ def setup_for_distributed(is_master: bool):
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> dict:
-    """Multi-host bring-up. On single-host (or TPU pods with automatic
-    environment detection) argument-free initialize() is correct."""
+    """Multi-host bring-up. Must run before ANY other jax call — even
+    jax.process_count() initializes the XLA backend, after which
+    jax.distributed.initialize refuses to run (caught by
+    tests/test_dist_multiprocess.py), so the decision here reads only the
+    arguments and environment."""
+    import os as _os
+
     import jax
 
-    if process_count() > 1 or coordinator_address is not None:
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif _os.environ.get("JAX_COORDINATOR_ADDRESS") or _os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        # TPU-pod / SLURM style auto-detection from the environment
+        jax.distributed.initialize()
     info = {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
