@@ -211,14 +211,24 @@ class MultiStreamSession:
         return [res[b] for b in range(B)]
 
     def run_items(self, items, *, fps: float, on_result=None,
-                  max_frames: int | None = None) -> dict:
+                  max_frames: int | None = None, stats: dict | None = None) -> dict:
         """The serving loop: admit -> queries -> prefixes -> trigger
         scoring -> generation -> retire, over `batch` slots.
 
         on_result(key, result): optional callback fired the moment a
         stream retires (completion order — callers wanting dataset order
         buffer and reorder). max_frames: per-call frames-buffer length
-        (defaults to the instance setting)."""
+        (defaults to the instance setting).
+
+        stats: optional dict accumulating a wall-clock phase split —
+        admit_s (encode + H2D + slot reset), text_s (query/prefix
+        appends), score_s (trigger scoring incl. its host sync), gen_s
+        (batched generation incl. sync), host_s (python bookkeeping),
+        plus counters (iterations, score_dispatches, gen_dispatches,
+        frames_scored, tokens_generated). Phase ends force a tiny device
+        sync so the attribution is honest; only enable when profiling."""
+        import time as _time
+
         max_frames = max_frames or getattr(self, "max_frames", None)
         assert max_frames, "max_frames required (ctor or call)"
         a = self.args
@@ -227,6 +237,17 @@ class MultiStreamSession:
         cfg = self.cfg
         it = iter(items)
         exhausted = False
+
+        def _tick(name, t0, sync=None):
+            if stats is None:
+                return
+            if sync is not None:
+                jax.device_get(sync)
+            stats[name] = stats.get(name, 0.0) + (_time.perf_counter() - t0)
+
+        def _count(name, n=1):
+            if stats is not None:
+                stats[name] = stats.get(name, 0) + n
 
         frames_buf = jnp.zeros(
             (B, max_frames, cfg.frame_num_tokens, cfg.llm.hidden_size),
@@ -253,6 +274,8 @@ class MultiStreamSession:
                     and i[b] / fps >= queries[b][q_ptr[b]]["time"])
 
         while True:
+            _count("iterations")
+            _t0 = _time.perf_counter() if stats is not None else 0.0
             # 0. admit waiting streams into free slots
             admit = np.zeros(B, bool)
             for b in range(B):
@@ -298,9 +321,11 @@ class MultiStreamSession:
             if admit.any():
                 cache = eng.reset_cache_rows(cache, admit)
                 counts = counts * jnp.asarray(~admit, counts.dtype)[:, None]
+            _tick("admit_s", _t0, sync=cache.seen)
             if not any(occupied):
                 break
 
+            _t0 = _time.perf_counter() if stats is not None else 0.0
             # 1. queries due now (per-row ragged chunk; [] rows are no-ops)
             q_rows = [[] for _ in range(B)]
             any_q = False
@@ -333,7 +358,9 @@ class MultiStreamSession:
                     any_p = True
             if any_p:
                 cache, _ = eng.append_ids(cache, p_rows)
+            _tick("text_s", _t0, sync=cache.seen)
 
+            _t0 = _time.perf_counter() if stats is not None else 0.0
             # 3. per-row frame limit: own length or next query boundary
             limit = np.where(occupied, T, 0)
             for b in range(B):
@@ -347,13 +374,19 @@ class MultiStreamSession:
                     a.stream_end_score_sum_threshold,
                     tuple(a.score_heads),
                 )
-            i_new = np.asarray(jax.device_get(i_new), np.int64)
-            triggered = np.asarray(jax.device_get(triggered), bool) \
-                & np.asarray(occupied)
-            s_host = np.asarray(jax.device_get(scores), np.float64)
-            score_sum = np.where(occupied,
-                                 np.asarray(jax.device_get(new_sum), np.float64),
+            # one batched fetch: 4 separate device_gets would pay the
+            # dispatch RTT 4x (the axon tunnel charges ~40 ms per sync)
+            i_new, triggered, s_host, new_sum = jax.device_get(
+                (i_new, triggered, scores, new_sum))
+            i_new = np.asarray(i_new, np.int64)
+            triggered = np.asarray(triggered, bool) & np.asarray(occupied)
+            s_host = np.asarray(s_host, np.float64)
+            score_sum = np.where(occupied, np.asarray(new_sum, np.float64),
                                  score_sum)
+            _count("score_dispatches")
+            _count("frames_scored", int((i_new - i).sum()))
+            _tick("score_s", _t0)
+            _t0 = _time.perf_counter() if stats is not None else 0.0
             for b in range(B):
                 if not occupied[b]:
                     continue
@@ -368,8 +401,11 @@ class MultiStreamSession:
                     ))
                 i[b] = i_new[b]
 
+            _tick("host_s", _t0)
+
             # 4. batched generation for the triggered subset
             if triggered.any():
+                _t0 = _time.perf_counter() if stats is not None else 0.0
                 pre_cache = cache
                 g_rows = [list(self._gen_prompt_ids) if triggered[b] else []
                           for b in range(B)]
@@ -377,9 +413,14 @@ class MultiStreamSession:
                     eng.generate(cache, g_rows, counts,
                                  active=jnp.asarray(triggered))
                 cache = pre_cache if a.remove_assistant_turns else gen_cache
-                out_ids = np.asarray(jax.device_get(out_ids))
-                out_len = np.asarray(jax.device_get(out_len))
-                last_tok = np.asarray(jax.device_get(last_tok))
+                out_ids, out_len, last_tok = jax.device_get(
+                    (out_ids, out_len, last_tok))
+                out_ids = np.asarray(out_ids)
+                out_len = np.asarray(out_len)
+                last_tok = np.asarray(last_tok)
+                _count("gen_dispatches")
+                _count("tokens_generated", int(out_len[triggered].sum()))
+                _tick("gen_s", _t0)
                 for b in range(B):
                     if not triggered[b]:
                         continue
