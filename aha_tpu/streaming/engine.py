@@ -202,6 +202,45 @@ class StreamEngine:
             scores = _scores_from_hidden(params, cfg, hidden[:, -1])
             return cache, scores
 
+        def append_text_frames(params, cache, ids, id_len, frame_embeds,
+                               active=None):
+            """One fused chunk: per-row text prefix immediately followed by
+            one frame — the reference's _encode_frame forward granularity
+            (`cat(embed(last_ids), frame_embeds)` in ONE model call,
+            test/inference.py:211-217). Chunk boundaries are SEMANTIC under
+            mask_mode='hf' (post-fill chunks attend non-causally within the
+            chunk), so the role-transition prefix must share the frame's
+            chunk for exact parity; a separate prefix append would give the
+            prefix tokens different hidden states (and cached K/V) once the
+            window is full.
+
+            ids: [B, P] right-padded; id_len: [B]; frame_embeds: [B, F, H].
+            Returns (cache, scores [B, 3]) — scores at the last frame token.
+            """
+            B, P = ids.shape
+            F = frame_embeds.shape[1]
+            S = P + F
+            text_emb = qwen2.embed_tokens(params["llm"], ids,
+                                          dtype=jnp.dtype(cfg.dtype))
+            j = jnp.arange(S, dtype=jnp.int32)[None, :]       # [1, S]
+            n = id_len[:, None].astype(jnp.int32)             # [B, 1]
+            bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+            tx_idx = jnp.clip(j, 0, P - 1)
+            fr_idx = jnp.clip(j - n, 0, F - 1)
+            emb = jnp.where((j < n)[..., None],
+                            text_emb[bidx, tx_idx],
+                            frame_embeds[bidx, fr_idx])       # [B, S, H]
+            valid_len = id_len.astype(jnp.int32) + F
+            if active is not None:
+                valid_len = jnp.where(active, valid_len, 0)
+            hidden, cache = qwen2.decode_chunk(
+                params["llm"], cfg.llm, policy, cache, emb, valid_len,
+                lora=lora, lora_scale=lora_scale,
+            )
+            scores = _scores_from_hidden(params, cfg,
+                                         _last_valid(hidden, valid_len))
+            return cache, scores
+
         def score_stream(params, cache, frames, active=None):
             # frames: [B, T, F, H] -> scores [B, T, 3]; no host syncs.
             # active: [B, T] bool for ragged multi-stream batches.
@@ -406,6 +445,7 @@ class StreamEngine:
 
         self._append_ids = _jit(append_ids, donate_argnums=(1,))
         self._append_frames = _jit(append_frames, donate_argnums=(1,))
+        self._append_text_frames = _jit(append_text_frames, donate_argnums=(1,))
         self._score_stream = _jit(score_stream, donate_argnums=(1,))
         self._score_until_trigger = _jit(score_until_trigger, donate_argnums=(1,))
         self._score_until_trigger_multi = _jit(
@@ -435,6 +475,14 @@ class StreamEngine:
 
     def append_frames(self, cache: KVCache, frame_embeds: jnp.ndarray, active=None):
         return self._append_frames(self.params, cache, frame_embeds, active)
+
+    def append_text_frames(self, cache: KVCache, ids_list: list[list[int]],
+                           frame_embeds: jnp.ndarray, active=None):
+        """Fused per-row [text prefix + frame] chunk (see append_text_frames
+        in _build). frame_embeds: [B, F, H]."""
+        ids, lens = self.pad_ids(ids_list)
+        return self._append_text_frames(self.params, cache, ids, lens,
+                                        frame_embeds, active)
 
     def score_stream(self, cache: KVCache, frames: jnp.ndarray, active=None):
         return self._score_stream(self.params, cache, frames, active)

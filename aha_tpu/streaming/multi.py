@@ -343,7 +343,20 @@ class MultiStreamSession:
             if any_q:
                 cache, _ = eng.append_ids(cache, q_rows)
 
-            # 2. role-transition prefixes owed before the next frame
+            # 2. per-row frame limit: own length or next query boundary
+            limit = np.where(occupied, T, 0)
+            for b in range(B):
+                if occupied[b] and q_ptr[b] < len(queries[b]):
+                    boundary = int(np.ceil(queries[b][q_ptr[b]]["time"] * fps))
+                    limit[b] = min(limit[b], max(boundary, i[b]))
+
+            # 3a. rows owing a role-transition prefix take their next frame
+            # as a FUSED [prefix + frame] chunk — the reference's forward
+            # boundary, semantic under mask_mode='hf' once the window fills.
+            # Rows without a prefix advance one normal frame in the same
+            # batched step (no wasted weight pass); the host evaluates the
+            # trigger rule for this one step, then the on-device loop takes
+            # the prefix-free run.
             p_rows = [[] for _ in range(B)]
             any_p = False
             for b in range(B):
@@ -356,17 +369,45 @@ class MultiStreamSession:
                     p_rows[b] = pending_last[b] + list(self._stream_prompt_ids)
                 if p_rows[b]:
                     any_p = True
+            fused_triggered = np.zeros(B, bool)
             if any_p:
-                cache, _ = eng.append_ids(cache, p_rows)
+                can_step = np.asarray(occupied) & (i < limit)
+                idx = np.minimum(i, T - 1)
+                fe = frames_buf[jnp.arange(B), jnp.asarray(idx)]   # [B, F, H]
+                cache, s = eng.append_text_frames(
+                    cache, p_rows, fe, active=jnp.asarray(can_step))
+                s_host0 = np.asarray(jax.device_get(s), np.float64)
+                heads = a.score_heads
+                for b in range(B):
+                    if not can_step[b]:
+                        continue
+                    stream_end = sum(v for key, v in (
+                        ("informative_score", float(s_host0[b, 0])),
+                        ("relevance_score", float(s_host0[b, 1])),
+                    ) if key in heads)
+                    score_sum[b] += stream_end
+                    if (a.stream_end_score_sum_threshold is not None
+                            and score_sum[b]
+                            > a.stream_end_score_sum_threshold):
+                        fused_triggered[b] = True
+                        score_sum[b] = 0.0
+                    if (a.stream_end_prob_threshold is not None
+                            and stream_end > a.stream_end_prob_threshold):
+                        fused_triggered[b] = True
+                    debug[b].append(dict(
+                        time=int(i[b]) / fps,
+                        informative_score=float(s_host0[b, 0]),
+                        relevance_score=float(s_host0[b, 1]),
+                        uncertainty_score=float(s_host0[b, 2]),
+                    ))
+                    i[b] += 1
+                    last_role[b] = "stream"
+                # triggered rows stop here this round (their generation runs
+                # below); everyone else continues in the on-device loop
+                limit = np.where(fused_triggered, i, limit)
             _tick("text_s", _t0, sync=cache.seen)
 
             _t0 = _time.perf_counter() if stats is not None else 0.0
-            # 3. per-row frame limit: own length or next query boundary
-            limit = np.where(occupied, T, 0)
-            for b in range(B):
-                if occupied[b] and q_ptr[b] < len(queries[b]):
-                    boundary = int(np.ceil(queries[b][q_ptr[b]]["time"] * fps))
-                    limit[b] = min(limit[b], max(boundary, i[b]))
             cache, scores, i_new, new_sum, triggered = \
                 eng.score_until_trigger_multi(
                     cache, frames_buf, i, limit, score_sum,
@@ -379,7 +420,8 @@ class MultiStreamSession:
             i_new, triggered, s_host, new_sum = jax.device_get(
                 (i_new, triggered, scores, new_sum))
             i_new = np.asarray(i_new, np.int64)
-            triggered = np.asarray(triggered, bool) & np.asarray(occupied)
+            triggered = ((np.asarray(triggered, bool) | fused_triggered)
+                         & np.asarray(occupied))
             s_host = np.asarray(s_host, np.float64)
             score_sum = np.where(occupied, np.asarray(new_sum, np.float64),
                                  score_sum)

@@ -145,8 +145,13 @@ class StreamSession:
         else:
             prefix_ids = []
         if prefix_ids:
-            self.cache, _ = self.engine.append_ids(self.cache, [prefix_ids])
-        self.cache, scores = self.engine.append_frames(self.cache, frame_embeds[None])
+            # prefix + frame in ONE chunk, the reference's forward boundary
+            # (semantic under mask_mode='hf' once the window is full)
+            self.cache, scores = self.engine.append_text_frames(
+                self.cache, [prefix_ids], frame_embeds[None])
+        else:
+            self.cache, scores = self.engine.append_frames(
+                self.cache, frame_embeds[None])
 
         self.frame_idx += 1
         self.num_frames_no_reply += 1
@@ -315,18 +320,43 @@ class StreamSession:
             while k < len(chunk):
                 prefix = self._frame_prefix_ids()
                 if prefix:
-                    self.cache, _ = self.engine.append_ids(self.cache, [prefix])
-                self.cache, scores, n, new_sum, triggered = self.engine.score_until_trigger(
-                    self.cache, embeds[k:], len(chunk) - k,
-                    self.stream_end_score_sum,
-                    self.stream_end_prob_threshold,
-                    self.stream_end_score_sum_threshold,
-                    tuple(self.score_heads),
-                )
-                n = int(n)
-                triggered = bool(triggered)
-                s_host = np.asarray(jax.device_get(scores[:n]), np.float64)
-                self.stream_end_score_sum = float(new_sum)
+                    # the frame right after a response (or the very first
+                    # frame) carries its role-transition prefix IN THE SAME
+                    # chunk — the reference's forward boundary, which is
+                    # semantic under mask_mode='hf' once the window fills.
+                    # One host-checked fused step, then back to the
+                    # on-device loop for the run of prefix-free frames.
+                    self.cache, s = self.engine.append_text_frames(
+                        self.cache, [prefix], embeds[k][None])
+                    s_host = np.asarray(jax.device_get(s), np.float64)
+                    n = 1
+                    stream_end = sum(v for key, v in (
+                        ("informative_score", float(s_host[0, 0])),
+                        ("relevance_score", float(s_host[0, 1])),
+                    ) if key in self.score_heads)
+                    self.stream_end_score_sum += stream_end
+                    triggered = False
+                    if (self.stream_end_score_sum_threshold is not None
+                            and self.stream_end_score_sum
+                            > self.stream_end_score_sum_threshold):
+                        triggered = True
+                        self.stream_end_score_sum = 0.0
+                    if (self.stream_end_prob_threshold is not None
+                            and stream_end > self.stream_end_prob_threshold):
+                        triggered = True
+                else:
+                    self.cache, scores, n, new_sum, triggered = \
+                        self.engine.score_until_trigger(
+                            self.cache, embeds[k:], len(chunk) - k,
+                            self.stream_end_score_sum,
+                            self.stream_end_prob_threshold,
+                            self.stream_end_score_sum_threshold,
+                            tuple(self.score_heads),
+                        )
+                    n = int(n)
+                    triggered = bool(triggered)
+                    s_host = np.asarray(jax.device_get(scores[:n]), np.float64)
+                    self.stream_end_score_sum = float(new_sum)
                 self.last_role = "stream"
                 self.frame_idx += n
                 self.num_frames_no_reply += n

@@ -628,6 +628,11 @@ def test_composed_streaming_parity(pair, reference_root):
     my_responses = [(r["time"], r["content"]) for r in out
                     if r["role"] == "assistant"]
     assert len(ref_responses) >= 1, "stream never triggered; raise THR range"
+    # the scenario must include a POST-FILL response boundary: the frame
+    # after it carries its role-transition prefix fused into the frame
+    # chunk, which only matters (mask_mode='hf') once the window is full —
+    # with seed 9 responses land at t=3, 21, 22 and the cache fills ~t=13
+    assert max(t for t, _ in ref_responses) > N_FRAMES * 2 // 3, ref_responses
     assert len(my_responses) == len(ref_responses)
     for (t_mine, text_mine), (t_ref, ids_ref) in zip(my_responses, ref_responses):
         assert t_mine == t_ref
