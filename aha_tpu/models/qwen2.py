@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from aha_tpu.config import QwenConfig
+from aha_tpu.ops import attention
 from aha_tpu.ops.attention import cached_attention, causal_attention
 from aha_tpu.ops.rope import rope_cos_sin
 from aha_tpu.ops.kv_cache import (
@@ -304,31 +305,51 @@ def decode_chunk(
     # measured 1.7x slower end-to-end (47.9 vs 80.9 scan fps on the 7B).
     lyr = params["layers"]
 
-    def layer_fn(x, scanned):
-        k_cache_l, v_cache_l, ks_l, vs_l, i = scanned
-        h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
-        q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
-        k_c, v_c, ks_c, vs_c = write_layer(k_cache_l, v_cache_l, k, v, plan,
-                                           ks_l, vs_l, rot=(w_cos, w_sin))
-        attn = cached_attention(
-            q, k_c, v_c, plan,
-            rope_theta=cfg.rope_theta, sink_slots=sink_slots,
-            sink_policy=sink_policy, mask_mode=policy.mask_mode,
-            evicting=policy.kind in ("sink", "sliding"),
-            rope_tables=rope_tables,
-            kv_scales=None if ks_c is None else (ks_c, vs_c))
-        attn = attn.reshape(*x.shape[:2], cfg.q_dim)
-        x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),
-                       lora_scale, layer=i)
-        h = rms_norm(x, _idx(lyr["post_norm"]["scale"], i), cfg.rms_norm_eps)
-        x = x + _mlp(h, lyr, lora, lora_scale, layer=i)
-        return x, (k_c, v_c, ks_c, vs_c)
+    def make_layer_fn(transient: str):
+        def layer_fn(x, scanned):
+            k_cache_l, v_cache_l, ks_l, vs_l, i = scanned
+            h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
+            q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
+            k_c, v_c, ks_c, vs_c = write_layer(k_cache_l, v_cache_l, k, v, plan,
+                                               ks_l, vs_l, rot=(w_cos, w_sin))
+            attn = cached_attention(
+                q, k_c, v_c, plan,
+                rope_theta=cfg.rope_theta, sink_slots=sink_slots,
+                sink_policy=sink_policy, mask_mode=policy.mask_mode,
+                evicting=policy.kind in ("sink", "sliding"),
+                transient=transient, rope_tables=rope_tables,
+                kv_scales=None if ks_c is None else (ks_c, vs_c))
+            attn = attn.reshape(*x.shape[:2], cfg.q_dim)
+            x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),
+                           lora_scale, layer=i)
+            h = rms_norm(x, _idx(lyr["post_norm"]["scale"], i), cfg.rms_norm_eps)
+            x = x + _mlp(h, lyr, lora, lora_scale, layer=i)
+            return x, (k_c, v_c, ks_c, vs_c)
 
-    x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-        layer_fn, inputs_embeds,
-        (cache.k, cache.v, cache.k_scale, cache.v_scale,
-         jnp.arange(cfg.num_layers, dtype=jnp.int32)),
-    )
+        return layer_fn
+
+    scanned = (cache.k, cache.v, cache.k_scale, cache.v_scale,
+               jnp.arange(cfg.num_layers, dtype=jnp.int32))
+
+    def run_scan(transient, x0):
+        return jax.lax.scan(make_layer_fn(transient), x0, scanned)
+
+    if policy.kind == "sink":
+        # ONE chunk-level cond around the whole layer scan: during the fill
+        # transient (at most one window per stream, once) every layer runs
+        # the exact rotate-at-read attention; everywhere else the zero-cost
+        # pre-rotation fast path. A per-layer cond instead measured ~7%
+        # scan / ~15% decode overhead on v5e-1 even with the fast branch
+        # always taken (attention.transient_deviation docstring).
+        needs_exact = jnp.any(attention.transient_deviation(plan, sink_slots))
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.cond(
+            needs_exact,
+            lambda x0: run_scan("exact", x0),
+            lambda x0: run_scan("fast", x0),
+            inputs_embeds,
+        )
+    else:
+        x, (new_k, new_v, new_ks, new_vs) = run_scan("fast", inputs_embeds)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     new_cache = advance(cache, plan, new_k, new_v, new_ks, new_vs)
     return x, new_cache

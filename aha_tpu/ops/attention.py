@@ -49,6 +49,11 @@ def cached_attention(
     sink_policy: bool = False,         # True iff policy.kind == 'sink'
     mask_mode: str = "hf",             # CachePolicy.mask_mode ('hf' | 'strict')
     evicting: bool | None = None,      # policy evicts (sink/sliding); None -> sink_policy
+    transient: str = "cond",           # fill-transient handling: 'cond' puts
+    # a lax.cond around this call's own attention (correct anywhere, but a
+    # per-LAYER cond measured ~7% scan / ~15% decode overhead on v5e-1);
+    # 'fast' / 'exact' pick one branch statically so the caller can hoist a
+    # single chunk-level cond around its whole layer scan (qwen2.decode_chunk)
     rope_tables: tuple | None = None,  # (w_cos, w_sin, e_cos, e_sin), layer-invariant
     kv_scales: tuple | None = None,    # (k_scale, v_scale) [B, W+1, KVH] — int8 KV
 ) -> jnp.ndarray:
@@ -202,20 +207,12 @@ def cached_attention(
         m, l, o = part(qg, k_cache, 0, k_cache.shape[1], ks_p=ks)
         return o / l[..., None]
 
-    if sink_policy:
-        # transient after a partial first eviction event: some ring slots'
-        # residual rho_k = g_k - key_pos_k deviates from D (see docstring);
-        # the fast pre-rotation algebra is wrong for exactly those slots.
-        slot_ids = jnp.arange(k_cache.shape[1], dtype=jnp.int32)[None, :]
-        rho = plan.new_order - plan.new_key_pos
-        deviates = ((slot_ids >= sink_slots) & (plan.new_order >= 0)
-                    & (rho != D))
-
-        def exact_out(_):
+    if sink_policy and transient != "fast":
+        def exact_out(_=None):
             # reference semantics computed directly: q at q_pos against keys
             # rotated from their stored write_pos (g_k) to the tracked
-            # key_pos. O(W) rotation — paid only while the transient lasts
-            # (at most one window of tokens per stream, once).
+            # key_pos. O(W) rotation — paid only while the fill transient
+            # lasts (at most one window of tokens per stream, once).
             kc = k_cache
             if kv_scales is not None:
                 kc = kc.astype(jnp.float32) * kv_scales[0][..., None]
@@ -226,10 +223,31 @@ def cached_attention(
             m, l, o = part(qe, kc, 0, k_cache.shape[1], ks_p=None)
             return o / l[..., None]
 
-        out = jax.lax.cond(jnp.any(deviates), exact_out, fast_out, None)
+        if transient == "exact":
+            out = exact_out()
+        else:
+            # transient after an eviction event: ring slots' residual
+            # rho_k = g_k - key_pos_k deviates from D (see docstring); the
+            # fast pre-rotation algebra is wrong for exactly those slots
+            out = jax.lax.cond(jnp.any(transient_deviation(plan, sink_slots)),
+                               exact_out, fast_out, None)
     else:
         out = fast_out()
     return out.reshape(B, S, NH, Dh).astype(q.dtype)
+
+
+def transient_deviation(plan: UpdatePlan, sink_slots: int) -> jnp.ndarray:
+    """[B, W+1] bool — occupied ring slots whose residual rho_k = g_k -
+    key_pos_k deviates from the row drift D = seen - length, i.e. slots for
+    which the pre-rotation fast path would score the wrong RoPE distance.
+    Nonzero only from the first eviction event until the keys written at or
+    before it evict (~one window per stream, once). Layer-invariant: callers
+    with a layer scan evaluate `jnp.any` of this ONCE per chunk and cond the
+    whole scan (qwen2.decode_chunk) instead of paying a per-layer cond."""
+    D = (plan.g[:, :1] - plan.q_pos[:, :1]).astype(jnp.int32)
+    slot_ids = jnp.arange(plan.new_order.shape[1], dtype=jnp.int32)[None, :]
+    rho = plan.new_order - plan.new_key_pos
+    return (slot_ids >= sink_slots) & (plan.new_order >= 0) & (rho != D)
 
 
 def blockwise_causal_attention(
