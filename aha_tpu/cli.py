@@ -559,6 +559,11 @@ def cmd_train(argv):
     p.add_argument("--video_head_stop_grad", action="store_true",
                    help="ablation: detach hidden states before the score "
                         "heads (ref video_head_live_llava_qwen.py:44-47)")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["none", "full", "dots", "dots_no_batch"],
+                   help="trunk activation remat: 'full' = lowest HBM "
+                        "(ref gradient_checkpointing), 'dots' saves matmul "
+                        "outputs for a faster backward when memory allows")
     p.add_argument("--quantize_base", action="store_true",
                    help="QLoRA analog (ref NF4+LoRA): freeze the trunk as "
                         "int8, train bf16 adapters + dense finetune modules."
@@ -601,6 +606,7 @@ def cmd_train(argv):
         mesh_model=args.mesh_model,
         resume_from_checkpoint=args.resume_from_checkpoint,
         seed=args.seed,
+        remat_policy=args.remat_policy,
     )
     dataset = build_mixture_from_config(args.dataset_config, tokenizer,
                                         system_prompt=train_cfg.system_prompt,

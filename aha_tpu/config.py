@@ -263,6 +263,14 @@ class TrainConfig:
     ring_attention: bool = False
     ring_min_seq: int = 2048
 
+    # activation rematerialization policy for the LLM trunk
+    # (models/qwen2.forward_hidden): "full" recomputes every layer forward
+    # in backward (lowest HBM), "dots" saves matmul outputs and recomputes
+    # only the cheap elementwise/norm ops (faster when activations fit),
+    # "none" saves everything. Replaces the reference's
+    # gradient_checkpointing=True HF flag (ref train.py TrainingArguments).
+    remat_policy: str = "full"   # none | full | dots | dots_no_batch
+
     system_prompt: str = (
         "A multimodal AI assistant is helping users with some activities."
         " Below is their conversation, interleaved with the list of video frames"

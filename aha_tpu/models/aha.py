@@ -200,7 +200,7 @@ def forward_train(
     # extract_features); mutually exclusive with `frames`
     lora: dict | None = None,
     lora_scale: float = 0.0,
-    remat: bool = True,
+    remat: bool | str = True,   # see qwen2.forward_hidden remat policies
     ring: tuple | None = None,
     lora_dropout: float = 0.0,
     dropout_rng: jnp.ndarray | None = None,

@@ -191,7 +191,7 @@ def forward_hidden(
     positions: jnp.ndarray | None = None,  # [B, T]
     lora: dict | None = None,
     lora_scale: float = 0.0,
-    remat: bool = False,
+    remat: bool | str = False,   # False/'none' | True/'full' | 'dots' | 'dots_no_batch'
     ring: tuple | None = None,   # (mesh, seq_axis): sequence-parallel attention
     lora_dropout: float = 0.0,
     dropout_rng: jax.Array | None = None,
@@ -255,8 +255,20 @@ def forward_hidden(
         x = x + _mlp(h, lp, lora_l, lora_scale, lora_dropout=lora_dropout)
         return x, None
 
-    if remat:
+    if remat in (True, "full"):
+        # save nothing: every layer recomputes its forward in backward
         layer_fn = jax.checkpoint(layer_fn)
+    elif remat == "dots":
+        # save matmul outputs, recompute the cheap elementwise/norm ops —
+        # trades HBM for skipping the 2N forward recompute in backward
+        layer_fn = jax.checkpoint(
+            layer_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    elif remat == "dots_no_batch":
+        layer_fn = jax.checkpoint(
+            layer_fn,
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    elif remat not in (False, None, "none"):
+        raise ValueError(f"unknown remat policy: {remat!r}")
     x, _ = jax.lax.scan(layer_fn, x, (params["layers"], lora))
     return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
 

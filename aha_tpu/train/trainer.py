@@ -107,7 +107,7 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
             attn_mask=batch.get("attention_mask"),
             lora=lora_tree,
             lora_scale=lora_scale,
-            remat=True,
+            remat=train_cfg.remat_policy,
             ring=ring,
             # peft-style adapter-input dropout (ref lora_dropout=0.05):
             # fresh masks every step, deterministic in (seed, step)

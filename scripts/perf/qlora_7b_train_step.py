@@ -1,15 +1,32 @@
-"""7B QLoRA train-step on one v5e-1 (16 GB): does it fit, and how fast?
+"""7B QLoRA train-step MFU sweep on one v5e-1 (16 GB).
 
 LoRA r16/a32 over a frozen int8 trunk (projector/lm_head/heads dense,
-trained — the full reference finetune_modules set). Run on the TPU:
-    python scripts/perf/qlora_7b_train_step.py
+trained — the full reference finetune_modules set). Sweeps batch shape
+(B, n_frames) x remat policy (TrainConfig.remat_policy) and reports an
+MFU table. Run on the TPU:
+    python scripts/perf/qlora_7b_train_step.py [--quick]
 (One TPU process at a time; timing synced with jax.device_get.)
 
-Measured 2026-08-16, v5e-1 via axon tunnel (median of 5 warm steps):
+MFU accounting (documented so the table is auditable):
+  F_fwd       = analytic matmul FLOPs of one forward (trunk + lm_head +
+                vision tower + projector + heads; causal attention counted
+                at T/2 average context).
+  useful/step = 2*F_fwd + F_dW    (forward + full dL/dx backward + dL/dW
+                only for the trainable leaves — the frozen trunk has no
+                weight-gradient matmuls in this step)
+  hardware    = useful + F_fwd recomputed under remat_policy=full
+                (policy "dots"/"none" recompute ~nothing that is a matmul)
+  MFU = useful / step_time / PEAK;  HFU = hardware / step_time / PEAK
+  PEAK = 197e12 (v5e bf16). The int8 trunk matmuls run through dequant to
+  bf16 (weight-only quant), so bf16 peak is the right denominator.
+
+Measured 2026-08-16 (pre-sweep, remat=full), v5e-1 via axon tunnel,
+median of 5 warm steps:
     B=1 T=534 (8 frames):  252.6 ms/step,  2114 tok/s  (compile 230 s)
-    B=1 T=926 (16 frames): 390.4 ms/step,  2372 tok/s  (~50% bf16 MFU)
+    B=1 T=926 (16 frames): 390.4 ms/step,  2372 tok/s
 The reference's training floor is >=48 GB/GPU (README.md:111); its NF4
 4-bit path is inference-only (modeling_live.py:114-133).
+Sweep results are appended to BASELINE.md's MFU table when captured.
 """
 import json
 import pathlib
@@ -29,6 +46,36 @@ from aha_tpu.tokenization import build_stream_tokenizer
 from aha_tpu.train.trainer import init_train_state, make_train_step
 
 IGNORE = -100
+PEAK_BF16 = 197e12  # v5e per-chip bf16
+
+
+def analytic_flops(cfg, B, T, n_frames):
+    """Matmul FLOPs (multiply-accumulate counted as 2) of one forward, plus
+    the dL/dW term for the trainable leaves. Elementwise/norm/softmax FLOPs
+    are excluded (noise next to the matmuls at these shapes)."""
+    l = cfg.llm
+    # trunk, per layer: qkv + o projections, then causal attention at T/2
+    proj = 2 * l.hidden_size * (2 * l.num_heads * l.head_dim
+                                + 2 * l.num_kv_heads * l.head_dim)
+    attn = 2 * 2 * (T / 2) * l.num_heads * l.head_dim
+    mlp = 3 * 2 * l.hidden_size * l.intermediate_size
+    trunk = l.num_layers * (proj + attn + mlp) * B * T
+    lm_head = 2 * l.hidden_size * l.vocab_size * B * T
+    heads = 3 * 2 * l.hidden_size * B * T  # info/rel/unc scalar heads
+    v = cfg.vision
+    P = v.num_patches
+    v_proj = 2 * v.hidden_size * 4 * v.num_heads * (v.hidden_size // v.num_heads)
+    v_attn = 2 * 2 * P * v.hidden_size
+    v_mlp = 2 * 2 * v.hidden_size * v.intermediate_size
+    v_patch = 2 * (v.patch_size ** 2 * 3) * v.hidden_size
+    vision = B * n_frames * P * (v.num_layers * (v_proj + v_attn + v_mlp) + v_patch)
+    projector = 2 * B * n_frames * cfg.frame_num_tokens * (
+        v.hidden_size * l.hidden_size + l.hidden_size * l.hidden_size)
+    fwd = trunk + lm_head + heads + vision + projector
+    # dL/dW matmuls exist only for trainable leaves: lm_head, projector,
+    # heads, and the LoRA adapters (rank-r, negligible at r=16)
+    dW = lm_head + heads + projector
+    return {"fwd": fwd, "dW": dW}
 
 
 def random_qlora_params(cfg):
@@ -97,10 +144,29 @@ def hbm_gb():
         return None
 
 
+# (B, n_frames, remat_policy) — ordered cheap-compile-first; OOMs recorded
+SWEEP = [
+    (1, 16, "full"),
+    (1, 16, "dots"),
+    (2, 16, "full"),
+    (4, 16, "full"),
+    (1, 32, "full"),
+    (2, 32, "full"),
+    (2, 16, "dots"),
+]
+QUICK = [(1, 16, "full"), (2, 16, "full")]
+
+
 def main():
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
-    cfg = aha_7b().replace(dtype="bfloat16")
+    quick = "--quick" in sys.argv
+    tiny = "--tiny" in sys.argv  # CPU smoke test of the sweep harness
+    if tiny:
+        from aha_tpu.config import aha_tiny
+        cfg = aha_tiny(vocab_size=512).replace(dtype="float32")
+    else:
+        cfg = aha_7b().replace(dtype="bfloat16")
     tok = build_stream_tokenizer(frame_num_tokens=cfg.frame_num_tokens,
                                  vocab_size=cfg.llm.vocab_size)
     cfg = cfg.replace(v_placeholder_id=tok.v_placeholder_id,
@@ -112,22 +178,33 @@ def main():
           flush=True)
 
     results = {}
-    train_cfg = TrainConfig(learning_rate=1e-4, grad_accum_steps=1, warmup_ratio=0.0)
-    state, tx, labels_tree, scale = init_train_state(
-        cfg, train_cfg, params, total_steps=100)
-    del params
-    step_fn = make_train_step(cfg, train_cfg, tx, labels_tree, scale)
-    print(f"state init ok, peak HBM {hbm_gb()} GiB", flush=True)
-
     rng = np.random.default_rng(0)
-    for B, n_frames in [(1, 8), (1, 16)]:
+    for B, n_frames, policy in (QUICK if (quick or tiny) else SWEEP):
+        train_cfg = TrainConfig(learning_rate=1e-4, grad_accum_steps=1,
+                                warmup_ratio=0.0, remat_policy=policy)
+        # the jitted step donates its input state, so the trunk buffers are
+        # consumed on the first call — thread the returned (value-identical
+        # for frozen leaves) tree forward into the next config's state
+        state, tx, labels_tree, scale = init_train_state(
+            cfg, train_cfg, params, total_steps=100)
+        params = None
+        step_fn = make_train_step(cfg, train_cfg, tx, labels_tree, scale)
         batch_np, T = make_batch(cfg, tok, rng, B, n_frames)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        key = f"B{B}_T{T}_{policy}"
         t0 = time.time()
-        state, parts = step_fn(state, batch)
-        loss0 = float(jax.device_get(parts.total))
+        try:
+            state, parts = step_fn(state, batch)
+            loss0 = float(jax.device_get(parts.total))
+        except Exception as e:  # RESOURCE_EXHAUSTED and friends
+            msg = str(e).splitlines()[0][:200]
+            print(f"{key}: FAILED {msg}", flush=True)
+            results[key] = {"error": msg}
+            del state
+            params = random_qlora_params(cfg)  # donated buffers may be gone
+            continue
         compile_s = time.time() - t0
-        print(f"B={B} T={T}: first step (compile) {compile_s:.1f}s "
+        print(f"{key}: first step (compile) {compile_s:.1f}s "
               f"loss={loss0:.3f} peak HBM {hbm_gb()} GiB", flush=True)
         times = []
         for _ in range(5):
@@ -136,15 +213,23 @@ def main():
             loss = float(jax.device_get(parts.total))  # forces full sync
             times.append(time.time() - t0)
         med = float(np.median(times))
-        results[f"B{B}_T{T}"] = {
+        fl = analytic_flops(cfg, B, T, n_frames)
+        useful = 2 * fl["fwd"] + fl["dW"]
+        hardware = useful + (fl["fwd"] if policy == "full" else 0.0)
+        results[key] = {
+            "B": B, "T": T, "n_frames": n_frames, "remat": policy,
             "step_ms": round(med * 1000, 1),
             "tokens_per_sec": round(B * T / med, 1),
+            "mfu": round(useful / med / PEAK_BF16, 3),
+            "hfu": round(hardware / med / PEAK_BF16, 3),
             "spread_ms": [round(min(times) * 1e3, 1), round(max(times) * 1e3, 1)],
             "compile_s": round(compile_s, 1),
             "peak_hbm_gib": hbm_gb(),
             "loss": round(loss, 4),
         }
-        print(json.dumps({f"B{B}_T{T}": results[f"B{B}_T{T}"]}), flush=True)
+        print(json.dumps({key: results[key]}), flush=True)
+        params = state.tree["model"]
+        del state
 
     with open("/tmp/qlora_7b_result.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -468,3 +468,31 @@ def test_video_head_stop_grad(tiny):
             assert trunk == 0.0
         else:
             assert trunk > 0.0
+
+
+def test_remat_policies_equivalent(tiny):
+    """TrainConfig.remat_policy only changes what the backward pass saves vs
+    recomputes (qwen2.forward_hidden); the math is identical, so one train
+    step under each policy must produce the same loss and the same updated
+    adapters. Replaces the reference's single gradient_checkpointing bool
+    with XLA checkpoint policies (jax.checkpoint_policies)."""
+    params, cfg, tok = tiny
+    rng = np.random.default_rng(3)
+    batch_np = make_batch(cfg, tok, rng)
+    results = {}
+    for policy in ("none", "full", "dots"):
+        train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1,
+                                warmup_ratio=0.0, remat_policy=policy)
+        p = jax.tree_util.tree_map(jnp.array, params)
+        state, tx, labels, scale = init_train_state(
+            cfg, train_cfg, p, total_steps=5)
+        step_fn = make_train_step(cfg, train_cfg, tx, labels, scale)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, parts = step_fn(state, batch)
+        results[policy] = (float(parts.total),
+                           np.asarray(state.tree["lora"]["q_proj"]["b"]))
+    ref_loss, ref_b = results["none"]
+    for policy in ("full", "dots"):
+        loss, b = results[policy]
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
+        np.testing.assert_allclose(b, ref_b, rtol=1e-5, atol=1e-7)
