@@ -549,6 +549,10 @@ def cmd_train(argv):
     p.add_argument("--grad_accum_steps", type=int, default=2)
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="GPipe pipeline stages over the decoder layers "
+                        "(beyond-reference; parallel/pipeline.py)")
+    p.add_argument("--pipe_microbatches", type=int, default=2)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--wandb", action="store_true")
@@ -604,6 +608,8 @@ def cmd_train(argv):
         grad_accum_steps=args.grad_accum_steps,
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
+        mesh_pipe=args.mesh_pipe,
+        pipe_microbatches=args.pipe_microbatches,
         resume_from_checkpoint=args.resume_from_checkpoint,
         seed=args.seed,
         remat_policy=args.remat_policy,

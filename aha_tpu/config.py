@@ -253,9 +253,11 @@ class TrainConfig:
     lora: LoraConfig = field(default_factory=LoraConfig)
     loss_weights: LossWeights = field(default_factory=LossWeights)
 
-    # mesh shape: data (fsdp) x model (tensor) axes
+    # mesh shape: data (fsdp) x model (tensor) x pipe (pipeline stage) axes
     mesh_data: int = -1   # -1: all remaining devices
     mesh_model: int = 1
+    mesh_pipe: int = 1    # >1: GPipe over the decoder stack (parallel/pipeline.py)
+    pipe_microbatches: int = 2  # GPipe microbatches per step (divides batch)
 
     # sequence-parallel ring attention (SURVEY §5 long-context): when on,
     # batches whose padded length reaches ring_min_seq run attention

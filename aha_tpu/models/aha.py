@@ -202,6 +202,7 @@ def forward_train(
     lora_scale: float = 0.0,
     remat: bool | str = True,   # see qwen2.forward_hidden remat policies
     ring: tuple | None = None,
+    pipe: tuple | None = None,  # (mesh, 'pipe', n_micro): GPipe decoder stages
     lora_dropout: float = 0.0,
     dropout_rng: jnp.ndarray | None = None,
 ) -> AhaOutputs:
@@ -225,7 +226,7 @@ def forward_train(
     hidden = qwen2.forward_hidden(
         params["llm"], cfg.llm, embeds,
         attn_mask=attn_mask, positions=positions, lora=lora, lora_scale=lora_scale,
-        remat=remat, ring=ring,
+        remat=remat, ring=ring, pipe=pipe,
         lora_dropout=lora_dropout, dropout_rng=dropout_rng,
     )
     return apply_heads(params, cfg, hidden)

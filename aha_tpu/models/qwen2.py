@@ -193,6 +193,7 @@ def forward_hidden(
     lora_scale: float = 0.0,
     remat: bool | str = False,   # False/'none' | True/'full' | 'dots' | 'dots_no_batch'
     ring: tuple | None = None,   # (mesh, seq_axis): sequence-parallel attention
+    pipe: tuple | None = None,   # (mesh, pipe_axis, n_micro): GPipe stages
     lora_dropout: float = 0.0,
     dropout_rng: jax.Array | None = None,
 ) -> jnp.ndarray:
@@ -223,53 +224,85 @@ def forward_hidden(
         jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     rope_tables = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
 
-    def attention(q, k, v):
-        if ring is None:
-            return causal_attention(
-                q, k, v, rope_theta=cfg.rope_theta, positions=positions,
-                attn_mask=attn_mask, rope_tables=rope_tables,
-            )
-        from aha_tpu.ops.rope import apply_rope
-        from aha_tpu.parallel.ring_attention import ring_causal_attention
+    def make_layer_fn(attn_mask_, positions_, rope_tables_, pos_):
+        """Layer body parameterized by its batch-dependent operands so the
+        pipeline path can feed microbatch slices (everything else closes
+        over layer-invariant config)."""
 
-        mesh, seq_axis = ring
-        cos, sin = rope_tables
-        q = apply_rope(q.astype(jnp.float32), cos, sin).astype(q.dtype)
-        k = apply_rope(k.astype(jnp.float32), cos, sin).astype(k.dtype)
-        # GQA: expand kv heads to match q (ring transfers at full width)
-        rep = cfg.num_heads // cfg.num_kv_heads
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-        return ring_causal_attention(q, k, v, mesh, seq_axis=seq_axis,
-                                     positions=pos, attn_mask=attn_mask)
+        def attention(q, k, v):
+            if ring is None:
+                return causal_attention(
+                    q, k, v, rope_theta=cfg.rope_theta, positions=positions_,
+                    attn_mask=attn_mask_, rope_tables=rope_tables_,
+                )
+            from aha_tpu.ops.rope import apply_rope
+            from aha_tpu.parallel.ring_attention import ring_causal_attention
 
-    def layer_fn(x, scanned):
-        lp, lora_l = scanned
-        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
-        q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale, lora_dropout=lora_dropout)
-        attn = attention(q, k, v)
-        attn = attn.reshape(*x.shape[:2], cfg.q_dim)
-        x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"),
-                       lora_scale, lora_dropout=lora_dropout)
-        h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp(h, lp, lora_l, lora_scale, lora_dropout=lora_dropout)
-        return x, None
+            mesh, seq_axis = ring
+            cos, sin = rope_tables_
+            q = apply_rope(q.astype(jnp.float32), cos, sin).astype(q.dtype)
+            k = apply_rope(k.astype(jnp.float32), cos, sin).astype(k.dtype)
+            # GQA: expand kv heads to match q (ring transfers at full width)
+            rep = cfg.num_heads // cfg.num_kv_heads
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+            return ring_causal_attention(q, k, v, mesh, seq_axis=seq_axis,
+                                         positions=pos_, attn_mask=attn_mask_)
+
+        def layer_fn(x, scanned):
+            lp, lora_l = scanned
+            h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+            q, k, v = _qkv(h, lp, cfg, lora_l, lora_scale, lora_dropout=lora_dropout)
+            attn = attention(q, k, v)
+            attn = attn.reshape(*x.shape[:2], cfg.q_dim)
+            x = x + linear(attn, lp["o_proj"], _layer_lora(lora_l, "o_proj"),
+                           lora_scale, lora_dropout=lora_dropout)
+            h = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
+            x = x + _mlp(h, lp, lora_l, lora_scale, lora_dropout=lora_dropout)
+            return x, None
+
+        return layer_fn
 
     if remat in (True, "full"):
         # save nothing: every layer recomputes its forward in backward
-        layer_fn = jax.checkpoint(layer_fn)
+        wrap = jax.checkpoint
     elif remat == "dots":
         # save matmul outputs, recompute the cheap elementwise/norm ops —
         # trades HBM for skipping the 2N forward recompute in backward
-        layer_fn = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+        import functools
+        wrap = functools.partial(
+            jax.checkpoint, policy=jax.checkpoint_policies.checkpoint_dots)
     elif remat == "dots_no_batch":
-        layer_fn = jax.checkpoint(
-            layer_fn,
+        import functools
+        wrap = functools.partial(
+            jax.checkpoint,
             policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
-    elif remat not in (False, None, "none"):
+    elif remat in (False, None, "none"):
+        wrap = None
+    else:
         raise ValueError(f"unknown remat policy: {remat!r}")
-    x, _ = jax.lax.scan(layer_fn, x, (params["layers"], lora))
+
+    if pipe is not None:
+        assert ring is None, "pipe and ring attention are mutually exclusive"
+        from aha_tpu.parallel.pipeline import gpipe_scan_layers
+
+        mesh_p, axis_p, n_micro = pipe
+        cos_t, sin_t = rope_tables
+        extras = {"mask": attn_mask, "positions": positions,
+                  "cos": cos_t, "sin": sin_t, "pos": pos}
+
+        def layer_fn_mb(x_mb, scanned, ex):
+            fn = make_layer_fn(ex["mask"], ex["positions"],
+                               (ex["cos"], ex["sin"]), ex["pos"])
+            return fn(x_mb, scanned)[0]
+
+        x = gpipe_scan_layers(mesh_p, axis_p, params["layers"], lora, x,
+                              extras, layer_fn_mb, n_micro, wrap=wrap)
+    else:
+        layer_fn = make_layer_fn(attn_mask, positions, rope_tables, pos)
+        if wrap is not None:
+            layer_fn = wrap(layer_fn)
+        x, _ = jax.lax.scan(layer_fn, x, (params["layers"], lora))
     return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
 
 

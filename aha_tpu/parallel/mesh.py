@@ -29,13 +29,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = -1, model: int = 1, pipe: int = 1, devices=None) -> Mesh:
+    """('data', 'model') mesh, plus a trailing 'pipe' axis when pipe > 1
+    (GPipe stages — parallel/pipeline.py)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        assert n % (model * pipe) == 0, \
+            f"{n} devices not divisible by model={model}*pipe={pipe}"
+        data = n // (model * pipe)
+    assert data * model * pipe == n, f"mesh {data}x{model}x{pipe} != {n} devices"
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(data, model, pipe)
+        return Mesh(arr, ("data", "model", "pipe"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
@@ -99,12 +105,35 @@ def spec_for(path_keys: tuple[str, ...], shape: tuple[int, ...]) -> P:
     return P()  # norms, biases, heads: replicated
 
 
+def _pipe_stacked(path_keys: tuple[str, ...]) -> bool:
+    """Leaves whose leading [L, ...] axis shards over 'pipe': the decoder
+    layer stack and the (stacked) LoRA adapters. The vision tower stays
+    outside the pipeline (replicated over 'pipe')."""
+    if "vision" in path_keys:
+        return False
+    if "layers" in path_keys:
+        return True
+    return "lora" in path_keys and path_keys[-1] in ("a", "b")
+
+
 def param_specs(tree: dict, mesh: Mesh) -> dict:
-    """PartitionSpec pytree for a param/opt-state tree (divisibility-guarded)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _guard(spec_for(_path_keys(path), np.shape(leaf)), np.shape(leaf), mesh),
-        tree,
-    )
+    """PartitionSpec pytree for a param/opt-state tree (divisibility-guarded).
+
+    With a 'pipe' mesh axis, decoder-stack leaves additionally shard their
+    leading layer axis over it (pipeline stages own contiguous layers)."""
+    has_pipe = "pipe" in mesh.axis_names and mesh.shape["pipe"] > 1
+
+    def one(path, leaf):
+        keys = _path_keys(path)
+        shape = np.shape(leaf)
+        spec = spec_for(keys, shape)
+        if has_pipe and shape and _pipe_stacked(keys):
+            entries = list((tuple(spec) + (None,) * len(shape))[: len(shape)])
+            entries[0] = "pipe"
+            spec = P(*entries)
+        return _guard(spec, shape, mesh)
+
+    return jax.tree_util.tree_map_with_path(one, tree)
 
 
 def _put(x, sharding: NamedSharding):

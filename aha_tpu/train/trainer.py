@@ -90,6 +90,10 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
     weights = train_cfg.loss_weights
     if train_cfg.ring_attention and device_mesh is None:
         raise ValueError("ring_attention=True needs device_mesh")
+    if train_cfg.mesh_pipe > 1 and device_mesh is None:
+        raise ValueError("mesh_pipe>1 needs device_mesh")
+    pipe = ((device_mesh, "pipe", train_cfg.pipe_microbatches)
+            if train_cfg.mesh_pipe > 1 else None)
     label_leaves = jax.tree_util.tree_leaves(labels)
     base_rng = jax.random.PRNGKey(train_cfg.seed + 13)
 
@@ -109,6 +113,7 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
             lora_scale=lora_scale,
             remat=train_cfg.remat_policy,
             ring=ring,
+            pipe=pipe,
             # peft-style adapter-input dropout (ref lora_dropout=0.05):
             # fresh masks every step, deterministic in (seed, step)
             lora_dropout=train_cfg.lora.dropout,
@@ -270,7 +275,8 @@ def train(
 ) -> TrainState:
     """End-to-end loop: shard params on the mesh, resume if requested, run
     `total_steps` steps with periodic checkpoints."""
-    m = device_mesh or mesh_lib.make_mesh(train_cfg.mesh_data, train_cfg.mesh_model)
+    m = device_mesh or mesh_lib.make_mesh(
+        train_cfg.mesh_data, train_cfg.mesh_model, train_cfg.mesh_pipe)
     state, tx, labels, scale = init_train_state(
         cfg, train_cfg, params, total_steps=total_steps, seed=train_cfg.seed,
         use_lora=use_lora, lora_init=lora_init,
