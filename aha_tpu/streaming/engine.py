@@ -322,7 +322,19 @@ class StreamEngine:
             """
             B, T = frames.shape[:2]
             scores_buf = jnp.zeros((B, T, 3), jnp.float32)
-            entry_active = start < limit
+            return _trigger_loop(
+                params, cache, frames, start, limit, score_sum,
+                jnp.zeros((B,), bool), scores_buf,
+                prob_threshold, sum_threshold, head_mask)
+
+        def _trigger_loop(params, cache, frames, start, limit, score_sum,
+                          triggered0, scores_buf, prob_threshold,
+                          sum_threshold, head_mask):
+            """Shared body of the batched trigger loop (see
+            score_until_trigger_multi). triggered0 lets serve_step enter
+            with rows already frozen by its fused first step."""
+            B, T = frames.shape[:2]
+            entry_active = (start < limit) & ~triggered0
 
             def row_active(i, triggered):
                 return (i < limit) & ~triggered
@@ -351,11 +363,71 @@ class StreamEngine:
                 return (i + act.astype(jnp.int32), cache, scores_buf,
                         new_sum, triggered | sum_hit | prob_hit)
 
-            state = (start, cache, scores_buf, score_sum,
-                     jnp.zeros((B,), bool))
+            state = (start, cache, scores_buf, score_sum, triggered0)
             i, cache, scores_buf, score_sum, triggered = jax.lax.while_loop(
                 cond, body, state)
             return cache, scores_buf, i, score_sum, triggered
+
+        def serve_step(params, cache, ids, id_len, can_step, frames, start,
+                       limit, score_sum, counts, prob_threshold,
+                       sum_threshold, head_mask, gen_ids, gen_len,
+                       do_generate):
+            """One serving-loop iteration as ONE program (the multi-stream
+            QA hot path): fused [role-prefix + frame] step with its trigger
+            rule evaluated on device, the batched trigger loop, and greedy
+            generation for whatever triggered — so the host pays a single
+            dispatch + fetch per iteration instead of three (the axon
+            tunnel charges ~40 ms per sync; a real TPU host still saves
+            the per-dispatch latency and the Python between them).
+
+            ids/id_len: per-row role-transition prefixes (empty rows take a
+            plain frame step). can_step: rows that consume a frame now.
+            gen_ids/gen_len: the (shared) generation prompt, entering only
+            when a row triggers. do_generate=False skips generation (the
+            remove_assistant_turns path generates host-side so it can keep
+            the pre-generation cache for rollback).
+
+            Returns (cache, scores_buf [B,T,3], i, score_sum, triggered,
+            out_ids, out_len, counts, last_tok)."""
+            B, T = frames.shape[:2]
+            idx = jnp.clip(start, 0, T - 1)
+            fe = frames[jnp.arange(B), idx]                  # [B, F, H]
+            cache, s0 = append_text_frames(params, cache, ids, id_len, fe,
+                                           active=can_step)
+            s0 = s0.astype(jnp.float32)
+            stream_end = s0[:, 0] * head_mask[0] + s0[:, 1] * head_mask[1]
+            new_sum = score_sum + jnp.where(can_step, stream_end, 0.0)
+            sum_hit = can_step & (new_sum > sum_threshold)
+            prob_hit = can_step & (stream_end > prob_threshold)
+            new_sum = jnp.where(sum_hit, 0.0, new_sum)
+            fused_trig = sum_hit | prob_hit
+            i1 = start + can_step.astype(jnp.int32)
+            scores_buf = jnp.where(
+                can_step[:, None, None]
+                & (jnp.arange(T)[None, :, None] == idx[:, None, None]),
+                s0[:, None, :], jnp.zeros((B, T, 3), jnp.float32))
+            cache, scores_buf, i2, sum2, triggered = _trigger_loop(
+                params, cache, frames, i1, limit, new_sum, fused_trig,
+                scores_buf, prob_threshold, sum_threshold, head_mask)
+
+            N = self.max_new_tokens
+
+            def gen_branch(op):
+                c, cnt = op
+                return generate(params, c, gen_ids, gen_len, cnt,
+                                active=triggered)
+
+            def skip_branch(op):
+                c, cnt = op
+                return (c, jnp.zeros((B, N), jnp.int32),
+                        jnp.zeros((B,), jnp.int32), cnt,
+                        jnp.zeros((B,), jnp.int32))
+
+            cache, out_ids, out_len, counts, last_tok = jax.lax.cond(
+                do_generate & jnp.any(triggered), gen_branch, skip_branch,
+                (cache, counts))
+            return (cache, scores_buf, i2, sum2, triggered,
+                    out_ids, out_len, counts, last_tok)
 
         def generate(params, cache, prompt_ids, valid_len, counts, active=None):
             """Greedy decode (ref fast_greedy_generate). Returns
@@ -450,6 +522,10 @@ class StreamEngine:
         self._score_until_trigger = _jit(score_until_trigger, donate_argnums=(1,))
         self._score_until_trigger_multi = _jit(
             score_until_trigger_multi, donate_argnums=(1,))
+        # cache donated (ring buffer updates in place); generation inside is
+        # gated by do_generate, so rollback callers pass False and generate
+        # host-side on a non-donating path
+        self._serve_step = _jit(serve_step, donate_argnums=(1,))
         self._encode_frames = _jit(encode_frames)
         self._generate = _jit(generate)
         # donated: k/v pass through aliased, metadata buffers reset in place
@@ -535,6 +611,34 @@ class StreamEngine:
             inf if prob_threshold is None else jnp.float32(prob_threshold),
             inf if sum_threshold is None else jnp.float32(sum_threshold),
             head_mask,
+        )
+
+    def serve_step(self, cache: KVCache, prefix_rows: list[list[int]],
+                   can_step, frames: jnp.ndarray, start, limit, score_sum,
+                   counts: jnp.ndarray, prob_threshold: float | None,
+                   sum_threshold: float | None,
+                   score_heads: tuple[str, ...],
+                   gen_prompt: list[int], *, do_generate: bool = True):
+        """One fused serving iteration (see serve_step in _build).
+        prefix_rows: per-row role-transition prefix ids ([] = plain frame).
+        frames: [B, T, F, H]. Returns (cache, scores [B, T, 3], i, sum,
+        triggered, out_ids, out_len, counts, last_tok)."""
+        B = frames.shape[0]
+        ids, lens = self.pad_ids(prefix_rows)
+        gen_ids, gen_len = self.pad_ids([list(gen_prompt)] * B)
+        head_mask = jnp.asarray([
+            1.0 if "informative_score" in score_heads else 0.0,
+            1.0 if "relevance_score" in score_heads else 0.0,
+        ], jnp.float32)
+        inf = jnp.float32(jnp.inf)
+        return self._serve_step(
+            self.params, cache, ids, lens, jnp.asarray(can_step, bool),
+            frames, jnp.asarray(start, jnp.int32),
+            jnp.asarray(limit, jnp.int32),
+            jnp.asarray(score_sum, jnp.float32), counts,
+            inf if prob_threshold is None else jnp.float32(prob_threshold),
+            inf if sum_threshold is None else jnp.float32(sum_threshold),
+            head_mask, gen_ids, gen_len, jnp.bool_(do_generate),
         )
 
     def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:

@@ -354,9 +354,7 @@ class MultiStreamSession:
             # as a FUSED [prefix + frame] chunk — the reference's forward
             # boundary, semantic under mask_mode='hf' once the window fills.
             # Rows without a prefix advance one normal frame in the same
-            # batched step (no wasted weight pass); the host evaluates the
-            # trigger rule for this one step, then the on-device loop takes
-            # the prefix-free run.
+            # batched step (no wasted weight pass).
             p_rows = [[] for _ in range(B)]
             any_p = False
             for b in range(B):
@@ -369,6 +367,92 @@ class MultiStreamSession:
                     p_rows[b] = pending_last[b] + list(self._stream_prompt_ids)
                 if p_rows[b]:
                     any_p = True
+
+            if stats is None:
+                # production path: ONE program per iteration — fused
+                # prefix+frame step with its trigger rule evaluated on
+                # device, the batched trigger loop, and generation for the
+                # triggered subset (engine.serve_step). One dispatch + one
+                # fetch instead of three syncs; remove_assistant_turns
+                # callers generate host-side below so the post-scoring
+                # cache survives as the rollback point.
+                can_step = np.asarray(occupied) & (i < limit)
+                do_gen = not a.remove_assistant_turns
+                (cache, scores_dev, i_dev, sum_dev, trig_dev, out_ids,
+                 out_len, counts, last_tok) = eng.serve_step(
+                    cache, p_rows, can_step, frames_buf, i, limit,
+                    score_sum, counts, a.stream_end_prob_threshold,
+                    a.stream_end_score_sum_threshold,
+                    tuple(a.score_heads), self._gen_prompt_ids,
+                    do_generate=do_gen)
+                (i_new, triggered, s_host, new_sum, out_ids, out_len,
+                 last_tok) = jax.device_get(
+                    (i_dev, trig_dev, scores_dev, sum_dev, out_ids,
+                     out_len, last_tok))
+                i_new = np.asarray(i_new, np.int64)
+                triggered = np.asarray(triggered, bool) & np.asarray(occupied)
+                s_host = np.asarray(s_host, np.float64)
+                score_sum = np.where(occupied,
+                                     np.asarray(new_sum, np.float64),
+                                     score_sum)
+                for b in range(B):
+                    if not occupied[b]:
+                        continue
+                    if i_new[b] > i[b]:
+                        last_role[b] = "stream"
+                    for t in range(int(i[b]), int(i_new[b])):
+                        debug[b].append(dict(
+                            time=t / fps,
+                            informative_score=float(s_host[b, t, 0]),
+                            relevance_score=float(s_host[b, t, 1]),
+                            uncertainty_score=float(s_host[b, t, 2]),
+                        ))
+                    i[b] = i_new[b]
+                if triggered.any():
+                    if a.remove_assistant_turns:
+                        # rollback semantics: generate on the non-donating
+                        # path and keep the pre-generation (post-scoring)
+                        # cache
+                        pre_cache = cache
+                        g_rows = [list(self._gen_prompt_ids) if triggered[b]
+                                  else [] for b in range(B)]
+                        _, out_ids, out_len, counts, last_tok = eng.generate(
+                            cache, g_rows, counts,
+                            active=jnp.asarray(triggered))
+                        cache = pre_cache
+                        out_ids, out_len, last_tok = jax.device_get(
+                            (out_ids, out_len, last_tok))
+                    out_ids = np.asarray(out_ids)
+                    out_len = np.asarray(out_len)
+                    last_tok = np.asarray(last_tok)
+                    for b in range(B):
+                        if not triggered[b]:
+                            continue
+                        n = int(out_len[b])
+                        text = self.tokenizer.decode(
+                            out_ids[b, :n], skip_special_tokens=True)
+                        responses[b].append({
+                            "time": (int(i[b]) - 1) / fps,
+                            "content": text, "role": "assistant",
+                        })
+                        if not a.remove_assistant_turns:
+                            pending_last[b] = [int(last_tok[b])]
+                            last_role[b] = "assistant"
+                # 5. retire finished streams
+                for b in range(B):
+                    if occupied[b] and i[b] >= T[b]:
+                        results[key[b]] = {
+                            "responses": sorted(responses[b],
+                                                key=lambda x: x["time"]),
+                            "debug_data": debug[b]}
+                        occupied[b] = False
+                        if on_result is not None:
+                            on_result(key[b], results[key[b]])
+                continue
+
+            # instrumented path (stats != None): per-phase dispatches with
+            # honest sync boundaries — slower, but decomposes the wall
+            # clock the fused program above hides
             fused_triggered = np.zeros(B, bool)
             if any_p:
                 can_step = np.asarray(occupied) & (i < limit)
@@ -402,6 +486,7 @@ class MultiStreamSession:
                     ))
                     i[b] += 1
                     last_role[b] = "stream"
+                    _count("frames_scored")
                 # triggered rows stop here this round (their generation runs
                 # below); everyone else continues in the on-device loop
                 limit = np.where(fused_triggered, i, limit)

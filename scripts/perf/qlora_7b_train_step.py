@@ -28,6 +28,7 @@ The reference's training floor is >=48 GB/GPU (README.md:111); its NF4
 4-bit path is inference-only (modeling_live.py:114-133).
 Sweep results are appended to BASELINE.md's MFU table when captured.
 """
+import dataclasses
 import json
 import pathlib
 import sys
@@ -179,9 +180,16 @@ def main():
 
     results = {}
     rng = np.random.default_rng(0)
-    for B, n_frames, policy in (QUICK if (quick or tiny) else SWEEP):
+    no_dropout = "--no_dropout" in sys.argv  # A/B the lora-dropout mask cost
+    configs = QUICK if (quick or tiny) else SWEEP
+    if no_dropout:
+        configs = [(1, 16, "full")]
+    for B, n_frames, policy in configs:
         train_cfg = TrainConfig(learning_rate=1e-4, grad_accum_steps=1,
                                 warmup_ratio=0.0, remat_policy=policy)
+        if no_dropout:
+            train_cfg = dataclasses.replace(
+                train_cfg, lora=dataclasses.replace(train_cfg.lora, dropout=0.0))
         # the jitted step donates its input state, so the trunk buffers are
         # consumed on the first call — thread the returned (value-identical
         # for frozen leaves) tree forward into the next config's state
