@@ -435,9 +435,13 @@ class MultiStreamSession:
                             "time": (int(i[b]) - 1) / fps,
                             "content": text, "role": "assistant",
                         })
+                        # the reference flips last_role unconditionally
+                        # (test/inference.py:280) — under
+                        # remove_assistant_turns this only affects the
+                        # NEXT query's add_stream_query_prompt rendering
+                        last_role[b] = "assistant"
                         if not a.remove_assistant_turns:
                             pending_last[b] = [int(last_tok[b])]
-                            last_role[b] = "assistant"
                 # 5. retire finished streams
                 for b in range(B):
                     if occupied[b] and i[b] >= T[b]:
@@ -558,9 +562,11 @@ class MultiStreamSession:
                         "time": (int(i[b]) - 1) / fps,
                         "content": text, "role": "assistant",
                     })
+                    # unconditional, matching the reference (see the
+                    # production path above)
+                    last_role[b] = "assistant"
                     if not a.remove_assistant_turns:
                         pending_last[b] = [int(last_tok[b])]
-                        last_role[b] = "assistant"
 
             # 5. retire finished streams (slot frees for the next admit)
             for b in range(B):

@@ -97,6 +97,57 @@ def test_multi_stream_generation_matches_single_sessions(model):
 
 
 @pytest.mark.slow
+def test_multi_stream_remove_assistant_turns_matches_single(model):
+    """remove_assistant_turns=True in the batched session: generation must
+    run on the NON-donating path and roll the cache back to the
+    post-scoring state (the production serve_step path skips its fused
+    on-device generation for exactly this case), still matching three
+    independent StreamSession runs."""
+    from aha_tpu.streaming.multi import MultiStreamSession
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(7)
+    r = cfg.frame_resolution
+    lengths = [7, 4, 9]
+    videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8) for n in lengths]
+    conversations = [
+        [{"role": "user", "content": "what is happening?", "time": 0}],
+        [],
+        [{"role": "user", "content": "find the dog", "time": 2.0}],
+    ]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=6, remove_assistant_turns=True,
+        )
+
+    ms = MultiStreamSession(params, cfg, tok, icfg(), batch=3)
+    batched = ms.run(videos, conversations, fps=1.0)
+
+    any_response = False
+    for b in range(3):
+        sess = build_session(params, cfg, tok, icfg())
+        sess.input_video_stream(videos[b])
+        sess.input_query_stream(conversations[b])
+        single = sess.inference(chunked=True)
+        s_resp = [t for t in single if t["role"] == "assistant"]
+        m_resp = [t for t in batched[b]["responses"] if t["role"] == "assistant"]
+        assert len(m_resp) == len(s_resp), (b, m_resp, s_resp)
+        any_response |= bool(m_resp)
+        for x, y in zip(m_resp, s_resp):
+            assert x["content"] == y["content"], (b, x, y)
+            np.testing.assert_allclose(x["time"], y["time"])
+        assert len(batched[b]["debug_data"]) == len(sess.debug_data_list)
+        for x, y in zip(batched[b]["debug_data"], sess.debug_data_list):
+            for k in ("informative_score", "relevance_score", "uncertainty_score"):
+                np.testing.assert_allclose(x[k], y[k], rtol=3e-4, atol=3e-5)
+    assert any_response
+
+
+@pytest.mark.slow
 def test_multi_stream_server_matches_single_sessions(model):
     """Continuous batching (MultiStreamServer, 2 slots, 5 ragged streams):
     slots are recycled mid-run yet every stream's responses + debug traces
