@@ -343,12 +343,17 @@ class MultiStreamSession:
             if any_q:
                 cache, _ = eng.append_ids(cache, q_rows)
 
-            # 2. per-row frame limit: own length or next query boundary
+            # 2. per-row frame limit: own length or next query boundary.
+            # A row that just took a query whose successor is due at the
+            # SAME time still advances one frame first — the reference
+            # encodes one query per frame step (`if`, not `while`,
+            # inference.py:294), so the order is q1, frame, q2, frame.
             limit = np.where(occupied, T, 0)
             for b in range(B):
                 if occupied[b] and q_ptr[b] < len(queries[b]):
                     boundary = int(np.ceil(queries[b][q_ptr[b]]["time"] * fps))
-                    limit[b] = min(limit[b], max(boundary, i[b]))
+                    floor = i[b] + (1 if q_rows[b] else 0)
+                    limit[b] = min(limit[b], max(boundary, floor))
 
             # 3a. rows owing a role-transition prefix take their next frame
             # as a FUSED [prefix + frame] chunk — the reference's forward

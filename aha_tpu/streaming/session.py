@@ -298,20 +298,20 @@ class StreamSession:
             if self.query_queue and self.video_time >= self.query_queue[0][0]:
                 self._encode_query()
 
-            # contiguous frames until the next query is due
+            # contiguous frames until the next query is due; always at
+            # least ONE frame — the reference encodes one query per frame
+            # step (`if`, not `while`, inference.py:294), so two queries
+            # due at the same time interleave as q1, frame, q2, frame
             next_q = self.query_queue[0][0] if self.query_queue else None
             chunk: list = []
             times: list[float] = []
             t = self.video_time
             for time_f, emb in self.frame_embeds_queue:
-                if next_q is not None and t >= next_q:
+                if chunk and next_q is not None and t >= next_q:
                     break
                 chunk.append(emb)
                 times.append(t)
                 t += 1.0 / self.frame_fps
-            if not chunk:
-                # a query is due exactly now; loop back to encode it
-                continue
             for _ in chunk:
                 self.frame_embeds_queue.popleft()
 

@@ -112,7 +112,10 @@ def test_multi_stream_remove_assistant_turns_matches_single(model):
     videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8) for n in lengths]
     conversations = [
         [{"role": "user", "content": "what is happening?", "time": 0}],
-        [],
+        # two queries due at the SAME time: must interleave q1, frame, q2
+        # (reference encodes one query per frame step, inference.py:294)
+        [{"role": "user", "content": "first?", "time": 1.0},
+         {"role": "user", "content": "second?", "time": 1.0}],
         [{"role": "user", "content": "find the dog", "time": 2.0}],
     ]
 

@@ -217,6 +217,41 @@ def test_demo_input_one_frame(tiny_model):
 
 
 @pytest.mark.slow
+def test_chunked_matches_stepwise_same_time_queries(tiny_model):
+    """Two queries due at the SAME timestamp: the reference encodes one
+    query per frame step (`if`, not `while` — inference.py:294), so the
+    order is q1, frame, q2, frame. The chunked loop must reproduce the
+    stepwise loop's scores and responses for that interleaving."""
+    frames = frames_for(cfg_of(tiny_model), 7, seed=21)
+    conv = [
+        {"role": "user", "content": "first?", "time": 2.0},
+        {"role": "user", "content": "second?", "time": 2.0},
+    ]
+
+    step = make_session(tiny_model, stream_end_prob_threshold=0.5)
+    step.input_video_stream(frames)
+    step.input_query_stream(conv)
+    resp_step = step.inference(chunked=False)
+
+    chunk = make_session(tiny_model, stream_end_prob_threshold=0.5)
+    chunk.input_video_stream(frames)
+    chunk.input_query_stream(conv)
+    resp_chunk = chunk.inference(chunked=True)
+
+    assert len(step.debug_data_list) == len(chunk.debug_data_list) == 7
+    for a, b in zip(step.debug_data_list, chunk.debug_data_list):
+        assert a["time"] == b["time"]
+        for k in ("informative_score", "relevance_score", "uncertainty_score"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5)
+    assert [(r["role"], r["time"], r["content"]) for r in resp_step] == \
+        [(r["role"], r["time"], r["content"]) for r in resp_chunk]
+
+
+def cfg_of(tiny_model):
+    return tiny_model[1]
+
+
+@pytest.mark.slow
 def test_chunked_inference_matches_stepwise(tiny_model):
     """The on-device trigger loop must reproduce the stepwise host loop
     exactly: same per-frame scores, same trigger frames, same responses."""
