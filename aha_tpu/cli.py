@@ -572,6 +572,12 @@ def cmd_train(argv):
                    help="QLoRA analog (ref NF4+LoRA): freeze the trunk as "
                         "int8, train bf16 adapters + dense finetune modules."
                         " Fits 7B LoRA fine-tuning on a single 16 GB chip.")
+    p.add_argument("--quantize_bits", type=int, default=8, choices=[4, 8],
+                   help="trunk quantization width for --quantize_base: 8 = "
+                        "per-channel int8; 4 = group-wise packed int4 (the "
+                        "ref NF4 analog, ~4.1 GiB trunk) — trainable via "
+                        "the transposed fused-matmul VJP "
+                        "(ops/pallas/fused_matmul.int4_qlinear)")
     p.add_argument("--lora_pretrained", default=None,
                    help="continue fine-tuning from a published peft adapter "
                         "dir (ref README continuation flow): adapters seed "
@@ -600,7 +606,8 @@ def cmd_train(argv):
     if args.quantize_base:
         from aha_tpu.ops.quant import quantize_params
 
-        params = quantize_params(params, keep_dense=("projector", "lm_head"))
+        params = quantize_params(params, keep_dense=("projector", "lm_head"),
+                                 bits=args.quantize_bits)
     train_cfg = TrainConfig(
         output_dir=args.output_dir,
         learning_rate=args.learning_rate,

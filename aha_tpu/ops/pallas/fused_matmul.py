@@ -107,6 +107,48 @@ def _kernel_int4(l_ref, xlo_ref, xhi_ref, w_ref, s_ref, sx_ref, o_ref, acc_ref,
         o_ref[:] = y.astype(o_ref.dtype)
 
 
+def _kernel_int4_t(l_ref, g_ref, w_ref, s_ref, olo_ref, ohi_ref,
+                   acc_lo, acc_hi, *, groups: int, gh: int):
+    """Transposed int4 matmul for the QLoRA backward: dx = g @ W^T.
+
+    Grid (M, K, N): iterates N as the contraction axis. Per scale group
+    the cotangent tile is rescaled by that group's per-channel scales
+    BEFORE the dot (y_j depends on x_k through s_{g(k),j} * w_kj, so
+    dx_k = sum_j g_j * s_{g(k),j} * w_kj), then contracted against the
+    unpacked nibble planes with the N axis as the shared dim. Outputs
+    stay in the even/odd (lo/hi) planes; the caller re-interleaves —
+    the exact mirror of the forward's outside split."""
+    n = pl.program_id(2)
+    nn = pl.num_programs(2)
+
+    w2 = w_ref[:].reshape(w_ref.shape[-2], w_ref.shape[-1])      # [bk/2, bn]
+    s2 = s_ref[:].reshape(groups, s_ref.shape[-1])               # [groups, bn]
+    g = g_ref[:].astype(jnp.float32)                             # [bm, bn]
+
+    @pl.when(n == 0)
+    def _():
+        acc_lo[:] = jnp.zeros_like(acc_lo)
+        acc_hi[:] = jnp.zeros_like(acc_hi)
+
+    for gi in range(groups):
+        pg = w2[gi * gh:(gi + 1) * gh, :].astype(jnp.int32)      # [gh, bn]
+        lo = ((pg & 0xF) - 8).astype(jnp.float32)
+        hi = ((pg >> 4) - 8).astype(jnp.float32)
+        gs = g * s2[gi:gi + 1, :]                                # [bm, bn]
+        # contract the shared N axis: [bm, bn] x [gh, bn] -> [bm, gh]
+        acc_lo[:, gi * gh:(gi + 1) * gh] += jax.lax.dot_general(
+            gs, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_hi[:, gi * gh:(gi + 1) * gh] += jax.lax.dot_general(
+            gs, hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(n == nn - 1)
+    def _():
+        olo_ref[:] = acc_lo[:].astype(olo_ref.dtype)
+        ohi_ref[:] = acc_hi[:].astype(ohi_ref.dtype)
+
+
 def _divisor(n: int, target: int) -> int:
     best = n
     for b in range(128, min(n, 4 * target) + 1, 128):
@@ -265,3 +307,103 @@ def int4_matmul(x, q4value, scale4, layer=None, *, a8=False, block_n=512,
         interpret=interpret,
     )(layer, xlo, xhi, q4value, s_t, sx_r)
     return out[:M].reshape(*lead, N)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def int4_matmul_t(g, q4value, scale4, layer=None, *, block_n=512,
+                  block_k=1024, interpret=None):
+    """Transposed fused matmul: g [..., N] @ W^T -> [..., K] for packed-int4
+    W (the int4_matmul layouts). This is the QLoRA backward pass wrt the
+    activations — the frozen trunk needs no dW, so this one kernel makes
+    an int4 trunk trainable (int4_qlinear wires it as the custom VJP)."""
+    *lead, N = g.shape
+    Kh = q4value.shape[-2]
+    K = 2 * Kh
+    n_groups = scale4.shape[-2]
+    G = K // n_groups
+    g2 = g.reshape(-1, N)
+    M = g2.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    bn = _divisor(N, block_n)
+    step = max(G, 256)
+    bk = K
+    for b in range(step, K + 1, step):
+        if K % b == 0 and b % G == 0 and abs(b - block_k) < abs(bk - block_k):
+            bk = b
+    groups_per_tile = bk // G
+    gh = G // 2
+    bm = 256 if M > 512 else max(-(-M // 32) * 32, 32)
+    MP = -(-M // bm) * bm
+
+    if layer is None:
+        q4value = q4value[None]
+        scale4 = scale4[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    L = q4value.shape[0]
+    if MP > M:
+        g2 = jnp.pad(g2, ((0, MP - M), (0, 0)))
+    s_t = scale4.reshape(L, K // bk, groups_per_tile, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(MP // bm, K // bk, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda m, k, n, l: (m, n)),
+            pl.BlockSpec((1, bk // 2, bn), lambda m, k, n, l: (l[0], k, n)),
+            pl.BlockSpec((1, 1, groups_per_tile, bn),
+                         lambda m, k, n, l: (l[0], k, 0, n)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bk // 2), lambda m, k, n, l: (m, k)),
+            pl.BlockSpec((bm, bk // 2), lambda m, k, n, l: (m, k)),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bk // 2), jnp.float32),
+                        pltpu.VMEM((bm, bk // 2), jnp.float32)],
+    )
+    olo, ohi = pl.pallas_call(
+        functools.partial(_kernel_int4_t, groups=groups_per_tile, gh=gh),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((MP, Kh), g.dtype),
+                   jax.ShapeDtypeStruct((MP, Kh), g.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(layer, g2, q4value, s_t)
+    # re-interleave the even/odd K planes (mirror of the forward's split)
+    dx = jnp.stack([olo[:M], ohi[:M]], axis=-1).reshape(M, K)
+    return dx.reshape(*lead, K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def int4_qlinear(x, q4value, scale4, layer):
+    """int4_matmul with a custom VJP: forward = the fused unpack-matmul,
+    backward = int4_matmul_t for dL/dx. The packed weights are frozen in
+    QLoRA (no dW path exists — its cotangent is zeros), which is exactly
+    what makes an int4 trunk trainable where plain int4_matmul is not
+    differentiable at all. layer follows the int4_matmul stacked-weights
+    convention (pass None for unstacked)."""
+    return int4_matmul(x, q4value, scale4, layer)
+
+
+def _int4_qlinear_fwd(x, q4value, scale4, layer):
+    return int4_matmul(x, q4value, scale4, layer), (q4value, scale4, layer)
+
+
+def _int4_qlinear_bwd(res, gout):
+    q4value, scale4, layer = res
+    dx = int4_matmul_t(gout, q4value, scale4, layer)
+    # packed int weights: zero-size tangent space (float0); group scales:
+    # frozen in QLoRA, an all-zeros cotangent is DCE'd by XLA when unused
+    import numpy as np
+
+    dq = np.zeros(q4value.shape, jax.dtypes.float0)
+    ds = jnp.zeros_like(scale4)
+    dl = (None if layer is None
+          else np.zeros(jnp.shape(layer), jax.dtypes.float0))
+    return dx, dq, ds, dl
+
+
+int4_qlinear.defvjp(_int4_qlinear_fwd, _int4_qlinear_bwd)

@@ -171,10 +171,18 @@ def qlinear(x: jnp.ndarray, qkernel: dict, layer=None) -> jnp.ndarray:
         group = 2 * Kh // qkernel["scale4"].shape[-2]
         if (backend in ("auto", "fused", "fused_a8")
                 and _fused_ok(2 * Kh, N, group)):
-            from aha_tpu.ops.pallas.fused_matmul import int4_matmul
+            if backend == "fused_a8":
+                from aha_tpu.ops.pallas.fused_matmul import int4_matmul
 
-            return int4_matmul(x, qkernel["q4value"], qkernel["scale4"],
-                               layer, a8=backend == "fused_a8")
+                return int4_matmul(x, qkernel["q4value"], qkernel["scale4"],
+                                   layer, a8=True)
+            # custom-VJP wrapper: same forward kernel, and dL/dx routes
+            # through the transposed unpack-matmul — this is what makes an
+            # int4 trunk trainable (QLoRA needs no dW for frozen weights)
+            from aha_tpu.ops.pallas.fused_matmul import int4_qlinear
+
+            return int4_qlinear(x, qkernel["q4value"], qkernel["scale4"],
+                                layer)
         qkernel = _sliced(qkernel, layer)
         kernel = dequantize_int4(qkernel, x.dtype)
         return jnp.einsum("...i,io->...o", x, kernel)

@@ -79,11 +79,12 @@ def analytic_flops(cfg, B, T, n_frames):
     return {"fwd": fwd, "dW": dW}
 
 
-def random_qlora_params(cfg):
+def random_qlora_params(cfg, bits=8):
     """Leaf-wise on-device materialization (full bf16 7B won't fit 16 GB)."""
     struct = jax.eval_shape(lambda: init_aha_params(cfg, jax.random.PRNGKey(0)))
     struct = jax.eval_shape(
-        lambda p: quant.quantize_params(p, keep_dense=("projector", "lm_head")),
+        lambda p: quant.quantize_params(p, keep_dense=("projector", "lm_head"),
+                                        bits=bits),
         struct)
     counter = [0]
 
@@ -91,6 +92,12 @@ def random_qlora_params(cfg):
         counter[0] += 1
         key = jax.random.PRNGKey(counter[0])
         name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if leaf.dtype == jnp.uint8:  # packed int4 nibbles
+            make = jax.jit(lambda k: jax.random.randint(
+                k, leaf.shape, 0, 256, jnp.int32).astype(jnp.uint8))
+            return make(key)
+        if name.endswith("/scale4"):
+            return jnp.full(leaf.shape, 0.02 / 7.0, leaf.dtype)
         if leaf.dtype == jnp.int8:
             make = jax.jit(lambda k: jax.random.randint(
                 k, leaf.shape, -127, 128, jnp.int32).astype(jnp.int8))
@@ -172,8 +179,9 @@ def main():
                                  vocab_size=cfg.llm.vocab_size)
     cfg = cfg.replace(v_placeholder_id=tok.v_placeholder_id,
                       eos_token_id=tok.eos_token_id)
+    bits = 4 if "--bits4" in sys.argv else 8  # int4 trunk (int4_qlinear VJP)
     t0 = time.time()
-    params = random_qlora_params(cfg)
+    params = random_qlora_params(cfg, bits=bits)
     print(f"params materialized in {time.time()-t0:.1f}s, "
           f"{quant.tree_nbytes(params)/2**30:.2f} GiB, peak HBM {hbm_gb()} GiB",
           flush=True)
@@ -184,6 +192,8 @@ def main():
     configs = QUICK if (quick or tiny) else SWEEP
     if no_dropout:
         configs = [(1, 16, "full")]
+    if bits == 4:
+        configs = [(1, 16, "full"), (1, 32, "full")]
     for B, n_frames, policy in configs:
         train_cfg = TrainConfig(learning_rate=1e-4, grad_accum_steps=1,
                                 warmup_ratio=0.0, remat_policy=policy)
@@ -209,7 +219,7 @@ def main():
             print(f"{key}: FAILED {msg}", flush=True)
             results[key] = {"error": msg}
             del state
-            params = random_qlora_params(cfg)  # donated buffers may be gone
+            params = random_qlora_params(cfg, bits=bits)  # donated buffers may be gone
             continue
         compile_s = time.time() - t0
         print(f"{key}: first step (compile) {compile_s:.1f}s "

@@ -6,7 +6,12 @@ import pytest
 
 import jax.numpy as jnp
 
-from aha_tpu.ops.pallas.fused_matmul import int4_matmul, int8_matmul
+from aha_tpu.ops.pallas.fused_matmul import (
+    int4_matmul,
+    int4_matmul_t,
+    int4_qlinear,
+    int8_matmul,
+)
 from aha_tpu.ops.quant import (
     dequantize,
     dequantize_int4,
@@ -74,6 +79,70 @@ def test_single_token_row(data):
     out = int4_matmul(x1, q4["q4value"], q4["scale4"], block_n=128, block_k=256,
                       interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("group", [128, 256])
+def test_int4_matmul_t_matches_dequant(data, group):
+    """Transposed kernel (the QLoRA backward): g @ W^T vs the dequant
+    reference, including the group-scale-on-the-output-side arithmetic."""
+    x, w = data
+    K, N = w.shape
+    q4 = quantize_array_int4(w, 0, group=group)
+    g = jnp.asarray(np.random.default_rng(3).standard_normal((3, 7, N)),
+                    jnp.float32)
+    ref = jnp.einsum("...n,kn->...k", g, dequantize_int4(q4, jnp.float32))
+    out = int4_matmul_t(g, q4["q4value"], q4["scale4"], block_n=128,
+                        block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_int4_qlinear_grad_matches_dequant(data):
+    """jax.grad through the custom-VJP int4 linear == grad through the
+    dequantize-then-einsum path (what makes the int4 trunk trainable)."""
+    import jax
+
+    x, w = data
+    q4 = quantize_array_int4(w, 0)
+    wd = dequantize_int4(q4, jnp.float32)
+    tgt = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (*x.shape[:-1], w.shape[1])), jnp.float32)
+
+    def loss_fused(x_):
+        return jnp.sum((int4_qlinear(x_, q4["q4value"], q4["scale4"], None)
+                        - tgt) ** 2)
+
+    def loss_ref(x_):
+        return jnp.sum((jnp.einsum("...k,kn->...n", x_, wd) - tgt) ** 2)
+
+    gf = jax.grad(loss_fused)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_int4_qlinear_grad_stacked_layer(data):
+    """The scan pattern: stacked [L, K/2, N] weights with a traced layer
+    index — grads must route through the selected layer's weights."""
+    import jax
+
+    x, w = data
+    rng = np.random.default_rng(5)
+    K, N = w.shape
+    L = 2
+    ws = jnp.asarray(rng.standard_normal((L, K, N)) * 0.02, jnp.float32)
+    q4 = quantize_array_int4(ws, 1)
+
+    for i in range(L):
+        wd = dequantize_int4(
+            {"q4value": q4["q4value"][i], "scale4": q4["scale4"][i]},
+            jnp.float32)
+        gf = jax.grad(lambda x_: jnp.sum(int4_qlinear(
+            x_, q4["q4value"], q4["scale4"], jnp.int32(i)) ** 2))(x)
+        gr = jax.grad(lambda x_: jnp.sum(
+            jnp.einsum("...k,kn->...n", x_, wd) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_stacked_layer_indexing(data):

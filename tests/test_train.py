@@ -289,6 +289,42 @@ def test_qlora_int8_base_train_step(tiny):
     assert np.abs(np.asarray(state.tree["lora"]["q_proj"]["b"])).max() > 0
 
 
+@pytest.mark.slow
+def test_qlora_int4_base_train_step(tiny):
+    """int4 QLoRA: LoRA fine-tuning over a frozen PACKED-int4 trunk (the
+    ref NF4 bitwidth — beyond the ref, whose 4-bit path is inference-only,
+    modeling_live.py:114-133). On CPU this routes through the dequant
+    einsum backward; on TPU the fused kernel's custom VJP
+    (ops/pallas/fused_matmul.int4_qlinear) carries the same math."""
+    from aha_tpu.ops.quant import quantize_params
+
+    params, cfg, tok = tiny
+    qparams = quantize_params(params, keep_dense=("projector", "lm_head"),
+                              bits=4)
+    assert "q4value" in qparams["llm"]["layers"]["q_proj"]["kernel"]
+
+    rng = np.random.default_rng(5)
+    train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1,
+                            warmup_ratio=0.0)
+    state, tx, labels, scale = init_train_state(cfg, train_cfg, qparams,
+                                                total_steps=20)
+    step_fn = make_train_step(cfg, train_cfg, tx, labels, scale)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, tok, rng).items()}
+    q_before = np.asarray(
+        state.tree["model"]["llm"]["layers"]["q_proj"]["kernel"]["q4value"])
+    losses = []
+    for _ in range(20):
+        state, parts = step_fn(state, batch)
+        losses.append(float(parts.total))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.9, losses
+    np.testing.assert_array_equal(
+        np.asarray(
+            state.tree["model"]["llm"]["layers"]["q_proj"]["kernel"]["q4value"]),
+        q_before)
+    assert np.abs(np.asarray(state.tree["lora"]["q_proj"]["b"])).max() > 0
+
+
 def test_lora_train_step_bf16_activations():
     """bf16 model dtype (the 7B deployment config) with f32 LoRA masters:
     the f32 adapter delta must cast back to bf16 or the decoder scan carry
