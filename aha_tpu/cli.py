@@ -525,6 +525,13 @@ def cmd_highlight(argv):
 
 
 def cmd_train(argv):
+    # multi-host bring-up FIRST: jax.distributed.initialize refuses to run
+    # once any other call touches the backend (utils/dist.py), and model
+    # build below does
+    from aha_tpu.utils import dist as dist_utils
+
+    dist_utils.maybe_init_distributed()
+
     from aha_tpu.config import AhaConfig, TrainConfig, aha_7b, aha_tiny, config_from_dict
     from aha_tpu.data.datasets import build_mixture_from_config
     from aha_tpu.models import aha
@@ -634,19 +641,37 @@ def cmd_train(argv):
     # async input pipeline (SURVEY §7 hard part #5): thread-pool video
     # decode + prefetch ahead of the jitted step, so host decode overlaps
     # device compute instead of serializing with it
-    from aha_tpu.data.pipeline import batch_iterator
+    import jax
 
+    from aha_tpu.data.pipeline import batch_iterator
+    from aha_tpu.parallel import mesh as mesh_lib
+
+    m = mesh_lib.make_mesh(args.mesh_data, args.mesh_model, args.mesh_pipe)
+    # multi-host data convention: when the data axis splits cleanly across
+    # processes, each host decodes ONLY its own rows (batch_size/H local)
+    # and the global batch is assembled per-host; otherwise fall back to
+    # replicated loading (every host collates the identical full batch)
+    n_proc = jax.process_count()
+    per_host = (n_proc > 1 and args.batch_size % n_proc == 0
+                and mesh_lib.data_axis_spans_processes(m))
+    loader_bs = args.batch_size // n_proc if per_host else args.batch_size
+    if n_proc > 1 and not per_host:
+        print(f"multi-host replicated loading: batch {args.batch_size} or "
+              f"mesh layout not splittable over {n_proc} processes — every "
+              f"host decodes the full batch")
     batches = batch_iterator(
         dataset, tokenizer,
-        batch_size=args.batch_size,
+        batch_size=loader_bs,
         v_placeholder_id=cfg.v_placeholder_id,
         frame_num_tokens=cfg.frame_num_tokens,
         seed=args.seed,
         prefetch=args.prefetch_batches,
         num_workers=args.decode_workers,
+        shard_across_hosts=per_host,
     )
     train(cfg, train_cfg, params, batches, total_steps=num_steps,
-          lora_init=lora_init, use_wandb=args.wandb)
+          device_mesh=m, lora_init=lora_init, use_wandb=args.wandb,
+          per_host_batches=per_host)
 
 
 def cmd_visualize(argv):

@@ -101,7 +101,11 @@ def batch_iterator(
             order = list(range(len(dataset)))
             rng.shuffle(order)
             if shard_across_hosts and dist.process_count() > 1:
+                # truncate to the shortest host shard: every process must
+                # yield the SAME number of batches per epoch or the hosts
+                # that run longer deadlock in the step's collectives
                 order = list(dist.shard_iterable(order))
+                order = order[: len(dataset) // dist.process_count()]
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 yield order[i : i + batch_size]
             epoch += 1

@@ -141,14 +141,40 @@ def _put(x, sharding: NamedSharding):
 
     Single-process: plain device_put. Multi-process (jax.distributed):
     device_put cannot target non-addressable shards, so build the global
-    array from a callback — every host holds the same full copy (our
-    replicated-input convention; the dataset loader seeds identically
-    across hosts) and contributes its addressable shards."""
+    array from a callback — every host holds the same full copy (true for
+    PARAMS and replicated-loader batches; per-host-sharded batches go
+    through the `per_host` path in shard_batch instead) and contributes
+    its addressable shards."""
     if jax.process_count() > 1:
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, sharding,
                                             lambda idx: x[idx])
     return jax.device_put(x, sharding)
+
+
+def data_axis_spans_processes(mesh: Mesh) -> bool:
+    """True when every process owns an equal contiguous block of `data`-axis
+    rows (each row's devices live on ONE process) — the layout required for
+    per-host batch assembly. Holds for the standard process-major device
+    enumeration whenever model*pipe divides the local device count."""
+    if jax.process_count() == 1:
+        return True
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    data = axes.get("data", 1)
+    if data % jax.process_count() != 0:
+        return False
+    rows = mesh.devices.reshape(data, -1)
+    row_proc = [{d.process_index for d in row} for row in rows]
+    if any(len(s) != 1 for s in row_proc):
+        return False
+    owners = [next(iter(s)) for s in row_proc]
+    per = data // jax.process_count()
+    if not all(owners[i] == owners[i - 1] for i in range(1, len(owners))
+               if (i % per) != 0):
+        return False
+    # each process must own exactly one block (e.g. a mesh whose data axis
+    # lives entirely on host 0 while 'model' spans hosts fails here)
+    return len(set(owners[::per])) == jax.process_count()
 
 
 def apply_named_sharding(tree: dict, mesh: Mesh, specs: dict | None = None):
@@ -196,8 +222,41 @@ def batch_spec() -> P:
     return P("data")
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Shard a host batch dict along the data axis (leading dim)."""
+def shard_batch(batch: dict, mesh: Mesh, *, per_host: bool = False) -> dict:
+    """Shard a host batch dict along the data axis (leading dim).
+
+    per_host=False (default / single-process): `batch` is the full global
+    batch; multi-process callers must then feed IDENTICAL batches on every
+    host (replicated-loader convention).
+
+    per_host=True (multi-process): `batch` holds only THIS host's rows —
+    the data/pipeline.batch_iterator shard-across-hosts convention — and
+    the global array is assembled from each process's local rows
+    (jax.make_array_from_process_local_data). Requires the `data` mesh
+    axis to span processes in contiguous per-process blocks
+    (data_axis_spans_processes); cmd_train checks this before enabling
+    sharded loading."""
+    n_proc = jax.process_count()
+    if per_host and n_proc > 1:
+        assert data_axis_spans_processes(mesh), (
+            "per-host batches need the data axis split in contiguous "
+            "per-process blocks; use replicated loading on this mesh")
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * n_proc, *x.shape[1:])
+            spec = _guard(P("data"), gshape, mesh)
+            s = NamedSharding(mesh, spec)
+            if not spec or spec[0] != "data":
+                # batch dim not shardable on this mesh -> rows cannot be
+                # host-local; caller's span check should prevent this
+                raise ValueError(
+                    f"global batch {gshape[0]} not divisible by data axis "
+                    f"{mesh.shape['data']} — cannot assemble per-host rows")
+            return jax.make_array_from_process_local_data(s, x, gshape)
+
+        return {k: put(v) for k, v in batch.items() if v is not None}
+
     def put(x):
         x = np.asarray(x)
         spec = _guard(P("data"), x.shape, mesh)

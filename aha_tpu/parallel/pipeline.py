@@ -89,13 +89,33 @@ def gpipe_scan_layers(
         mbs_extras = jax.tree_util.tree_map(
             lambda a: a.reshape(n_micro, mb, *a.shape[1:]), extras_full)
 
-        def local_layers(x_mb, extras_mb):
+        did = jax.lax.axis_index(data_axis)
+
+        def fold_rngs(lora_tree, salt):
+            """Uniquify LoRA-dropout keys per (data shard, microbatch).
+
+            forward_hidden pre-splits one key per (projection, layer); the
+            non-pipe path draws its mask on the GLOBAL [B, T, H] shape so
+            every row is independent. Here each microbatch (and each data
+            shard under shard_map) draws on a local [mb, T, H] shape with
+            the same key — without this fold every microbatch/shard would
+            zero identical (row-position, token) entries."""
+            if lora_tree is None:
+                return None
+            return {
+                name: ({**ab, "rng": jax.vmap(
+                            lambda k: jax.random.fold_in(k, salt))(ab["rng"])}
+                       if isinstance(ab, dict) and "rng" in ab else ab)
+                for name, ab in lora_tree.items()
+            }
+
+        def local_layers(x_mb, extras_mb, lora_s):
             def f(carry, scanned):
                 return layer_fn_mb(carry, scanned, extras_mb), None
 
             if wrap is not None:
                 f = wrap(f)
-            y, _ = jax.lax.scan(f, x_mb, (layers_l, lora_l))
+            y, _ = jax.lax.scan(f, x_mb, (layers_l, lora_s))
             return y
 
         def tick(carry, t):
@@ -107,7 +127,8 @@ def gpipe_scan_layers(
             x_in = jnp.where(sid == 0, mbs[mb_id], recv)
             extras_mb = jax.tree_util.tree_map(
                 lambda a: a[mb_id], mbs_extras)
-            y = local_layers(x_in, extras_mb)
+            y = local_layers(x_in, extras_mb,
+                             fold_rngs(lora_l, did * n_micro + mb_id))
             valid = (t - sid >= 0) & (t - sid < n_micro)
             write = (sid == S - 1) & valid
             sel = (jnp.arange(n_micro, dtype=jnp.int32) == mb_id)

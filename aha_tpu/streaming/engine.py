@@ -423,9 +423,17 @@ class StreamEngine:
                         jnp.zeros((B,), jnp.int32), cnt,
                         jnp.zeros((B,), jnp.int32))
 
-            cache, out_ids, out_len, counts, last_tok = jax.lax.cond(
-                do_generate & jnp.any(triggered), gen_branch, skip_branch,
-                (cache, counts))
+            # do_generate is STATIC (fixed per session): rollback sessions
+            # pass False on every call, so compiling the 200-token decode
+            # loop into their hot program would be pure compile-time/HBM
+            # waste — specialize it out instead of lax.cond-ing over it.
+            if do_generate:
+                cache, out_ids, out_len, counts, last_tok = jax.lax.cond(
+                    jnp.any(triggered), gen_branch, skip_branch,
+                    (cache, counts))
+            else:
+                cache, out_ids, out_len, counts, last_tok = skip_branch(
+                    (cache, counts))
             return (cache, scores_buf, i2, sum2, triggered,
                     out_ids, out_len, counts, last_tok)
 
@@ -525,7 +533,8 @@ class StreamEngine:
         # cache donated (ring buffer updates in place); generation inside is
         # gated by do_generate, so rollback callers pass False and generate
         # host-side on a non-donating path
-        self._serve_step = _jit(serve_step, donate_argnums=(1,))
+        self._serve_step = _jit(serve_step, donate_argnums=(1,),
+                                static_argnums=(15,))
         self._encode_frames = _jit(encode_frames)
         self._generate = _jit(generate)
         # donated: k/v pass through aliased, metadata buffers reset in place
@@ -638,7 +647,7 @@ class StreamEngine:
             jnp.asarray(score_sum, jnp.float32), counts,
             inf if prob_threshold is None else jnp.float32(prob_threshold),
             inf if sum_threshold is None else jnp.float32(sum_threshold),
-            head_mask, gen_ids, gen_len, jnp.bool_(do_generate),
+            head_mask, gen_ids, gen_len, bool(do_generate),
         )
 
     def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:

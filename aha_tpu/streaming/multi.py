@@ -273,6 +273,61 @@ class MultiStreamSession:
             return (q_ptr[b] < len(queries[b])
                     and i[b] / fps >= queries[b][q_ptr[b]]["time"])
 
+        # shared host bookkeeping for the production (fused serve_step) and
+        # instrumented (per-phase sync) branches below — ONE copy so the
+        # trigger/response/retire semantics cannot drift between them
+
+        def absorb_scores(i_new, s_host):
+            """Fold fetched per-frame scores into debug traces and advance i."""
+            for b in range(B):
+                if not occupied[b]:
+                    continue
+                if i_new[b] > i[b]:
+                    last_role[b] = "stream"
+                for t in range(int(i[b]), int(i_new[b])):
+                    debug[b].append(dict(
+                        time=t / fps,
+                        informative_score=float(s_host[b, t, 0]),
+                        relevance_score=float(s_host[b, t, 1]),
+                        uncertainty_score=float(s_host[b, t, 2]),
+                    ))
+                i[b] = i_new[b]
+
+        def absorb_responses(triggered, out_ids, out_len, last_tok):
+            """Decode + record generations for the triggered rows."""
+            out_ids = np.asarray(out_ids)
+            out_len = np.asarray(out_len)
+            last_tok = np.asarray(last_tok)
+            for b in range(B):
+                if not triggered[b]:
+                    continue
+                n = int(out_len[b])
+                text = self.tokenizer.decode(
+                    out_ids[b, :n], skip_special_tokens=True)
+                responses[b].append({
+                    "time": (int(i[b]) - 1) / fps,
+                    "content": text, "role": "assistant",
+                })
+                # the reference flips last_role UNCONDITIONALLY
+                # (test/inference.py:280) — under remove_assistant_turns
+                # this only affects the NEXT query's
+                # add_stream_query_prompt rendering
+                last_role[b] = "assistant"
+                if not a.remove_assistant_turns:
+                    pending_last[b] = [int(last_tok[b])]
+
+        def retire():
+            """Finish streams whose frames ran out; slots free for admits."""
+            for b in range(B):
+                if occupied[b] and i[b] >= T[b]:
+                    results[key[b]] = {
+                        "responses": sorted(responses[b],
+                                            key=lambda x: x["time"]),
+                        "debug_data": debug[b]}
+                    occupied[b] = False
+                    if on_result is not None:
+                        on_result(key[b], results[key[b]])
+
         while True:
             _count("iterations")
             _t0 = _time.perf_counter() if stats is not None else 0.0
@@ -400,19 +455,7 @@ class MultiStreamSession:
                 score_sum = np.where(occupied,
                                      np.asarray(new_sum, np.float64),
                                      score_sum)
-                for b in range(B):
-                    if not occupied[b]:
-                        continue
-                    if i_new[b] > i[b]:
-                        last_role[b] = "stream"
-                    for t in range(int(i[b]), int(i_new[b])):
-                        debug[b].append(dict(
-                            time=t / fps,
-                            informative_score=float(s_host[b, t, 0]),
-                            relevance_score=float(s_host[b, t, 1]),
-                            uncertainty_score=float(s_host[b, t, 2]),
-                        ))
-                    i[b] = i_new[b]
+                absorb_scores(i_new, s_host)
                 if triggered.any():
                     if a.remove_assistant_turns:
                         # rollback semantics: generate on the non-donating
@@ -427,36 +470,8 @@ class MultiStreamSession:
                         cache = pre_cache
                         out_ids, out_len, last_tok = jax.device_get(
                             (out_ids, out_len, last_tok))
-                    out_ids = np.asarray(out_ids)
-                    out_len = np.asarray(out_len)
-                    last_tok = np.asarray(last_tok)
-                    for b in range(B):
-                        if not triggered[b]:
-                            continue
-                        n = int(out_len[b])
-                        text = self.tokenizer.decode(
-                            out_ids[b, :n], skip_special_tokens=True)
-                        responses[b].append({
-                            "time": (int(i[b]) - 1) / fps,
-                            "content": text, "role": "assistant",
-                        })
-                        # the reference flips last_role unconditionally
-                        # (test/inference.py:280) — under
-                        # remove_assistant_turns this only affects the
-                        # NEXT query's add_stream_query_prompt rendering
-                        last_role[b] = "assistant"
-                        if not a.remove_assistant_turns:
-                            pending_last[b] = [int(last_tok[b])]
-                # 5. retire finished streams
-                for b in range(B):
-                    if occupied[b] and i[b] >= T[b]:
-                        results[key[b]] = {
-                            "responses": sorted(responses[b],
-                                                key=lambda x: x["time"]),
-                            "debug_data": debug[b]}
-                        occupied[b] = False
-                        if on_result is not None:
-                            on_result(key[b], results[key[b]])
+                    absorb_responses(triggered, out_ids, out_len, last_tok)
+                retire()
                 continue
 
             # instrumented path (stats != None): per-phase dispatches with
@@ -523,20 +538,7 @@ class MultiStreamSession:
             _count("frames_scored", int((i_new - i).sum()))
             _tick("score_s", _t0)
             _t0 = _time.perf_counter() if stats is not None else 0.0
-            for b in range(B):
-                if not occupied[b]:
-                    continue
-                if i_new[b] > i[b]:
-                    last_role[b] = "stream"
-                for t in range(int(i[b]), int(i_new[b])):
-                    debug[b].append(dict(
-                        time=t / fps,
-                        informative_score=float(s_host[b, t, 0]),
-                        relevance_score=float(s_host[b, t, 1]),
-                        uncertainty_score=float(s_host[b, t, 2]),
-                    ))
-                i[b] = i_new[b]
-
+            absorb_scores(i_new, s_host)
             _tick("host_s", _t0)
 
             # 4. batched generation for the triggered subset
@@ -551,38 +553,14 @@ class MultiStreamSession:
                 cache = pre_cache if a.remove_assistant_turns else gen_cache
                 out_ids, out_len, last_tok = jax.device_get(
                     (out_ids, out_len, last_tok))
-                out_ids = np.asarray(out_ids)
                 out_len = np.asarray(out_len)
-                last_tok = np.asarray(last_tok)
                 _count("gen_dispatches")
                 _count("tokens_generated", int(out_len[triggered].sum()))
                 _tick("gen_s", _t0)
-                for b in range(B):
-                    if not triggered[b]:
-                        continue
-                    n = int(out_len[b])
-                    text = self.tokenizer.decode(out_ids[b, :n],
-                                                 skip_special_tokens=True)
-                    responses[b].append({
-                        "time": (int(i[b]) - 1) / fps,
-                        "content": text, "role": "assistant",
-                    })
-                    # unconditional, matching the reference (see the
-                    # production path above)
-                    last_role[b] = "assistant"
-                    if not a.remove_assistant_turns:
-                        pending_last[b] = [int(last_tok[b])]
+                absorb_responses(triggered, out_ids, out_len, last_tok)
 
             # 5. retire finished streams (slot frees for the next admit)
-            for b in range(B):
-                if occupied[b] and i[b] >= T[b]:
-                    results[key[b]] = {
-                        "responses": sorted(responses[b],
-                                            key=lambda x: x["time"]),
-                        "debug_data": debug[b]}
-                    occupied[b] = False
-                    if on_result is not None:
-                        on_result(key[b], results[key[b]])
+            retire()
 
         return results
 

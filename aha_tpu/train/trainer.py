@@ -272,9 +272,14 @@ def train(
     lora_init: dict | None = None,
     log_every: int | None = None,
     use_wandb: bool = False,
+    per_host_batches: bool = False,
 ) -> TrainState:
     """End-to-end loop: shard params on the mesh, resume if requested, run
-    `total_steps` steps with periodic checkpoints."""
+    `total_steps` steps with periodic checkpoints.
+
+    per_host_batches: multi-host jobs where `batches` yields only THIS
+    host's rows (sharded loader); the global batch is assembled across
+    processes — see parallel/mesh.shard_batch."""
     m = device_mesh or mesh_lib.make_mesh(
         train_cfg.mesh_data, train_cfg.mesh_model, train_cfg.mesh_pipe)
     state, tx, labels, scale = init_train_state(
@@ -300,7 +305,7 @@ def train(
     for batch in batches:
         if int(state.step) >= total_steps:
             break
-        batch = mesh_lib.shard_batch(batch, m)
+        batch = mesh_lib.shard_batch(batch, m, per_host=per_host_batches)
         state, parts = step_fn(state, batch)
         step = int(state.step)
         if step % (log_every or train_cfg.logging_steps) == 0:

@@ -83,9 +83,9 @@ def init_distributed(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif _os.environ.get("JAX_COORDINATOR_ADDRESS") or _os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        # TPU-pod / SLURM style auto-detection from the environment
+    elif multihost_env_detected():
+        # bare initialize(): jax's cluster plugins fill in coordinator/
+        # process_id from the SLURM / OMPI / Cloud-TPU-pod environment
         jax.distributed.initialize()
     info = {
         "process_index": jax.process_index(),
@@ -95,6 +95,46 @@ def init_distributed(coordinator_address: str | None = None,
     }
     setup_for_distributed(info["process_index"] == 0)
     return info
+
+
+def multihost_env_detected() -> bool:
+    """True when the environment says this process is one of several in a
+    multi-host job — the cases jax.distributed.initialize() can bootstrap
+    without explicit arguments. Checked WITHOUT touching jax (must stay
+    callable before backend init):
+
+      * explicit coordinator env (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS)
+      * SLURM with >1 task (SLURM_NTASKS)
+      * Open MPI / mpirun with >1 rank (OMPI_COMM_WORLD_SIZE)
+      * Cloud TPU pod: several worker hostnames (TPU_WORKER_HOSTNAMES) or a
+        megascale coordinator (MEGASCALE_COORDINATOR_ADDRESS)
+
+    A single-host TPU VM sets TPU_WORKER_HOSTNAMES to ONE name, so the
+    comma test keeps single-host runs out of distributed bring-up."""
+    env = os.environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS"):
+        return True
+    try:
+        if int(env.get("SLURM_NTASKS", "1")) > 1:
+            return True
+        if int(env.get("OMPI_COMM_WORLD_SIZE", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    return False
+
+
+def maybe_init_distributed() -> dict | None:
+    """CLI entry hook: bring up jax.distributed iff the environment is a
+    multi-host job (see multihost_env_detected), else do nothing. Must run
+    before any other jax call — see init_distributed."""
+    if not multihost_env_detected():
+        return None
+    return init_distributed()
 
 
 def shard_iterable(items, num_shards: int | None = None, shard_id: int | None = None):

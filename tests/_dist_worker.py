@@ -57,3 +57,34 @@ total = float(jax.device_get(
 # (setup_for_distributed) — write to stdout directly so BOTH workers report
 sys.stdout.write(f"LOSS {total:.8f}\n")
 sys.stdout.flush()
+
+# --- per-host batch assembly (sharded-loader convention) -------------------
+# each process supplies only ITS contiguous block of rows; the global batch
+# shard_batch(per_host=True) assembles must equal the full replicated batch,
+# so the step loss from a fresh identical state must match LOSS exactly.
+assert mesh_lib.data_axis_spans_processes(m)
+
+
+def _half(v):
+    # leading dims differ per key (frames are [B*n_frames, ...]): each
+    # process takes its contiguous half of whatever the leading dim is
+    v = np.asarray(v)
+    h = v.shape[0] // 2
+    return v[pid * h:(pid + 1) * h]
+
+
+local = {k: _half(v) for k, v in batch_np.items() if v is not None}
+state2, tx2, labels2, scale2 = init_train_state(cfg, train_cfg, params,
+                                                total_steps=10)
+tree2 = mesh_lib.apply_named_sharding(state2.tree, m)
+state2 = type(state2)(tree=tree2, opt_state=tx2.init(tree2), step=state2.step)
+step2 = make_train_step(cfg, train_cfg, tx2, labels2, scale2)
+batch2 = mesh_lib.shard_batch(local, m, per_host=True)
+# global leading dims = 2x the local contribution
+assert all(b.shape[0] == 2 * local[k].shape[0] for k, b in batch2.items())
+state2, parts2 = step2(state2, batch2)
+total2 = float(jax.device_get(
+    jax.jit(lambda x: x, out_shardings=jax.sharding.NamedSharding(
+        m, jax.sharding.PartitionSpec()))(parts2.total)))
+sys.stdout.write(f"LOSS2 {total2:.8f}\n")
+sys.stdout.flush()

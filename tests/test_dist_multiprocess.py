@@ -51,13 +51,19 @@ def test_two_process_fsdp_loss_matches_single_process():
         sys.stderr.write(f"--- worker {pid} (rc={p.returncode}) ---\n{out}\n")
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
 
-    losses = []
+    losses, losses2 = [], []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("LOSS ")]
         assert lines, out
         losses.append(float(lines[-1].split()[1]))
+        lines2 = [l for l in out.splitlines() if l.startswith("LOSS2 ")]
+        assert lines2, out
+        losses2.append(float(lines2[-1].split()[1]))
     # both processes observe the same (replicated) loss
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # per-host assembled batch (each process contributed only its rows)
+    # reproduces the replicated-batch loss bit-for-bit
+    np.testing.assert_allclose(losses2, losses, rtol=1e-6)
 
     # single-process 2-device oracle, same deterministic model + batch
     import jax

@@ -51,6 +51,51 @@ def test_pipeline_forward_matches_scan(tiny):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pipeline_lora_dropout_masks_independent(tiny):
+    """LoRA-dropout masks must be independent per row across microbatches
+    AND data shards: forward_hidden pre-splits one key per (projection,
+    layer), and the gpipe path folds (data shard, microbatch) into it —
+    without the fold, identical rows in different microbatches/shards get
+    identical masks (review finding, round 3)."""
+    params, cfg, _ = tiny
+    llm = params["llm"]
+    B, T, H = 8, 8, cfg.llm.hidden_size
+    L = jax.tree_util.tree_leaves(llm["layers"])[0].shape[0]
+    r = 4
+    k = jax.random.PRNGKey(7)
+    ka, kb = jax.random.split(k)
+    lora = {"q_proj": {
+        "a": jax.random.normal(ka, (L, H, r), jnp.float32) * 0.3,
+        "b": jax.random.normal(kb, (L, r, cfg.llm.q_dim), jnp.float32) * 0.3,
+    }}
+    # every row identical: any output difference comes from the masks
+    row = jax.random.normal(jax.random.PRNGKey(3), (1, T, H), jnp.float32) * 0.1
+    x = jnp.tile(row, (B, 1, 1))
+    mask = jnp.ones((B, T), bool)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+    mesh = mesh_lib.make_mesh(2, 1, 2, devices=jax.devices()[:4])
+    llm_sh = mesh_lib.apply_named_sharding(llm, mesh)
+    out = jax.jit(lambda p, lo, xx: qwen2.forward_hidden(
+        p, cfg.llm, xx, attn_mask=mask, positions=positions,
+        lora=lo, lora_scale=1.0, lora_dropout=0.5,
+        dropout_rng=jax.random.PRNGKey(11),
+        pipe=(mesh, "pipe", 2)))(llm_sh, lora, x)
+    out = np.asarray(out)
+    # data shard 0 holds rows 0-3 (microbatches {0,1} and {2,3}); shard 1
+    # holds rows 4-7. Same microbatch, same microbatch-peer, other
+    # microbatch, other shard — all must draw different masks:
+    for a, b in [(0, 1), (0, 2), (0, 4), (2, 6)]:
+        assert np.abs(out[a] - out[b]).max() > 1e-5, (a, b)
+    # and the draw is deterministic given the rng
+    out2 = np.asarray(jax.jit(lambda p, lo, xx: qwen2.forward_hidden(
+        p, cfg.llm, xx, attn_mask=mask, positions=positions,
+        lora=lo, lora_scale=1.0, lora_dropout=0.5,
+        dropout_rng=jax.random.PRNGKey(11),
+        pipe=(mesh, "pipe", 2)))(llm_sh, lora, x))
+    np.testing.assert_allclose(out, out2, rtol=0, atol=0)
+
+
 def _make_batch(cfg, tok, rng, B, n_frames=2):
     F = cfg.frame_num_tokens
     conv = [
