@@ -734,6 +734,12 @@ def main(argv=None):
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m aha_tpu.cli {" + ",".join(COMMANDS) + "} ...")
         return 0
+    # persistent XLA compilation cache: the 3-stage eval pipelines spawn a
+    # fresh process per stage and the 7B compile costs minutes each —
+    # cache it once on disk (AHA_COMPILE_CACHE=0 to disable)
+    from aha_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     cmd = argv[0]
     if cmd not in COMMANDS:
         print(f"unknown command {cmd}; available: {', '.join(COMMANDS)}")

@@ -405,6 +405,9 @@ def run_bench(preset: str) -> dict:
 
 
 def main():
+    from aha_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()   # warm restarts skip the minutes-long 7B compile
     last_err = None
     if "--smoke" in sys.argv:  # tiny model on CPU — CI/verify smoke. Forcing
         # CPU also keeps a stray smoke from contending with a real bench for
