@@ -718,6 +718,134 @@ def cmd_visualize(argv):
         print("\n".join(paths))
 
 
+def cmd_serve(argv):
+    """Continuous-batching JSONL server: requests in, results out.
+
+    Each input line is one request:
+      {"key": "id", "video": "/path.mp4",
+       "conversation": [{"role": "user", "time": 0.0, "content": "..."}]}
+    Each output line (written the moment the stream retires, completion
+    order): {"key", "responses", ["debug_data" with --emit_scores]}.
+
+    Videos are decoded by a background thread pool ahead of admission, so
+    host decode overlaps device serving; `--batch` slots run continuous
+    batching (a retired stream's slot is refilled immediately —
+    streaming/multi.MultiStreamServer). No reference analog: the
+    reference serves one stream per process (test/inference.py:857-908)."""
+    import queue as _queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = argparse.ArgumentParser(
+        "aha serve", description="continuous-batching JSONL serving")
+    p.add_argument("--model_preset", default="7b", choices=["7b", "tiny"])
+    p.add_argument("--llm_pretrained", default=None)
+    p.add_argument("--tokenizer_pretrained", default=None)
+    p.add_argument("--lora_pretrained", default=None)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--input", default="-", help="requests JSONL (- = stdin)")
+    p.add_argument("--output", default="-", help="results JSONL (- = stdout)")
+    p.add_argument("--batch", type=int, default=8, help="concurrent slots")
+    p.add_argument("--max_frames", type=int, default=400)
+    p.add_argument("--frame_fps", type=float, default=2.0)
+    p.add_argument("--decode_workers", type=int, default=2)
+    p.add_argument("--emit_scores", action="store_true",
+                   help="include per-frame score traces (debug_data)")
+    p.add_argument("--stream_end_prob_threshold", type=float, default=None)
+    p.add_argument("--threshold_z", type=float, default=None)
+    p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
+    p.add_argument("--remove_assistant_turns", action="store_true")
+    p.add_argument("--score_heads", default="relevance_score,informative_score")
+    p.add_argument("--repetition_penalty", type=float, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=200)
+    p.add_argument("--kv_cache_policy", default="sink",
+                   choices=["sink", "sliding", "static", "none"])
+    p.add_argument("--kv_window", type=int, default=2048)
+    p.add_argument("--num_sink_tokens", type=int, default=32)
+    p.add_argument("--kv_cache_dtype", default="auto", choices=["auto", "int8"])
+    p.add_argument("--kv_mask_mode", default="hf", choices=["hf", "strict"])
+    args = p.parse_args(argv)
+    args.grounding_mode = False
+
+    from aha_tpu.data import media
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    session = _build_session(args)
+    server = MultiStreamServer(
+        session.engine.params, session.cfg, session.tokenizer, session.args,
+        batch=args.batch, max_frames=args.max_frames,
+        lora=session.engine.lora, lora_scale=session.engine.lora_scale)
+
+    res = session.cfg.frame_resolution
+
+    def decode_request(line):
+        req = json.loads(line)
+        frames, _idx = media.decode_video(
+            req["video"], output_fps=args.frame_fps, output_size=res,
+            max_frames=args.max_frames)
+        return req.get("key", req["video"]), frames, req.get("conversation", [])
+
+    # bounded decode-ahead: the pool keeps at most 2*workers requests in
+    # flight so a long input backlog cannot exhaust host RAM with frames
+    def read_lines(f):
+        for line in f:
+            line = line.strip()
+            if line:
+                yield line
+
+    src = sys.stdin if args.input == "-" else open(args.input)
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    pool = ThreadPoolExecutor(max_workers=args.decode_workers)
+    pending: _queue.Queue = _queue.Queue()
+    depth = threading.Semaphore(2 * args.decode_workers)
+    DONE = object()
+
+    def feed_pool():
+        for line in read_lines(src):
+            depth.acquire()            # block until a decode slot frees
+            pending.put(pool.submit(decode_request, line))
+        pending.put(DONE)
+
+    feeder = threading.Thread(target=feed_pool, daemon=True)
+    feeder.start()
+
+    def requests():
+        """Yield decoded requests; None while decode lags (run_items keeps
+        serving occupied slots instead of stalling on the feeder)."""
+        while True:
+            try:
+                fut = pending.get_nowait()
+            except _queue.Empty:
+                yield None
+                continue
+            if fut is DONE:
+                return
+            try:
+                item = fut.result()
+            except Exception as e:     # bad JSON / unreadable video: the
+                # stream fails, the server does not (reference analog:
+                # dataset retry fallback, datasets.py:333-363)
+                depth.release()
+                out.write(json.dumps({"key": None, "error": str(e)}) + "\n")
+                out.flush()
+                continue
+            depth.release()
+            yield item
+
+    def emit(key, result):
+        rec = {"key": key, "responses": result["responses"]}
+        if args.emit_scores:
+            rec["debug_data"] = result["debug_data"]
+        out.write(json.dumps(rec) + "\n")
+        out.flush()
+
+    n = len(server.run_items(requests(), fps=args.frame_fps, on_result=emit))
+    pool.shutdown()
+    if out is not sys.stdout:
+        out.close()
+    print(f"served {n} streams", file=sys.stderr)
+
+
 COMMANDS = {
     "infer": cmd_infer,
     "grid-search": cmd_grid_search,
@@ -726,6 +854,7 @@ COMMANDS = {
     "demo": cmd_demo,
     "train": cmd_train,
     "visualize": cmd_visualize,
+    "serve": cmd_serve,
 }
 
 

@@ -220,6 +220,15 @@ class MultiStreamSession:
         buffer and reorder). max_frames: per-call frames-buffer length
         (defaults to the instance setting).
 
+        Live feeding: `items` may yield None, meaning "no request ready
+        right now — keep serving the occupied slots". Admission for the
+        iteration stops at the first None; the slot is retried next
+        iteration. The iterator must still raise StopIteration to end the
+        session (a forever-None feeder never terminates the loop; with no
+        occupied slots the loop naps briefly between polls instead of
+        spinning). This is how `aha serve` drives the server from a stdin
+        request stream whose decode thread may lag the chip.
+
         stats: optional dict accumulating a wall-clock phase split —
         admit_s (encode + H2D + slot reset), text_s (query/prefix
         appends), score_s (trigger scoring incl. its host sync), gen_s
@@ -333,15 +342,20 @@ class MultiStreamSession:
             _t0 = _time.perf_counter() if stats is not None else 0.0
             # 0. admit waiting streams into free slots
             admit = np.zeros(B, bool)
+            starved = False      # feeder yielded None: stop admitting
             for b in range(B):
-                if occupied[b]:
+                if occupied[b] or starved:
                     continue
                 while not exhausted:
                     try:
-                        k, video, conv = next(it)
+                        item = next(it)
                     except StopIteration:
                         exhausted = True
                         break
+                    if item is None:
+                        starved = True
+                        break
+                    k, video, conv = item
                     user_turns = sorted(
                         [t for t in conv if t.get("role") == "user"],
                         key=lambda t: t["time"])
@@ -378,7 +392,10 @@ class MultiStreamSession:
                 counts = counts * jnp.asarray(~admit, counts.dtype)[:, None]
             _tick("admit_s", _t0, sync=cache.seen)
             if not any(occupied):
-                break
+                if exhausted:
+                    break
+                _time.sleep(0.005)   # idle poll: feeder momentarily empty
+                continue
 
             _t0 = _time.perf_counter() if stats is not None else 0.0
             # 1. queries due now (per-row ragged chunk; [] rows are no-ops)

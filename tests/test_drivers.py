@@ -446,3 +446,47 @@ def test_cli_visualize_hisum_sota(tmp_path):
                "--params_file", str(params_file), "--output", str(out_dir)])
     assert rc == 0
     assert (out_dir / "hisum_results_comparison.png").exists()
+
+
+@pytest.mark.slow
+def test_cli_serve_end_to_end(tmp_path):
+    """`aha serve`: JSONL requests -> decoded videos -> continuous-batching
+    server -> JSONL results, with a bad request surfacing as an error line
+    rather than killing the server."""
+    cv2 = pytest.importorskip("cv2")
+    from aha_tpu.cli import cmd_serve
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for j, n in enumerate((6, 4)):
+        w = cv2.VideoWriter(str(vids / f"v{j}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 32))
+        for i in range(n):
+            w.write(np.full((32, 48, 3), (40 * i + 30 * j) % 255, np.uint8))
+        w.release()
+
+    reqs = [
+        {"key": "a", "video": str(vids / "v0.mp4"),
+         "conversation": [{"role": "user", "time": 0.0, "content": "what?"}]},
+        {"key": "bad", "video": str(vids / "missing.mp4"),
+         "conversation": []},
+        {"key": "b", "video": str(vids / "v1.mp4"),
+         "conversation": [{"role": "user", "time": 1.0, "content": "and?"}]},
+    ]
+    inp = tmp_path / "req.jsonl"
+    inp.write_text("".join(json.dumps(r) + "\n" for r in reqs))
+    outp = tmp_path / "res.jsonl"
+
+    cmd_serve([
+        "--model_preset", "tiny", "--input", str(inp), "--output", str(outp),
+        "--batch", "2", "--max_frames", "8", "--frame_fps", "1.0",
+        "--stream_end_prob_threshold", "0.55", "--max_new_tokens", "4",
+        "--kv_window", "64", "--num_sink_tokens", "4", "--emit_scores",
+    ])
+    lines = [json.loads(l) for l in outp.read_text().splitlines()]
+    by_key = {l.get("key"): l for l in lines}
+    assert set(by_key) == {"a", "b", None}
+    assert "error" in by_key[None]
+    for k in ("a", "b"):
+        assert isinstance(by_key[k]["responses"], list)
+        assert by_key[k]["debug_data"], k  # per-frame scores present

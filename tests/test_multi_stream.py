@@ -275,3 +275,49 @@ def test_mesh_sharded_int8_kv_cache(model):
     c1, s1 = sharded.score_stream(c1, np.asarray(stacked))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_server_live_feeder_none_yields(model):
+    """A live feeder may yield None ("nothing ready yet"): the server must
+    keep serving occupied slots and produce results identical to eager
+    feeding — including when the feeder starves with NO slots occupied."""
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(5)
+    r = cfg.frame_resolution
+    lengths = [5, 3, 6]
+    videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8)
+              for n in lengths]
+    convs = [[{"role": "user", "content": f"q{j}", "time": 0}]
+             for j in range(3)]
+    items = [(f"s{j}", videos[j], convs[j]) for j in range(3)]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    server = MultiStreamServer(params, cfg, tok, icfg(), batch=2,
+                               max_frames=max(lengths))
+    eager = server.run_items(list(items), fps=1.0)
+
+    def starving():
+        yield None            # idle poll before anything is ready
+        yield None
+        for it in items:
+            yield it
+            yield None        # decode lags between every request
+            yield None
+
+    ragged = server.run_items(starving(), fps=1.0)
+    assert set(ragged) == set(eager)
+    for k in eager:
+        assert ragged[k]["responses"] == eager[k]["responses"], k
+        assert len(ragged[k]["debug_data"]) == len(eager[k]["debug_data"])
+        for x, y in zip(ragged[k]["debug_data"], eager[k]["debug_data"]):
+            np.testing.assert_allclose(
+                x["informative_score"], y["informative_score"], rtol=1e-6)
