@@ -764,17 +764,29 @@ def cmd_serve(argv):
     p.add_argument("--num_sink_tokens", type=int, default=32)
     p.add_argument("--kv_cache_dtype", default="auto", choices=["auto", "int8"])
     p.add_argument("--kv_mask_mode", default="hf", choices=["hf", "strict"])
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="shard the slot batch over this many devices")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel devices (serve bf16 7B on a v5e-4: "
+                        "--mesh_model 4)")
     args = p.parse_args(argv)
     args.grounding_mode = False
 
     from aha_tpu.data import media
     from aha_tpu.streaming.multi import MultiStreamServer
 
+    mesh = None
+    if args.mesh_data * args.mesh_model > 1:
+        from aha_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(args.mesh_data, args.mesh_model)
+
     session = _build_session(args)
     server = MultiStreamServer(
         session.engine.params, session.cfg, session.tokenizer, session.args,
         batch=args.batch, max_frames=args.max_frames,
-        lora=session.engine.lora, lora_scale=session.engine.lora_scale)
+        lora=session.engine.lora, lora_scale=session.engine.lora_scale,
+        mesh=mesh)
 
     res = session.cfg.frame_resolution
 

@@ -161,6 +161,7 @@ class MultiStreamSession:
         engine: StreamEngine | None = None,
         lora: dict | None = None,
         lora_scale: float = 0.0,
+        mesh=None,
     ):
         infer_cfg.validate()
         if infer_cfg.threshold_z is not None:
@@ -181,7 +182,7 @@ class MultiStreamSession:
             params, cfg, policy, batch=batch,
             max_new_tokens=infer_cfg.max_new_tokens,
             repetition_penalty=infer_cfg.repetition_penalty,
-            lora=lora, lora_scale=lora_scale,
+            lora=lora, lora_scale=lora_scale, mesh=mesh,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
         )
         tok = tokenizer
@@ -593,7 +594,9 @@ class MultiStreamServer(MultiStreamSession):
     """
 
     def __init__(self, params, cfg, tokenizer, infer_cfg, *, batch,
-                 max_frames, engine=None, lora=None, lora_scale=0.0):
+                 max_frames, engine=None, lora=None, lora_scale=0.0,
+                 mesh=None):
         super().__init__(params, cfg, tokenizer, infer_cfg, batch=batch,
-                         engine=engine, lora=lora, lora_scale=lora_scale)
+                         engine=engine, lora=lora, lora_scale=lora_scale,
+                         mesh=mesh)
         self.max_frames = max_frames

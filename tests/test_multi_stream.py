@@ -321,3 +321,46 @@ def test_server_live_feeder_none_yields(model):
         for x, y in zip(ragged[k]["debug_data"], eager[k]["debug_data"]):
             np.testing.assert_allclose(
                 x["informative_score"], y["informative_score"], rtol=1e-6)
+
+
+def test_mesh_sharded_server_matches_single_device(model):
+    """Continuous batching on a (data=2, model=2) mesh (`aha serve
+    --mesh_data 2 --mesh_model 2`): per-stream results equal the
+    single-device server's."""
+    import jax
+    from aha_tpu.parallel.mesh import make_mesh
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(11)
+    r = cfg.frame_resolution
+    lengths = [6, 3, 5]
+    videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8)
+              for n in lengths]
+    items = [(f"s{j}", videos[j],
+              [{"role": "user", "content": f"q{j}", "time": 0}])
+             for j in range(3)]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    base = MultiStreamServer(params, cfg, tok, icfg(), batch=2,
+                             max_frames=max(lengths))
+    want = base.run_items(list(items), fps=1.0)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = MultiStreamServer(params, cfg, tok, icfg(), batch=2,
+                                max_frames=max(lengths), mesh=mesh)
+    got = sharded.run_items(list(items), fps=1.0)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["responses"] == want[k]["responses"], k
+        for x, y in zip(got[k]["debug_data"], want[k]["debug_data"]):
+            for f in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(x[f], y[f], rtol=3e-4, atol=3e-5)
