@@ -70,6 +70,16 @@ def _scores_from_hidden(params, cfg: AhaConfig, hidden_last: jnp.ndarray) -> jnp
     return jnp.stack([informative, relevance, uncertainty], axis=-1)
 
 
+def _serve_overlap() -> bool:
+    """AHA_SERVE_OVERLAP (default on): serve_step generates inline in the
+    mixed while_loop so non-triggered rows keep scoring through a decode
+    (engine._mixed_loop). 0 falls back to freeze-then-generate — kept for
+    on-chip A/B and as an escape hatch."""
+    import os
+
+    return os.environ.get("AHA_SERVE_OVERLAP", "1") not in ("0", "false")
+
+
 def _apply_repetition_penalty(logits: jnp.ndarray, counts: jnp.ndarray, penalty: float | None):
     """RepetitionPenaltyLogitsProcessor semantics over a per-vocab count mask
     (ref: modeling_live.py:66-82): penalized tokens are those generated before;
@@ -368,6 +378,194 @@ class StreamEngine:
                 cond, body, state)
             return cache, scores_buf, i, score_sum, triggered
 
+        def _mixed_loop(params, cache, frames, start, limit, score_sum,
+                        triggered0, scores_buf, prob_threshold, sum_threshold,
+                        head_mask, gen_ids, gen_len, counts):
+            """Trigger scoring AND greedy generation in ONE while_loop: a
+            row that triggers switches to decoding INLINE while the other
+            rows keep scoring frames — batch rows are independent sessions
+            (per-row cache slices, no cross-row attention), so this is a
+            pure scheduling change: every row's token sequence, cache
+            writes, and scores are identical to the freeze-then-generate
+            path, but the B-1 non-triggered rows no longer idle through a
+            ~W-passes-long decode (each decode pass is a full weight
+            stream from HBM that previously advanced ONLY the triggered
+            rows; serving measurement in BASELINE.md round 3).
+
+            Per-row state machine: 0 = scoring frames, 1 = triggered (next
+            pass appends the generation prompt), 2 = decoding, 3 = waiting
+            for the loop to exit. The loop exits whenever no generation is
+            in flight AND some row needs host attention (a finished
+            response, or a row that newly hit its frame limit — the
+            early-exit that keeps continuous-batching slots refillable);
+            while a generation IS in flight the loop always continues, so
+            the other rows keep scoring through it.
+
+            Decode passes share the scoring rows' chunk width (F frame
+            tokens), so a gen-only tail pass pays ~F x the 1-token matmul
+            FLOPs; at serving batch sizes the pass stays dominated by the
+            weight stream it shares with the scoring rows, which is the
+            point.
+
+            Exact generate() emulation for modes 1/2 (same argmax /
+            repetition-penalty / eos-not-penalized order, and the final
+            token is never fed back through the model — ref
+            modeling_live.py:64-90).
+
+            Returns (cache, scores_buf, i, score_sum, triggered, out_ids,
+            out_len, counts, last_tok)."""
+            eos = cfg.eos_token_id
+            N = self.max_new_tokens
+            B, T = frames.shape[:2]
+            F = frames.shape[2]
+            Pg = gen_ids.shape[1]
+            W = max(F, Pg)
+            gen_emb = qwen2.embed_tokens(params["llm"], gen_ids,
+                                         dtype=jnp.dtype(cfg.dtype))
+            if Pg < W:
+                gen_emb = jnp.pad(gen_emb, ((0, 0), (0, W - Pg), (0, 0)))
+
+            mode0 = jnp.where(triggered0, 1,
+                              jnp.where(start < limit, 0, 3)).astype(jnp.int32)
+
+            def cond(state):
+                (_, _, _, _, mode, _, _, _, _, _, resp_done,
+                 new_wait) = state
+                live = mode != 3
+                gen_live = (mode == 1) | (mode == 2)
+                need_host = jnp.any(resp_done) | jnp.any(new_wait)
+                return jnp.any(live) & ~(need_host & ~jnp.any(gen_live))
+
+            def body(state):
+                (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                 out_len, counts, triggered, resp_done, new_wait) = state
+
+                # 1. decoding rows retire their pending token (write, eos /
+                # length check) BEFORE this pass's model call
+                writing = mode == 2
+                j = jnp.minimum(out_len, N - 1)
+                out_ids = jnp.where(
+                    writing[:, None]
+                    & (jnp.arange(N)[None, :] == j[:, None]),
+                    tok[:, None], out_ids)
+                out_len = out_len + writing.astype(jnp.int32)
+                is_eos = writing & (tok == eos)
+                pen = writing & ~(tok == eos)
+                counts = counts.at[jnp.arange(B), tok].add(pen.astype(jnp.int32))
+                stop = writing & (is_eos | (out_len >= N))
+                mode = jnp.where(stop, 3, mode)
+                resp_done = resp_done | stop
+                # 2. scoring rows that reached their limit wait (and ask
+                # for an exit once nothing is generating: retire/admit)
+                lim_hit = (mode == 0) & (i >= limit)
+                new_wait = new_wait | lim_hit
+                mode = jnp.where(lim_hit, 3, mode)
+
+                # 3. one ragged mixed chunk: frames / gen prompt / one
+                # token. Two widths behind a cond: once every scoring row
+                # waits (the common decode tail), passes drop to the
+                # prompt width instead of paying the F-token pad.
+                tok_emb1 = qwen2.embed_tokens(
+                    params["llm"], tok[:, None], dtype=jnp.dtype(cfg.dtype))
+                idx = jnp.clip(i, 0, T - 1)
+
+                def run(width, with_frames, cache):
+                    if with_frames:
+                        fe = frames[jnp.arange(B), idx]       # [B, F, H]
+                        if F < width:
+                            fe = jnp.pad(fe, ((0, 0), (0, width - F), (0, 0)))
+                    ge = gen_emb[:, :width] if width <= gen_emb.shape[1] \
+                        else jnp.pad(gen_emb,
+                                     ((0, 0), (0, width - gen_emb.shape[1]),
+                                      (0, 0)))
+                    te = jnp.pad(tok_emb1, ((0, 0), (0, width - 1), (0, 0)))
+                    m = mode[:, None, None]
+                    emb = jnp.where(m == 1, ge, te)
+                    if with_frames:
+                        emb = jnp.where(m == 0, fe, emb)
+                    valid = jnp.select(
+                        [mode == 0, mode == 1, mode == 2],
+                        [jnp.full((B,), F if with_frames else 0, jnp.int32),
+                         gen_len.astype(jnp.int32),
+                         jnp.ones((B,), jnp.int32)],
+                        jnp.zeros((B,), jnp.int32))
+                    hidden, cache = qwen2.decode_chunk(
+                        params["llm"], cfg.llm, policy, cache, emb, valid,
+                        lora=lora, lora_scale=lora_scale,
+                    )
+                    return cache, _last_valid(hidden, valid)
+
+                # width ladder: mixed passes need F; a prompt pass needs
+                # Pg (once per response); the decode tail runs at width 1
+                # (64 of 65 gen-only passes for a 64-token answer — the
+                # pass cost there is one token's matmuls + the shared
+                # weight stream, same as generate()'s)
+                Wn = max(Pg, 1)
+
+                def gen_only(c):
+                    if Wn == 1:
+                        return run(1, False, c)
+                    return jax.lax.cond(
+                        jnp.any(mode == 1),
+                        lambda c2: run(Wn, False, c2),
+                        lambda c2: run(1, False, c2), c)
+
+                if Wn == W:
+                    cache, last_h = run(W, True, cache)
+                else:
+                    cache, last_h = jax.lax.cond(
+                        jnp.any(mode == 0),
+                        lambda c: run(W, True, c), gen_only, cache)
+
+                # 4. scoring rows: trigger rule on this frame's scores
+                s = _scores_from_hidden(params, cfg, last_h).astype(jnp.float32)
+                scored = mode == 0
+                scores_buf = jnp.where(
+                    scored[:, None, None]
+                    & (jnp.arange(T)[None, :, None] == idx[:, None, None]),
+                    s[:, None, :], scores_buf)
+                stream_end = s[:, 0] * head_mask[0] + s[:, 1] * head_mask[1]
+                new_sum = score_sum + jnp.where(scored, stream_end, 0.0)
+                sum_hit = scored & (new_sum > sum_threshold)
+                prob_hit = scored & (stream_end > prob_threshold)
+                score_sum = jnp.where(sum_hit, 0.0, new_sum)
+                fire = sum_hit | prob_hit
+                i = i + scored.astype(jnp.int32)
+                triggered = triggered | fire
+
+                # 5. lm head only when some row decodes (skipping it keeps
+                # pure-scoring passes free of the lm_head weight stream)
+                def with_lm(op):
+                    last_h_, counts_ = op
+                    logits = qwen2.lm_logits(
+                        params["llm"], cfg.llm, last_h_).astype(jnp.float32)
+                    return jnp.argmax(_apply_repetition_penalty(
+                        logits, counts_, self.repetition_penalty),
+                        axis=-1).astype(jnp.int32)
+
+                decoding = (mode == 1) | (mode == 2)
+                next_tok = jax.lax.cond(
+                    jnp.any(decoding), with_lm,
+                    lambda op: jnp.zeros((B,), jnp.int32), (last_h, counts))
+                tok = jnp.where(decoding, next_tok, tok)
+                mode = jnp.where(mode == 1, 2, mode)   # prompt done -> decode
+                mode = jnp.where(fire, 1, mode)        # trigger -> prompt next
+
+                return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                        out_len, counts, triggered, resp_done, new_wait)
+
+            state = (start, cache, scores_buf, score_sum, mode0,
+                     jnp.zeros((B,), jnp.int32),
+                     jnp.zeros((B, N), jnp.int32), jnp.zeros((B,), jnp.int32),
+                     counts, triggered0, jnp.zeros((B,), bool),
+                     jnp.zeros((B,), bool))
+            (i, cache, scores_buf, score_sum, mode, tok, out_ids, out_len,
+             counts, triggered, resp_done, _nw) = jax.lax.while_loop(
+                cond, body, state)
+            last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
+            return (cache, scores_buf, i, score_sum, triggered, out_ids,
+                    out_len, counts, last_tok)
+
         def serve_step(params, cache, ids, id_len, can_step, frames, start,
                        limit, score_sum, counts, prob_threshold,
                        sum_threshold, head_mask, gen_ids, gen_len,
@@ -406,10 +604,22 @@ class StreamEngine:
                 can_step[:, None, None]
                 & (jnp.arange(T)[None, :, None] == idx[:, None, None]),
                 s0[:, None, :], jnp.zeros((B, T, 3), jnp.float32))
+
+            # do_generate is STATIC (fixed per session): rollback sessions
+            # pass False on every call, so compiling the decode machinery
+            # into their hot program would be pure compile-time/HBM
+            # waste — specialize it out instead of lax.cond-ing over it.
+            if do_generate and _serve_overlap():
+                # overlapped scoring+generation: triggered rows decode
+                # INLINE while the rest keep scoring (see _mixed_loop)
+                return _mixed_loop(
+                    params, cache, frames, i1, limit, new_sum, fused_trig,
+                    scores_buf, prob_threshold, sum_threshold, head_mask,
+                    gen_ids, gen_len, counts)
+
             cache, scores_buf, i2, sum2, triggered = _trigger_loop(
                 params, cache, frames, i1, limit, new_sum, fused_trig,
                 scores_buf, prob_threshold, sum_threshold, head_mask)
-
             N = self.max_new_tokens
 
             def gen_branch(op):
@@ -423,19 +633,15 @@ class StreamEngine:
                         jnp.zeros((B,), jnp.int32), cnt,
                         jnp.zeros((B,), jnp.int32))
 
-            # do_generate is STATIC (fixed per session): rollback sessions
-            # pass False on every call, so compiling the 200-token decode
-            # loop into their hot program would be pure compile-time/HBM
-            # waste — specialize it out instead of lax.cond-ing over it.
-            if do_generate:
-                cache, out_ids, out_len, counts, last_tok = jax.lax.cond(
+            if do_generate:      # AHA_SERVE_OVERLAP=0: freeze-then-generate
+                cache, out_ids, out_len, counts2, last_tok = jax.lax.cond(
                     jnp.any(triggered), gen_branch, skip_branch,
                     (cache, counts))
             else:
-                cache, out_ids, out_len, counts, last_tok = skip_branch(
+                cache, out_ids, out_len, counts2, last_tok = skip_branch(
                     (cache, counts))
             return (cache, scores_buf, i2, sum2, triggered,
-                    out_ids, out_len, counts, last_tok)
+                    out_ids, out_len, counts2, last_tok)
 
         def generate(params, cache, prompt_ids, valid_len, counts, active=None):
             """Greedy decode (ref fast_greedy_generate). Returns

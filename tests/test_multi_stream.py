@@ -364,3 +364,45 @@ def test_mesh_sharded_server_matches_single_device(model):
             for f in ("informative_score", "relevance_score",
                       "uncertainty_score"):
                 np.testing.assert_allclose(x[f], y[f], rtol=3e-4, atol=3e-5)
+
+
+def test_serve_overlap_matches_legacy_path(model, monkeypatch):
+    """AHA_SERVE_OVERLAP=0 (freeze-then-generate) and the default inline
+    mixed loop must produce identical responses and score traces — the
+    overlap is a pure scheduling change (rows are independent sessions)."""
+    from aha_tpu.streaming.multi import MultiStreamSession
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(9)
+    r = cfg.frame_resolution
+    videos = [rng.integers(0, 255, (8, r, r, 3), dtype=np.uint8)
+              for _ in range(3)]
+    convs = [
+        [{"role": "user", "content": "watch for it", "time": 0}],
+        [{"role": "user", "content": "q at 3", "time": 3.0},
+         {"role": "user", "content": "again", "time": 6.0}],
+        [],
+    ]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=5,
+        )
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("AHA_SERVE_OVERLAP", flag)
+        sess = MultiStreamSession(params, cfg, tok, icfg(), batch=3)
+        outs[flag] = sess.run(videos, convs, fps=1.0)
+
+    for a, b in zip(outs["1"], outs["0"]):
+        assert [t for t in a["responses"] if t["role"] == "assistant"] == \
+               [t for t in b["responses"] if t["role"] == "assistant"]
+        assert len(a["debug_data"]) == len(b["debug_data"])
+        for x, y in zip(a["debug_data"], b["debug_data"]):
+            for f in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(x[f], y[f], rtol=1e-5, atol=1e-7)
