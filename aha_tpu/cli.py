@@ -795,7 +795,13 @@ def cmd_serve(argv):
         frames, _idx = media.decode_video(
             req["video"], output_fps=args.frame_fps, output_size=res,
             max_frames=args.max_frames)
-        return req.get("key", req["video"]), frames, req.get("conversation", [])
+        # per-stream trigger sensitivity (the reference's per-process
+        # threshold, kept per-slot in the batched server)
+        opts = {k: req[k] for k in ("stream_end_prob_threshold",
+                                    "stream_end_score_sum_threshold")
+                if k in req}
+        return (req.get("key", req["video"]), frames,
+                req.get("conversation", []), opts)
 
     # bounded decode-ahead: the pool keeps at most 2*workers requests in
     # flight so a long input backlog cannot exhaust host RAM with frames

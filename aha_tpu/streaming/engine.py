@@ -798,8 +798,8 @@ class StreamEngine:
         return self._score_until_trigger(
             self.params, cache, frames, jnp.int32(n_frames),
             jnp.float32(score_sum),
-            inf if prob_threshold is None else jnp.float32(prob_threshold),
-            inf if sum_threshold is None else jnp.float32(sum_threshold),
+            inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
+            inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
             head_mask,
         )
 
@@ -823,8 +823,8 @@ class StreamEngine:
             self.params, cache, frames,
             jnp.asarray(start, jnp.int32), jnp.asarray(limit, jnp.int32),
             jnp.asarray(score_sum, jnp.float32),
-            inf if prob_threshold is None else jnp.float32(prob_threshold),
-            inf if sum_threshold is None else jnp.float32(sum_threshold),
+            inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
+            inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
             head_mask,
         )
 
@@ -851,8 +851,8 @@ class StreamEngine:
             frames, jnp.asarray(start, jnp.int32),
             jnp.asarray(limit, jnp.int32),
             jnp.asarray(score_sum, jnp.float32), counts,
-            inf if prob_threshold is None else jnp.float32(prob_threshold),
-            inf if sum_threshold is None else jnp.float32(sum_threshold),
+            inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
+            inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
             head_mask, gen_ids, gen_len, bool(do_generate),
         )
 

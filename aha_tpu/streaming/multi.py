@@ -185,6 +185,18 @@ class MultiStreamSession:
             lora=lora, lora_scale=lora_scale, mesh=mesh,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
         )
+        # per-row trigger thresholds (the reference runs one process per
+        # stream, each with its own sensitivity; the batched server keeps
+        # that capability — `aha serve` requests may override per stream).
+        # inf disables a criterion for that row.
+        self._default_prob = (np.inf if infer_cfg.stream_end_prob_threshold
+                              is None else
+                              float(infer_cfg.stream_end_prob_threshold))
+        self._default_sum = (np.inf if infer_cfg.stream_end_score_sum_threshold
+                             is None else
+                             float(infer_cfg.stream_end_score_sum_threshold))
+        self.prob_thr = np.full(batch, self._default_prob, np.float64)
+        self.sum_thr = np.full(batch, self._default_sum, np.float64)
         tok = tokenizer
         self._start_ids = tok.apply_chat_template(
             [{"role": "system", "content": infer_cfg.system_prompt}])
@@ -356,7 +368,8 @@ class MultiStreamSession:
                     if item is None:
                         starved = True
                         break
-                    k, video, conv = item
+                    k, video, conv, *rest = item
+                    opts = rest[0] if rest else None
                     user_turns = sorted(
                         [t for t in conv if t.get("role") == "user"],
                         key=lambda t: t["time"])
@@ -379,6 +392,15 @@ class MultiStreamSession:
                     occupied[b] = True
                     key[b] = k
                     T[b], i[b], score_sum[b] = n, 0, 0.0
+                    self.prob_thr[b] = self._default_prob
+                    self.sum_thr[b] = self._default_sum
+                    if opts:
+                        if opts.get("stream_end_prob_threshold") is not None:
+                            self.prob_thr[b] = float(
+                                opts["stream_end_prob_threshold"])
+                        if opts.get("stream_end_score_sum_threshold") is not None:
+                            self.sum_thr[b] = float(
+                                opts["stream_end_score_sum_threshold"])
                     last_role[b], init_vision[b] = "system", False
                     pending_last[b] = []
                     queries[b], q_ptr[b] = user_turns, 0
@@ -459,8 +481,8 @@ class MultiStreamSession:
                 (cache, scores_dev, i_dev, sum_dev, trig_dev, out_ids,
                  out_len, counts, last_tok) = eng.serve_step(
                     cache, p_rows, can_step, frames_buf, i, limit,
-                    score_sum, counts, a.stream_end_prob_threshold,
-                    a.stream_end_score_sum_threshold,
+                    score_sum, counts, self.prob_thr,
+                    self.sum_thr,
                     tuple(a.score_heads), self._gen_prompt_ids,
                     do_generate=do_gen)
                 (i_new, triggered, s_host, new_sum, out_ids, out_len,
@@ -512,13 +534,10 @@ class MultiStreamSession:
                         ("relevance_score", float(s_host0[b, 1])),
                     ) if key in heads)
                     score_sum[b] += stream_end
-                    if (a.stream_end_score_sum_threshold is not None
-                            and score_sum[b]
-                            > a.stream_end_score_sum_threshold):
+                    if score_sum[b] > self.sum_thr[b]:
                         fused_triggered[b] = True
                         score_sum[b] = 0.0
-                    if (a.stream_end_prob_threshold is not None
-                            and stream_end > a.stream_end_prob_threshold):
+                    if stream_end > self.prob_thr[b]:
                         fused_triggered[b] = True
                     debug[b].append(dict(
                         time=int(i[b]) / fps,
@@ -538,8 +557,8 @@ class MultiStreamSession:
             cache, scores, i_new, new_sum, triggered = \
                 eng.score_until_trigger_multi(
                     cache, frames_buf, i, limit, score_sum,
-                    a.stream_end_prob_threshold,
-                    a.stream_end_score_sum_threshold,
+                    self.prob_thr,
+                    self.sum_thr,
                     tuple(a.score_heads),
                 )
             # one batched fetch: 4 separate device_gets would pay the

@@ -406,3 +406,44 @@ def test_serve_overlap_matches_legacy_path(model, monkeypatch):
             for f in ("informative_score", "relevance_score",
                       "uncertainty_score"):
                 np.testing.assert_allclose(x[f], y[f], rtol=1e-5, atol=1e-7)
+
+
+def test_server_per_stream_thresholds(model):
+    """A request may override its trigger sensitivity: a row with an
+    unreachable threshold never responds while its slot-mates (and later
+    occupants of ITS slot, back at the default) respond normally — and the
+    default rows' outputs equal a run without any override present."""
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(13)
+    r = cfg.frame_resolution
+    videos = [rng.integers(0, 255, (5, r, r, 3), dtype=np.uint8)
+              for _ in range(4)]
+    conv = [{"role": "user", "content": "q", "time": 0}]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    server = MultiStreamServer(params, cfg, tok, icfg(), batch=2,
+                               max_frames=5)
+    base = server.run_items(
+        [(f"s{j}", videos[j], conv) for j in range(4)], fps=1.0)
+
+    items = [
+        ("s0", videos[0], conv, {"stream_end_prob_threshold": 1e9}),
+        ("s1", videos[1], conv),
+        ("s2", videos[2], conv, None),       # explicit no-override
+        ("s3", videos[3], conv, {}),
+    ]
+    got = server.run_items(items, fps=1.0)
+    assert not [t for t in got["s0"]["responses"] if t["role"] == "assistant"]
+    for j in (1, 2, 3):
+        assert got[f"s{j}"]["responses"] == base[f"s{j}"]["responses"], j
+    # muted row still scored every frame
+    assert len(got["s0"]["debug_data"]) == 5
