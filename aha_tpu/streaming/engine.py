@@ -495,27 +495,19 @@ class StreamEngine:
                     )
                     return cache, _last_valid(hidden, valid)
 
-                # width ladder: mixed passes need F; a prompt pass needs
-                # Pg (once per response); the decode tail runs at width 1
-                # (64 of 65 gen-only passes for a 64-token answer — the
-                # pass cost there is one token's matmuls + the shared
-                # weight stream, same as generate()'s)
-                Wn = max(Pg, 1)
-
-                def gen_only(c):
-                    if Wn == 1:
-                        return run(1, False, c)
-                    return jax.lax.cond(
-                        jnp.any(mode == 1),
-                        lambda c2: run(Wn, False, c2),
-                        lambda c2: run(1, False, c2), c)
-
-                if Wn == W:
-                    cache, last_h = run(W, True, cache)
+                # two widths: mixed/prompt passes run at W = max(F, Pg)
+                # (a prompt pass is one per response — riding the wide
+                # branch keeps the program at ONE cond); the decode tail
+                # runs at width 1 (64 of 65 gen-only passes for a
+                # 64-token answer — one token's matmuls + the weight
+                # stream, same pass cost as generate()'s)
+                if W == 1:
+                    cache, last_h = run(1, True, cache)
                 else:
                     cache, last_h = jax.lax.cond(
-                        jnp.any(mode == 0),
-                        lambda c: run(W, True, c), gen_only, cache)
+                        jnp.any((mode == 0) | (mode == 1)),
+                        lambda c: run(W, True, c),
+                        lambda c: run(1, False, c), cache)
 
                 # 4. scoring rows: trigger rule on this frame's scores
                 s = _scores_from_hidden(params, cfg, last_h).astype(jnp.float32)
