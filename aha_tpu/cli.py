@@ -72,6 +72,8 @@ def _build_session(args):
         grounding_mode=args.grounding_mode,
         stream_end_prob_threshold=args.stream_end_prob_threshold,
         threshold_z=args.threshold_z,
+        first_n_frames_no_generate=args.first_n_frames_no_generate,
+        running_list_length=args.running_list_length,
         stream_end_score_sum_threshold=args.stream_end_score_sum_threshold,
         remove_assistant_turns=args.remove_assistant_turns,
         score_heads=tuple(args.score_heads.split(",")),
@@ -119,6 +121,8 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--grounding_mode", action="store_true")
     p.add_argument("--stream_end_prob_threshold", type=float, default=None)
     p.add_argument("--threshold_z", type=float, default=None)
+    p.add_argument("--first_n_frames_no_generate", type=int, default=0)
+    p.add_argument("--running_list_length", type=int, default=20)
     p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
     p.add_argument("--remove_assistant_turns", action="store_true")
     p.add_argument("--score_heads", default="relevance_score,informative_score")
@@ -753,6 +757,8 @@ def cmd_serve(argv):
                    help="include per-frame score traces (debug_data)")
     p.add_argument("--stream_end_prob_threshold", type=float, default=None)
     p.add_argument("--threshold_z", type=float, default=None)
+    p.add_argument("--first_n_frames_no_generate", type=int, default=0)
+    p.add_argument("--running_list_length", type=int, default=20)
     p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
     p.add_argument("--remove_assistant_turns", action="store_true")
     p.add_argument("--score_heads", default="relevance_score,informative_score")
@@ -798,7 +804,8 @@ def cmd_serve(argv):
         # per-stream trigger sensitivity (the reference's per-process
         # threshold, kept per-slot in the batched server)
         opts = {k: req[k] for k in ("stream_end_prob_threshold",
-                                    "stream_end_score_sum_threshold")
+                                    "stream_end_score_sum_threshold",
+                                    "threshold_z")
                 if k in req}
         return (req.get("key", req["video"]), frames,
                 req.get("conversation", []), opts)

@@ -251,6 +251,30 @@ class StreamEngine:
                                          _last_valid(hidden, valid_len))
             return cache, scores
 
+        def z_step(z_hist, z_cnt, score, active, z_thr, first_n):
+            """Push `score` into the per-row running window for active rows
+            and evaluate the z-score stopping rule (session._z_trigger
+            semantics, exactly): fire when the current score is more than
+            z_thr standard deviations above the window mean, once
+            max(first_n, 2) frames have been scored and the window holds
+            >= 2 entries. z_thr=inf disables the rule for a row; the
+            window (z_hist [B, L]) holds the LAST min(z_cnt, L) scores,
+            newest in the final column."""
+            L = z_hist.shape[1]
+            pushed = jnp.concatenate([z_hist[:, 1:], score[:, None]], axis=1)
+            z_hist = jnp.where(active[:, None], pushed, z_hist)
+            z_cnt = z_cnt + active.astype(jnp.int32)
+            n = jnp.minimum(z_cnt, L)
+            m = jnp.arange(L)[None, :] >= (L - n[:, None])
+            nf = jnp.maximum(n, 1).astype(jnp.float32)
+            mean = jnp.sum(jnp.where(m, z_hist, 0.0), axis=1) / nf
+            var = jnp.sum(jnp.where(m, (z_hist - mean[:, None]) ** 2, 0.0),
+                          axis=1) / nf
+            z = (score - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
+            fire = (active & (z_cnt >= jnp.maximum(first_n, 2)) & (n >= 2)
+                    & (z > z_thr))
+            return z_hist, z_cnt, fire
+
         def score_stream(params, cache, frames, active=None):
             # frames: [B, T, F, H] -> scores [B, T, 3]; no host syncs.
             # active: [B, T] bool for ragged multi-stream batches.
@@ -311,7 +335,8 @@ class StreamEngine:
 
         def score_until_trigger_multi(params, cache, frames, start, limit,
                                       score_sum, prob_threshold, sum_threshold,
-                                      head_mask):
+                                      head_mask, z_thr, z_hist, z_cnt,
+                                      first_n):
             """Batched per-row trigger loop (the multi-stream serving path;
             ref workload: test/inference.py:857-908 one-process-per-stream).
             frames: [B, T, F, H]; start/limit: [B] — each row scores frames
@@ -335,11 +360,13 @@ class StreamEngine:
             return _trigger_loop(
                 params, cache, frames, start, limit, score_sum,
                 jnp.zeros((B,), bool), scores_buf,
-                prob_threshold, sum_threshold, head_mask)
+                prob_threshold, sum_threshold, head_mask,
+                z_thr, z_hist, z_cnt, first_n)
 
         def _trigger_loop(params, cache, frames, start, limit, score_sum,
                           triggered0, scores_buf, prob_threshold,
-                          sum_threshold, head_mask):
+                          sum_threshold, head_mask, z_thr, z_hist, z_cnt,
+                          first_n):
             """Shared body of the batched trigger loop (see
             score_until_trigger_multi). triggered0 lets serve_step enter
             with rows already frozen by its fused first step."""
@@ -350,12 +377,12 @@ class StreamEngine:
                 return (i < limit) & ~triggered
 
             def cond(state):
-                i, _, _, _, triggered = state
+                i, _, _, _, triggered, _, _ = state
                 act = row_active(i, triggered)
                 return jnp.any(act) & ~jnp.any(entry_active & ~act)
 
             def body(state):
-                i, cache, scores_buf, score_sum, triggered = state
+                i, cache, scores_buf, score_sum, triggered, zh, zc = state
                 act = row_active(i, triggered)
                 idx = jnp.clip(i, 0, T - 1)
                 fe = frames[jnp.arange(B), idx]              # [B, F, H]
@@ -369,18 +396,23 @@ class StreamEngine:
                 new_sum = score_sum + jnp.where(act, stream_end, 0.0)
                 sum_hit = act & (new_sum > sum_threshold)
                 prob_hit = act & (stream_end > prob_threshold)
+                zh, zc, z_hit = z_step(zh, zc, stream_end, act, z_thr,
+                                       first_n)
                 new_sum = jnp.where(sum_hit, 0.0, new_sum)
                 return (i + act.astype(jnp.int32), cache, scores_buf,
-                        new_sum, triggered | sum_hit | prob_hit)
+                        new_sum, triggered | sum_hit | prob_hit | z_hit,
+                        zh, zc)
 
-            state = (start, cache, scores_buf, score_sum, triggered0)
-            i, cache, scores_buf, score_sum, triggered = jax.lax.while_loop(
-                cond, body, state)
-            return cache, scores_buf, i, score_sum, triggered
+            state = (start, cache, scores_buf, score_sum, triggered0,
+                     z_hist, z_cnt)
+            (i, cache, scores_buf, score_sum, triggered, z_hist,
+             z_cnt) = jax.lax.while_loop(cond, body, state)
+            return cache, scores_buf, i, score_sum, triggered, z_hist, z_cnt
 
         def _mixed_loop(params, cache, frames, start, limit, score_sum,
                         triggered0, scores_buf, prob_threshold, sum_threshold,
-                        head_mask, gen_ids, gen_len, counts):
+                        head_mask, gen_ids, gen_len, counts, z_thr, z_hist,
+                        z_cnt, first_n):
             """Trigger scoring AND greedy generation in ONE while_loop: a
             row that triggers switches to decoding INLINE while the other
             rows keep scoring frames — batch rows are independent sessions
@@ -430,7 +462,7 @@ class StreamEngine:
 
             def cond(state):
                 (_, _, _, _, mode, _, _, _, _, _, resp_done,
-                 new_wait) = state
+                 new_wait, _zh, _zc) = state
                 live = mode != 3
                 gen_live = (mode == 1) | (mode == 2)
                 need_host = jnp.any(resp_done) | jnp.any(new_wait)
@@ -438,7 +470,8 @@ class StreamEngine:
 
             def body(state):
                 (i, cache, scores_buf, score_sum, mode, tok, out_ids,
-                 out_len, counts, triggered, resp_done, new_wait) = state
+                 out_len, counts, triggered, resp_done, new_wait,
+                 zh, zc) = state
 
                 # 1. decoding rows retire their pending token (write, eos /
                 # length check) BEFORE this pass's model call
@@ -520,8 +553,10 @@ class StreamEngine:
                 new_sum = score_sum + jnp.where(scored, stream_end, 0.0)
                 sum_hit = scored & (new_sum > sum_threshold)
                 prob_hit = scored & (stream_end > prob_threshold)
+                zh, zc, z_hit = z_step(zh, zc, stream_end, scored, z_thr,
+                                       first_n)
                 score_sum = jnp.where(sum_hit, 0.0, new_sum)
-                fire = sum_hit | prob_hit
+                fire = sum_hit | prob_hit | z_hit
                 i = i + scored.astype(jnp.int32)
                 triggered = triggered | fire
 
@@ -544,24 +579,25 @@ class StreamEngine:
                 mode = jnp.where(fire, 1, mode)        # trigger -> prompt next
 
                 return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
-                        out_len, counts, triggered, resp_done, new_wait)
+                        out_len, counts, triggered, resp_done, new_wait,
+                        zh, zc)
 
             state = (start, cache, scores_buf, score_sum, mode0,
                      jnp.zeros((B,), jnp.int32),
                      jnp.zeros((B, N), jnp.int32), jnp.zeros((B,), jnp.int32),
                      counts, triggered0, jnp.zeros((B,), bool),
-                     jnp.zeros((B,), bool))
+                     jnp.zeros((B,), bool), z_hist, z_cnt)
             (i, cache, scores_buf, score_sum, mode, tok, out_ids, out_len,
-             counts, triggered, resp_done, _nw) = jax.lax.while_loop(
-                cond, body, state)
+             counts, triggered, resp_done, _nw, z_hist,
+             z_cnt) = jax.lax.while_loop(cond, body, state)
             last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
             return (cache, scores_buf, i, score_sum, triggered, out_ids,
-                    out_len, counts, last_tok)
+                    out_len, counts, last_tok, z_hist, z_cnt)
 
         def serve_step(params, cache, ids, id_len, can_step, frames, start,
                        limit, score_sum, counts, prob_threshold,
                        sum_threshold, head_mask, gen_ids, gen_len,
-                       do_generate):
+                       do_generate, z_thr, z_hist, z_cnt, first_n):
             """One serving-loop iteration as ONE program (the multi-stream
             QA hot path): fused [role-prefix + frame] step with its trigger
             rule evaluated on device, the batched trigger loop, and greedy
@@ -578,7 +614,7 @@ class StreamEngine:
             the pre-generation cache for rollback).
 
             Returns (cache, scores_buf [B,T,3], i, score_sum, triggered,
-            out_ids, out_len, counts, last_tok)."""
+            out_ids, out_len, counts, last_tok, z_hist, z_cnt)."""
             B, T = frames.shape[:2]
             idx = jnp.clip(start, 0, T - 1)
             fe = frames[jnp.arange(B), idx]                  # [B, F, H]
@@ -589,8 +625,10 @@ class StreamEngine:
             new_sum = score_sum + jnp.where(can_step, stream_end, 0.0)
             sum_hit = can_step & (new_sum > sum_threshold)
             prob_hit = can_step & (stream_end > prob_threshold)
+            z_hist, z_cnt, z_hit = z_step(z_hist, z_cnt, stream_end,
+                                          can_step, z_thr, first_n)
             new_sum = jnp.where(sum_hit, 0.0, new_sum)
-            fused_trig = sum_hit | prob_hit
+            fused_trig = sum_hit | prob_hit | z_hit
             i1 = start + can_step.astype(jnp.int32)
             scores_buf = jnp.where(
                 can_step[:, None, None]
@@ -607,11 +645,13 @@ class StreamEngine:
                 return _mixed_loop(
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
-                    gen_ids, gen_len, counts)
+                    gen_ids, gen_len, counts, z_thr, z_hist, z_cnt, first_n)
 
-            cache, scores_buf, i2, sum2, triggered = _trigger_loop(
-                params, cache, frames, i1, limit, new_sum, fused_trig,
-                scores_buf, prob_threshold, sum_threshold, head_mask)
+            cache, scores_buf, i2, sum2, triggered, z_hist, z_cnt = \
+                _trigger_loop(
+                    params, cache, frames, i1, limit, new_sum, fused_trig,
+                    scores_buf, prob_threshold, sum_threshold, head_mask,
+                    z_thr, z_hist, z_cnt, first_n)
             N = self.max_new_tokens
 
             def gen_branch(op):
@@ -633,7 +673,7 @@ class StreamEngine:
                 cache, out_ids, out_len, counts2, last_tok = skip_branch(
                     (cache, counts))
             return (cache, scores_buf, i2, sum2, triggered,
-                    out_ids, out_len, counts2, last_tok)
+                    out_ids, out_len, counts2, last_tok, z_hist, z_cnt)
 
         def generate(params, cache, prompt_ids, valid_len, counts, active=None):
             """Greedy decode (ref fast_greedy_generate). Returns
@@ -800,17 +840,30 @@ class StreamEngine:
         ids, lens = self.pad_ids(ids_list)
         return self._generate(self.params, cache, ids, lens, counts, active)
 
+    def new_z_state(self, window: int = 20):
+        """(z_hist [B, window], z_cnt [B]) for the z-score stopping rule —
+        pass through score_until_trigger_multi / serve_step calls; rows
+        reset on slot admission (multi.py)."""
+        return (jnp.zeros((self.batch, window), jnp.float32),
+                jnp.zeros((self.batch,), jnp.int32))
+
     def score_until_trigger_multi(self, cache: KVCache, frames: jnp.ndarray,
                                   start, limit, score_sum,
                                   prob_threshold: float | None,
                                   sum_threshold: float | None,
-                                  score_heads: tuple[str, ...]):
-        """frames: [B, T, F, H]; start/limit/score_sum: [B]-likes."""
+                                  score_heads: tuple[str, ...],
+                                  z_threshold=None, z_state=None,
+                                  first_n_frames: int = 0):
+        """frames: [B, T, F, H]; start/limit/score_sum: [B]-likes.
+        Thresholds may be scalars or per-row [B] arrays (inf disables).
+        Returns (..., z_hist, z_cnt) — thread z_state between calls when
+        the z rule is in use."""
         head_mask = jnp.asarray([
             1.0 if "informative_score" in score_heads else 0.0,
             1.0 if "relevance_score" in score_heads else 0.0,
         ], jnp.float32)
         inf = jnp.float32(jnp.inf)
+        z_hist, z_cnt = z_state if z_state is not None else self.new_z_state()
         return self._score_until_trigger_multi(
             self.params, cache, frames,
             jnp.asarray(start, jnp.int32), jnp.asarray(limit, jnp.int32),
@@ -818,6 +871,9 @@ class StreamEngine:
             inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
             inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
             head_mask,
+            inf if z_threshold is None else jnp.asarray(z_threshold, jnp.float32),
+            jnp.asarray(z_hist, jnp.float32), jnp.asarray(z_cnt, jnp.int32),
+            jnp.int32(first_n_frames),
         )
 
     def serve_step(self, cache: KVCache, prefix_rows: list[list[int]],
@@ -825,11 +881,14 @@ class StreamEngine:
                    counts: jnp.ndarray, prob_threshold: float | None,
                    sum_threshold: float | None,
                    score_heads: tuple[str, ...],
-                   gen_prompt: list[int], *, do_generate: bool = True):
+                   gen_prompt: list[int], *, do_generate: bool = True,
+                   z_threshold=None, z_state=None, first_n_frames: int = 0):
         """One fused serving iteration (see serve_step in _build).
         prefix_rows: per-row role-transition prefix ids ([] = plain frame).
-        frames: [B, T, F, H]. Returns (cache, scores [B, T, 3], i, sum,
-        triggered, out_ids, out_len, counts, last_tok)."""
+        frames: [B, T, F, H]. Thresholds may be scalars or per-row [B]
+        arrays (inf disables a criterion for a row). Returns (cache,
+        scores [B, T, 3], i, sum, triggered, out_ids, out_len, counts,
+        last_tok, z_hist, z_cnt)."""
         B = frames.shape[0]
         ids, lens = self.pad_ids(prefix_rows)
         gen_ids, gen_len = self.pad_ids([list(gen_prompt)] * B)
@@ -838,6 +897,7 @@ class StreamEngine:
             1.0 if "relevance_score" in score_heads else 0.0,
         ], jnp.float32)
         inf = jnp.float32(jnp.inf)
+        z_hist, z_cnt = z_state if z_state is not None else self.new_z_state()
         return self._serve_step(
             self.params, cache, ids, lens, jnp.asarray(can_step, bool),
             frames, jnp.asarray(start, jnp.int32),
@@ -846,6 +906,9 @@ class StreamEngine:
             inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
             inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
             head_mask, gen_ids, gen_len, bool(do_generate),
+            inf if z_threshold is None else jnp.asarray(z_threshold, jnp.float32),
+            jnp.asarray(z_hist, jnp.float32), jnp.asarray(z_cnt, jnp.int32),
+            jnp.int32(first_n_frames),
         )
 
     def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:

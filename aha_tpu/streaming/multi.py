@@ -164,10 +164,6 @@ class MultiStreamSession:
         mesh=None,
     ):
         infer_cfg.validate()
-        if infer_cfg.threshold_z is not None:
-            raise NotImplementedError(
-                "threshold_z needs host-side running statistics; use "
-                "independent StreamSessions for the z-score rule")
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.args = infer_cfg
@@ -195,8 +191,11 @@ class MultiStreamSession:
         self._default_sum = (np.inf if infer_cfg.stream_end_score_sum_threshold
                              is None else
                              float(infer_cfg.stream_end_score_sum_threshold))
+        self._default_z = (np.inf if infer_cfg.threshold_z is None
+                           else float(infer_cfg.threshold_z))
         self.prob_thr = np.full(batch, self._default_prob, np.float64)
         self.sum_thr = np.full(batch, self._default_sum, np.float64)
+        self.z_thr = np.full(batch, self._default_z, np.float64)
         tok = tokenizer
         self._start_ids = tok.apply_chat_template(
             [{"role": "system", "content": infer_cfg.system_prompt}])
@@ -279,6 +278,15 @@ class MultiStreamSession:
 
         occupied = [False] * B
         key = [None] * B
+        # z-rule device state (persist across iterations; rows reset on
+        # admission). Cheap dead weight when the rule is off (z_thr=inf).
+        z_hist, z_cnt = eng.new_z_state(
+            window=max(int(a.running_list_length or 20), 2))
+        first_n = int(a.first_n_frames_no_generate or 0)
+        if stats is not None and np.isfinite(self.z_thr).any():
+            raise NotImplementedError(
+                "instrumented profiling (stats=) of threshold_z workloads "
+                "is not supported; use the production path")
         T = np.zeros(B, np.int64)
         i = np.zeros(B, np.int64)
         score_sum = np.zeros(B, np.float64)
@@ -394,6 +402,9 @@ class MultiStreamSession:
                     T[b], i[b], score_sum[b] = n, 0, 0.0
                     self.prob_thr[b] = self._default_prob
                     self.sum_thr[b] = self._default_sum
+                    self.z_thr[b] = self._default_z
+                    z_hist = z_hist.at[b].set(0.0)
+                    z_cnt = z_cnt.at[b].set(0)
                     if opts:
                         if opts.get("stream_end_prob_threshold") is not None:
                             self.prob_thr[b] = float(
@@ -401,6 +412,8 @@ class MultiStreamSession:
                         if opts.get("stream_end_score_sum_threshold") is not None:
                             self.sum_thr[b] = float(
                                 opts["stream_end_score_sum_threshold"])
+                        if opts.get("threshold_z") is not None:
+                            self.z_thr[b] = float(opts["threshold_z"])
                     last_role[b], init_vision[b] = "system", False
                     pending_last[b] = []
                     queries[b], q_ptr[b] = user_turns, 0
@@ -479,12 +492,13 @@ class MultiStreamSession:
                 can_step = np.asarray(occupied) & (i < limit)
                 do_gen = not a.remove_assistant_turns
                 (cache, scores_dev, i_dev, sum_dev, trig_dev, out_ids,
-                 out_len, counts, last_tok) = eng.serve_step(
+                 out_len, counts, last_tok, z_hist, z_cnt) = eng.serve_step(
                     cache, p_rows, can_step, frames_buf, i, limit,
                     score_sum, counts, self.prob_thr,
                     self.sum_thr,
                     tuple(a.score_heads), self._gen_prompt_ids,
-                    do_generate=do_gen)
+                    do_generate=do_gen, z_threshold=self.z_thr,
+                    z_state=(z_hist, z_cnt), first_n_frames=first_n)
                 (i_new, triggered, s_host, new_sum, out_ids, out_len,
                  last_tok) = jax.device_get(
                     (i_dev, trig_dev, scores_dev, sum_dev, out_ids,
@@ -554,12 +568,14 @@ class MultiStreamSession:
             _tick("text_s", _t0, sync=cache.seen)
 
             _t0 = _time.perf_counter() if stats is not None else 0.0
-            cache, scores, i_new, new_sum, triggered = \
-                eng.score_until_trigger_multi(
+            (cache, scores, i_new, new_sum, triggered, z_hist,
+             z_cnt) = eng.score_until_trigger_multi(
                     cache, frames_buf, i, limit, score_sum,
                     self.prob_thr,
                     self.sum_thr,
                     tuple(a.score_heads),
+                    z_threshold=self.z_thr, z_state=(z_hist, z_cnt),
+                    first_n_frames=first_n,
                 )
             # one batched fetch: 4 separate device_gets would pay the
             # dispatch RTT 4x (the axon tunnel charges ~40 ms per sync)

@@ -447,3 +447,50 @@ def test_server_per_stream_thresholds(model):
         assert got[f"s{j}"]["responses"] == base[f"s{j}"]["responses"], j
     # muted row still scored every frame
     assert len(got["s0"]["debug_data"]) == 5
+
+
+def test_multi_stream_threshold_z_matches_single_sessions(model):
+    """Batched z-score triggering (on-device Welford-window rule) must
+    reproduce the solo StreamSession's host-side z rule exactly: same
+    responses at the same times, same score traces."""
+    from aha_tpu.streaming.multi import MultiStreamSession
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(21)
+    r = cfg.frame_resolution
+    videos = [rng.integers(0, 255, (10, r, r, 3), dtype=np.uint8)
+              for _ in range(3)]
+    convs = [[{"role": "user", "content": f"q{j}", "time": 0}]
+             for j in range(3)]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            threshold_z=0.8, first_n_frames_no_generate=3,
+            running_list_length=5,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    sess = MultiStreamSession(params, cfg, tok, icfg(), batch=3)
+    outs = sess.run(videos, convs, fps=1.0)
+
+    any_resp = False
+    for j in range(3):
+        solo = build_session(params, cfg, tok, icfg())
+        solo.input_video_stream(videos[j])
+        solo.input_query_stream(convs[j])
+        single = solo.inference()
+        s_resp = [t for t in single if t["role"] == "assistant"]
+        m_resp = [t for t in outs[j]["responses"] if t["role"] == "assistant"]
+        assert len(m_resp) == len(s_resp), (j, m_resp, s_resp)
+        any_resp |= bool(m_resp)
+        for x, y in zip(m_resp, s_resp):
+            assert x["content"] == y["content"], (j, x, y)
+            np.testing.assert_allclose(x["time"], y["time"])
+        assert len(outs[j]["debug_data"]) == len(solo.debug_data_list)
+        for x, y in zip(outs[j]["debug_data"], solo.debug_data_list):
+            for f in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(x[f], y[f], rtol=3e-4, atol=3e-5)
+    assert any_resp, "fixture must exercise a z trigger"
