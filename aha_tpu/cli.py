@@ -72,8 +72,9 @@ def _build_session(args):
         grounding_mode=args.grounding_mode,
         stream_end_prob_threshold=args.stream_end_prob_threshold,
         threshold_z=args.threshold_z,
-        first_n_frames_no_generate=args.first_n_frames_no_generate,
-        running_list_length=args.running_list_length,
+        first_n_frames_no_generate=getattr(
+            args, "first_n_frames_no_generate", 0),
+        running_list_length=getattr(args, "running_list_length", 20),
         stream_end_score_sum_threshold=args.stream_end_score_sum_threshold,
         remove_assistant_turns=args.remove_assistant_turns,
         score_heads=tuple(args.score_heads.split(",")),

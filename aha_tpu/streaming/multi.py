@@ -56,6 +56,7 @@ class MultiStreamScorer:
         batch: int,
         lora: dict | None = None,
         lora_scale: float = 0.0,
+        mesh=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -69,7 +70,7 @@ class MultiStreamScorer:
         )
         self.engine = StreamEngine(
             params, cfg, policy, batch=batch,
-            lora=lora, lora_scale=lora_scale,
+            lora=lora, lora_scale=lora_scale, mesh=mesh,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None)
 
     def score_videos(
