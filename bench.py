@@ -420,6 +420,34 @@ def main():
             pass
         print(json.dumps(run_bench("tiny")))
         return
+    # The axon tunnel has two failure modes: backend init raising
+    # UNAVAILABLE (handled by the preset loop below) and backend init
+    # HANGING indefinitely (observed wedges of 2h+). Probe device
+    # enumeration in a child process with a deadline so a hung tunnel
+    # degrades to the labeled CPU fallback instead of hanging the bench.
+    import subprocess
+
+    def _tpu_alive(deadline=600) -> bool:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=deadline, capture_output=True)
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    if not _tpu_alive():
+        last_err = "TPU backend probe failed or timed out (dead/wedged tunnel)"
+        print(f"bench: {last_err}; falling back to CPU tiny", file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        result = run_bench("tiny")
+        result["metric"] = "streaming_scoring_fps[tiny-cpu-fallback]"
+        result["tpu_unavailable"] = last_err
+        print(json.dumps(result))
+        return
+
     # 7b-int8 is the single-v5e deployment config (bf16 7B does not fit 16 GB)
     for preset in ("7b-int8", "2b", "tiny"):
         try:
@@ -430,6 +458,22 @@ def main():
             last_err = e
             print(f"bench preset {preset} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+    # all presets failed — almost always a dead/wedged axon tunnel (the
+    # backend init itself raises). Record an explicitly-labeled CPU tiny
+    # run rather than nothing: the metric name and tpu_unavailable flag
+    # keep it from being read as a chip number (BASELINE.md holds the real
+    # on-chip captures).
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        result = run_bench("tiny")
+        result["metric"] = "streaming_scoring_fps[tiny-cpu-fallback]"
+        result["tpu_unavailable"] = str(last_err)
+        print(json.dumps(result))
+        return
+    except Exception as e:
+        last_err = e
     print(json.dumps({
         "metric": "streaming_scoring_fps[failed]",
         "value": 0.0,
