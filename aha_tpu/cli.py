@@ -75,6 +75,8 @@ def _build_session(args):
         first_n_frames_no_generate=getattr(
             args, "first_n_frames_no_generate", 0),
         running_list_length=getattr(args, "running_list_length", 20),
+        response_min_interval_frames=getattr(
+            args, "response_min_interval_frames", None),
         stream_end_score_sum_threshold=args.stream_end_score_sum_threshold,
         remove_assistant_turns=args.remove_assistant_turns,
         score_heads=tuple(args.score_heads.split(",")),
@@ -124,6 +126,7 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--threshold_z", type=float, default=None)
     p.add_argument("--first_n_frames_no_generate", type=int, default=0)
     p.add_argument("--running_list_length", type=int, default=20)
+    p.add_argument("--response_min_interval_frames", type=int, default=None)
     p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
     p.add_argument("--remove_assistant_turns", action="store_true")
     p.add_argument("--score_heads", default="relevance_score,informative_score")
@@ -760,6 +763,7 @@ def cmd_serve(argv):
     p.add_argument("--threshold_z", type=float, default=None)
     p.add_argument("--first_n_frames_no_generate", type=int, default=0)
     p.add_argument("--running_list_length", type=int, default=20)
+    p.add_argument("--response_min_interval_frames", type=int, default=None)
     p.add_argument("--stream_end_score_sum_threshold", type=float, default=None)
     p.add_argument("--remove_assistant_turns", action="store_true")
     p.add_argument("--score_heads", default="relevance_score,informative_score")

@@ -301,6 +301,11 @@ class InferConfig:
     # (ref: test/inference.py:84-87)
     stream_end_prob_threshold: float | None = None
     threshold_z: float | None = None
+    # suppress a new response within N frames of the previous one (the
+    # reference accepts+forwards this flag but never evaluates it,
+    # test/inference.py:75,621 — implemented per its description, like
+    # threshold_z)
+    response_min_interval_frames: int | None = None
     stream_end_score_sum_threshold: float | None = None
 
     first_n_frames_no_generate: int = 0

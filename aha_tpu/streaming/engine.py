@@ -292,7 +292,8 @@ class StreamEngine:
             return aha.visual_embed(params, cfg, frames)
 
         def score_until_trigger(params, cache, frames, n_frames, score_sum,
-                                prob_threshold, sum_threshold, head_mask):
+                                prob_threshold, sum_threshold, head_mask,
+                                resume_at):
             """Score up to n_frames frames (frames: [T, F, H], batch 1) with
             the trigger decision evaluated ON DEVICE each frame; stops at the
             first trigger. One dispatch instead of one per frame — the
@@ -323,8 +324,11 @@ class StreamEngine:
                 # stream_end_score over the configured heads (info, rel)
                 stream_end = (s[0, 0] * head_mask[0] + s[0, 1] * head_mask[1])
                 score_sum = score_sum + stream_end
-                sum_hit = score_sum > sum_threshold
-                prob_hit = stream_end > prob_threshold
+                # response_min_interval_frames gate: suppressed frames fire
+                # nothing and do NOT reset the running sum
+                ok = i >= resume_at
+                sum_hit = ok & (score_sum > sum_threshold)
+                prob_hit = ok & (stream_end > prob_threshold)
                 score_sum = jnp.where(sum_hit, 0.0, score_sum)
                 return (i + 1, cache, scores_buf, score_sum, sum_hit | prob_hit)
 
@@ -336,7 +340,7 @@ class StreamEngine:
         def score_until_trigger_multi(params, cache, frames, start, limit,
                                       score_sum, prob_threshold, sum_threshold,
                                       head_mask, z_thr, z_hist, z_cnt,
-                                      first_n):
+                                      first_n, resume_at):
             """Batched per-row trigger loop (the multi-stream serving path;
             ref workload: test/inference.py:857-908 one-process-per-stream).
             frames: [B, T, F, H]; start/limit: [B] — each row scores frames
@@ -361,12 +365,12 @@ class StreamEngine:
                 params, cache, frames, start, limit, score_sum,
                 jnp.zeros((B,), bool), scores_buf,
                 prob_threshold, sum_threshold, head_mask,
-                z_thr, z_hist, z_cnt, first_n)
+                z_thr, z_hist, z_cnt, first_n, resume_at)
 
         def _trigger_loop(params, cache, frames, start, limit, score_sum,
                           triggered0, scores_buf, prob_threshold,
                           sum_threshold, head_mask, z_thr, z_hist, z_cnt,
-                          first_n):
+                          first_n, resume_at):
             """Shared body of the batched trigger loop (see
             score_until_trigger_multi). triggered0 lets serve_step enter
             with rows already frozen by its fused first step."""
@@ -394,10 +398,12 @@ class StreamEngine:
                     s[:, None, :], scores_buf)
                 stream_end = s[:, 0] * head_mask[0] + s[:, 1] * head_mask[1]
                 new_sum = score_sum + jnp.where(act, stream_end, 0.0)
-                sum_hit = act & (new_sum > sum_threshold)
-                prob_hit = act & (stream_end > prob_threshold)
+                ok = act & (i >= resume_at)
+                sum_hit = ok & (new_sum > sum_threshold)
+                prob_hit = ok & (stream_end > prob_threshold)
                 zh, zc, z_hit = z_step(zh, zc, stream_end, act, z_thr,
                                        first_n)
+                z_hit = z_hit & ok
                 new_sum = jnp.where(sum_hit, 0.0, new_sum)
                 return (i + act.astype(jnp.int32), cache, scores_buf,
                         new_sum, triggered | sum_hit | prob_hit | z_hit,
@@ -412,7 +418,7 @@ class StreamEngine:
         def _mixed_loop(params, cache, frames, start, limit, score_sum,
                         triggered0, scores_buf, prob_threshold, sum_threshold,
                         head_mask, gen_ids, gen_len, counts, z_thr, z_hist,
-                        z_cnt, first_n):
+                        z_cnt, first_n, resume_at):
             """Trigger scoring AND greedy generation in ONE while_loop: a
             row that triggers switches to decoding INLINE while the other
             rows keep scoring frames — batch rows are independent sessions
@@ -551,10 +557,12 @@ class StreamEngine:
                     s[:, None, :], scores_buf)
                 stream_end = s[:, 0] * head_mask[0] + s[:, 1] * head_mask[1]
                 new_sum = score_sum + jnp.where(scored, stream_end, 0.0)
-                sum_hit = scored & (new_sum > sum_threshold)
-                prob_hit = scored & (stream_end > prob_threshold)
+                ok = scored & (i >= resume_at)
+                sum_hit = ok & (new_sum > sum_threshold)
+                prob_hit = ok & (stream_end > prob_threshold)
                 zh, zc, z_hit = z_step(zh, zc, stream_end, scored, z_thr,
                                        first_n)
+                z_hit = z_hit & ok
                 score_sum = jnp.where(sum_hit, 0.0, new_sum)
                 fire = sum_hit | prob_hit | z_hit
                 i = i + scored.astype(jnp.int32)
@@ -597,7 +605,8 @@ class StreamEngine:
         def serve_step(params, cache, ids, id_len, can_step, frames, start,
                        limit, score_sum, counts, prob_threshold,
                        sum_threshold, head_mask, gen_ids, gen_len,
-                       do_generate, z_thr, z_hist, z_cnt, first_n):
+                       do_generate, z_thr, z_hist, z_cnt, first_n,
+                       resume_at):
             """One serving-loop iteration as ONE program (the multi-stream
             QA hot path): fused [role-prefix + frame] step with its trigger
             rule evaluated on device, the batched trigger loop, and greedy
@@ -623,10 +632,12 @@ class StreamEngine:
             s0 = s0.astype(jnp.float32)
             stream_end = s0[:, 0] * head_mask[0] + s0[:, 1] * head_mask[1]
             new_sum = score_sum + jnp.where(can_step, stream_end, 0.0)
-            sum_hit = can_step & (new_sum > sum_threshold)
-            prob_hit = can_step & (stream_end > prob_threshold)
+            ok0 = can_step & (start >= resume_at)
+            sum_hit = ok0 & (new_sum > sum_threshold)
+            prob_hit = ok0 & (stream_end > prob_threshold)
             z_hist, z_cnt, z_hit = z_step(z_hist, z_cnt, stream_end,
                                           can_step, z_thr, first_n)
+            z_hit = z_hit & ok0
             new_sum = jnp.where(sum_hit, 0.0, new_sum)
             fused_trig = sum_hit | prob_hit | z_hit
             i1 = start + can_step.astype(jnp.int32)
@@ -645,13 +656,14 @@ class StreamEngine:
                 return _mixed_loop(
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
-                    gen_ids, gen_len, counts, z_thr, z_hist, z_cnt, first_n)
+                    gen_ids, gen_len, counts, z_thr, z_hist, z_cnt, first_n,
+                    resume_at)
 
             cache, scores_buf, i2, sum2, triggered, z_hist, z_cnt = \
                 _trigger_loop(
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
-                    z_thr, z_hist, z_cnt, first_n)
+                    z_thr, z_hist, z_cnt, first_n, resume_at)
             N = self.max_new_tokens
 
             def gen_branch(op):
@@ -814,9 +826,12 @@ class StreamEngine:
                             n_frames: int, score_sum: float,
                             prob_threshold: float | None,
                             sum_threshold: float | None,
-                            score_heads: tuple[str, ...]):
+                            score_heads: tuple[str, ...],
+                            resume_at: int = 0):
         """frames: [T, F, H] (batch 1). Pads T to a frame bucket so chunks of
-        different lengths share one compiled program."""
+        different lengths share one compiled program. resume_at: first
+        CHUNK-LOCAL frame index eligible to trigger
+        (response_min_interval_frames; <=0 = no suppression)."""
         T = frames.shape[0]
         Tp = _bucket(max(T, 1), (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
         if Tp > T:
@@ -832,7 +847,7 @@ class StreamEngine:
             jnp.float32(score_sum),
             inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
             inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
-            head_mask,
+            head_mask, jnp.int32(max(int(resume_at), 0)),
         )
 
     def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray,
@@ -853,7 +868,7 @@ class StreamEngine:
                                   sum_threshold: float | None,
                                   score_heads: tuple[str, ...],
                                   z_threshold=None, z_state=None,
-                                  first_n_frames: int = 0):
+                                  first_n_frames: int = 0, resume_at=None):
         """frames: [B, T, F, H]; start/limit/score_sum: [B]-likes.
         Thresholds may be scalars or per-row [B] arrays (inf disables).
         Returns (..., z_hist, z_cnt) — thread z_state between calls when
@@ -874,6 +889,8 @@ class StreamEngine:
             inf if z_threshold is None else jnp.asarray(z_threshold, jnp.float32),
             jnp.asarray(z_hist, jnp.float32), jnp.asarray(z_cnt, jnp.int32),
             jnp.int32(first_n_frames),
+            (jnp.zeros((self.batch,), jnp.int32) if resume_at is None
+             else jnp.asarray(resume_at, jnp.int32)),
         )
 
     def serve_step(self, cache: KVCache, prefix_rows: list[list[int]],
@@ -882,7 +899,8 @@ class StreamEngine:
                    sum_threshold: float | None,
                    score_heads: tuple[str, ...],
                    gen_prompt: list[int], *, do_generate: bool = True,
-                   z_threshold=None, z_state=None, first_n_frames: int = 0):
+                   z_threshold=None, z_state=None, first_n_frames: int = 0,
+                   resume_at=None):
         """One fused serving iteration (see serve_step in _build).
         prefix_rows: per-row role-transition prefix ids ([] = plain frame).
         frames: [B, T, F, H]. Thresholds may be scalars or per-row [B]
@@ -909,6 +927,8 @@ class StreamEngine:
             inf if z_threshold is None else jnp.asarray(z_threshold, jnp.float32),
             jnp.asarray(z_hist, jnp.float32), jnp.asarray(z_cnt, jnp.int32),
             jnp.int32(first_n_frames),
+            (jnp.zeros((B,), jnp.int32) if resume_at is None
+             else jnp.asarray(resume_at, jnp.int32)),
         )
 
     def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:

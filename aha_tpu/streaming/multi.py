@@ -284,6 +284,10 @@ class MultiStreamSession:
         z_hist, z_cnt = eng.new_z_state(
             window=max(int(a.running_list_length or 20), 2))
         first_n = int(a.first_n_frames_no_generate or 0)
+        # response_min_interval_frames: per-row first-eligible-frame gate
+        # (constant within a program — responses land at host boundaries)
+        min_int = getattr(a, "response_min_interval_frames", None)
+        resume_at = np.zeros(B, np.int64)
         if stats is not None and np.isfinite(self.z_thr).any():
             raise NotImplementedError(
                 "instrumented profiling (stats=) of threshold_z workloads "
@@ -344,6 +348,8 @@ class MultiStreamSession:
                 # this only affects the NEXT query's
                 # add_stream_query_prompt rendering
                 last_role[b] = "assistant"
+                if min_int is not None:
+                    resume_at[b] = int(i[b]) - 1 + int(min_int)
                 if not a.remove_assistant_turns:
                     pending_last[b] = [int(last_tok[b])]
 
@@ -406,6 +412,7 @@ class MultiStreamSession:
                     self.z_thr[b] = self._default_z
                     z_hist = z_hist.at[b].set(0.0)
                     z_cnt = z_cnt.at[b].set(0)
+                    resume_at[b] = 0
                     if opts:
                         if opts.get("stream_end_prob_threshold") is not None:
                             self.prob_thr[b] = float(
@@ -499,7 +506,8 @@ class MultiStreamSession:
                     self.sum_thr,
                     tuple(a.score_heads), self._gen_prompt_ids,
                     do_generate=do_gen, z_threshold=self.z_thr,
-                    z_state=(z_hist, z_cnt), first_n_frames=first_n)
+                    z_state=(z_hist, z_cnt), first_n_frames=first_n,
+                    resume_at=resume_at)
                 (i_new, triggered, s_host, new_sum, out_ids, out_len,
                  last_tok) = jax.device_get(
                     (i_dev, trig_dev, scores_dev, sum_dev, out_ids,
@@ -549,10 +557,11 @@ class MultiStreamSession:
                         ("relevance_score", float(s_host0[b, 1])),
                     ) if key in heads)
                     score_sum[b] += stream_end
-                    if score_sum[b] > self.sum_thr[b]:
+                    ok = i[b] >= resume_at[b]
+                    if ok and score_sum[b] > self.sum_thr[b]:
                         fused_triggered[b] = True
                         score_sum[b] = 0.0
-                    if stream_end > self.prob_thr[b]:
+                    if ok and stream_end > self.prob_thr[b]:
                         fused_triggered[b] = True
                     debug[b].append(dict(
                         time=int(i[b]) / fps,
@@ -576,7 +585,7 @@ class MultiStreamSession:
                     self.sum_thr,
                     tuple(a.score_heads),
                     z_threshold=self.z_thr, z_state=(z_hist, z_cnt),
-                    first_n_frames=first_n,
+                    first_n_frames=first_n, resume_at=resume_at,
                 )
             # one batched fetch: 4 separate device_gets would pay the
             # dispatch RTT 4x (the axon tunnel charges ~40 ms per sync)

@@ -48,6 +48,8 @@ class StreamSession:
         self.stream_end_prob_threshold = infer_cfg.stream_end_prob_threshold
         self.stream_end_score_sum_threshold = infer_cfg.stream_end_score_sum_threshold
         self.threshold_z = infer_cfg.threshold_z
+        self.response_min_interval_frames = getattr(
+            infer_cfg, "response_min_interval_frames", None)
         self.first_n_frames_no_generate = infer_cfg.first_n_frames_no_generate
         self.running_list_length = infer_cfg.running_list_length
         self.remove_assistant_turns = infer_cfg.remove_assistant_turns
@@ -91,6 +93,7 @@ class StreamSession:
         self.num_frames_no_reply = 0
         self.stream_end_prob_list: list[float] = []
         self.stream_end_score_sum = 0.0
+        self.last_response_frame: int | None = None
         self.consecutive_n_frames = 0
         self.debug_data_list: list[dict] = []
         self._pending_last_ids: list[int] = []
@@ -205,20 +208,37 @@ class StreamSession:
         self.stream_end_score_sum += stream_end_score
         if isinstance(self.running_list_length, int) and self.running_list_length > 0:
             self.stream_end_prob_list = self.stream_end_prob_list[-self.running_list_length:]
+        # response_min_interval_frames (ref accepts the flag but never
+        # evaluates it, test/inference.py:75,621 — mirror of threshold_z):
+        # suppressed frames fire nothing and do NOT reset the running sum
+        eligible = self._trigger_eligible(self.frame_idx - 1)
         if (
             self.stream_end_score_sum_threshold is not None
             and self.stream_end_score_sum > self.stream_end_score_sum_threshold
+            and eligible
         ):
             need_response = True
             self.stream_end_score_sum = 0
         if (
             self.stream_end_prob_threshold is not None
             and stream_end_score > self.stream_end_prob_threshold
+            and eligible
         ):
             need_response = True
-        if self.threshold_z is not None and self._z_trigger(stream_end_score):
+        if (self.threshold_z is not None and eligible
+                and self._z_trigger(stream_end_score)):
             need_response = True
+        if need_response:
+            self.last_response_frame = self.frame_idx - 1
         return need_response
+
+    def _trigger_eligible(self, frame: int) -> bool:
+        """response_min_interval_frames gate: frame may fire only when at
+        least N frames have passed since the previous response's frame."""
+        n = self.response_min_interval_frames
+        if n is None or self.last_response_frame is None:
+            return True
+        return frame - self.last_response_frame >= n
 
     def _z_trigger(self, stream_end_score: float) -> bool:
         """z-score stopping rule. The reference accepts/validates the flag
@@ -336,15 +356,24 @@ class StreamSession:
                     ) if key in self.score_heads)
                     self.stream_end_score_sum += stream_end
                     triggered = False
+                    eligible = self._trigger_eligible(self.frame_idx)
                     if (self.stream_end_score_sum_threshold is not None
                             and self.stream_end_score_sum
-                            > self.stream_end_score_sum_threshold):
+                            > self.stream_end_score_sum_threshold
+                            and eligible):
                         triggered = True
                         self.stream_end_score_sum = 0.0
                     if (self.stream_end_prob_threshold is not None
-                            and stream_end > self.stream_end_prob_threshold):
+                            and stream_end > self.stream_end_prob_threshold
+                            and eligible):
                         triggered = True
                 else:
+                    resume_local = 0
+                    if (self.response_min_interval_frames is not None
+                            and self.last_response_frame is not None):
+                        resume_local = (self.last_response_frame
+                                        + self.response_min_interval_frames
+                                        - self.frame_idx)
                     self.cache, scores, n, new_sum, triggered = \
                         self.engine.score_until_trigger(
                             self.cache, embeds[k:], len(chunk) - k,
@@ -352,6 +381,7 @@ class StreamSession:
                             self.stream_end_prob_threshold,
                             self.stream_end_score_sum_threshold,
                             tuple(self.score_heads),
+                            resume_at=resume_local,
                         )
                     n = int(n)
                     triggered = bool(triggered)
@@ -378,6 +408,7 @@ class StreamSession:
                 k += n
                 self.video_time = times[k - 1] + 1.0 / self.frame_fps if n else self.video_time
                 if triggered:
+                    self.last_response_frame = self.frame_idx - 1
                     self.video_time = times[k - 1]  # response stamped at the triggering frame
                     response = self._generate_response()
                     model_response_list.append(

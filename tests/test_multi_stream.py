@@ -494,3 +494,112 @@ def test_multi_stream_threshold_z_matches_single_sessions(model):
                       "uncertainty_score"):
                 np.testing.assert_allclose(x[f], y[f], rtol=3e-4, atol=3e-5)
     assert any_resp, "fixture must exercise a z trigger"
+
+
+def test_multi_stream_min_interval_matches_single_sessions(model):
+    """response_min_interval_frames in the batched server must equal the
+    solo sessions' gated behavior (same suppressed triggers, same times)."""
+    from aha_tpu.streaming.multi import MultiStreamSession
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(31)
+    r = cfg.frame_resolution
+    videos = [rng.integers(0, 255, (9, r, r, 3), dtype=np.uint8)
+              for _ in range(2)]
+    convs = [[{"role": "user", "content": f"q{j}", "time": 0}]
+             for j in range(2)]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            response_min_interval_frames=3,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    sess = MultiStreamSession(params, cfg, tok, icfg(), batch=2)
+    outs = sess.run(videos, convs, fps=1.0)
+
+    for j in range(2):
+        solo = build_session(params, cfg, tok, icfg())
+        solo.input_video_stream(videos[j])
+        solo.input_query_stream(convs[j])
+        single = solo.inference()
+        s_resp = [t for t in single if t["role"] == "assistant"]
+        m_resp = [t for t in outs[j]["responses"] if t["role"] == "assistant"]
+        assert len(m_resp) == len(s_resp), (j, m_resp, s_resp)
+        assert len(s_resp) >= 2, "fixture must fire with gaps"
+        for x, y in zip(m_resp, s_resp):
+            assert x["content"] == y["content"], (j, x, y)
+            np.testing.assert_allclose(x["time"], y["time"])
+        times = [t["time"] for t in m_resp]
+        assert all(b - a >= 3 for a, b in zip(times, times[1:]))
+
+
+@pytest.mark.slow
+def test_server_fuzz_ragged_schedule_matches_solo(model):
+    """Soak the continuous-batching server with a seeded random schedule —
+    12 streams of ragged lengths, staggered queries, per-stream threshold
+    overrides, some empty — over 3 slots, and assert every stream's
+    responses + traces equal an independent solo session with the same
+    effective config. Exercises slot recycling, per-row threshold resets,
+    the overlap loop, and the min-interval gate together."""
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(42)
+    r = cfg.frame_resolution
+
+    def icfg(prob=0.55):
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=prob,
+            response_min_interval_frames=3,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    items, solo_cfgs, videos, convs = [], {}, {}, {}
+    for j in range(12):
+        n = int(rng.integers(0, 9))            # 0 = empty stream
+        v = rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8)
+        conv = []
+        for t in sorted(rng.integers(0, max(n, 1), rng.integers(0, 3))):
+            conv.append({"role": "user", "content": f"q{j}@{t}",
+                         "time": float(t)})
+        prob = float(rng.choice([0.55, 0.8, 1e9]))
+        key = f"s{j}"
+        videos[key], convs[key], solo_cfgs[key] = v, conv, prob
+        opts = ({"stream_end_prob_threshold": prob}
+                if prob != 0.55 else None)
+        items.append((key, v, conv, opts) if opts else (key, v, conv))
+
+    server = MultiStreamServer(params, cfg, tok, icfg(), batch=3,
+                               max_frames=8)
+    got = server.run_items(items, fps=1.0)
+    assert set(got) == set(videos)
+
+    checked_responses = 0
+    for key, v in videos.items():
+        if v.shape[0] == 0:
+            assert got[key]["debug_data"] == []
+            continue
+        solo = build_session(params, cfg, tok, icfg(solo_cfgs[key]))
+        solo.input_video_stream(v)
+        solo.input_query_stream(convs[key])
+        single = solo.inference()
+        s_resp = [t for t in single if t["role"] == "assistant"]
+        m_resp = [t for t in got[key]["responses"]
+                  if t["role"] == "assistant"]
+        assert len(m_resp) == len(s_resp), (key, m_resp, s_resp)
+        checked_responses += len(m_resp)
+        for x, y in zip(m_resp, s_resp):
+            assert x["content"] == y["content"], (key, x, y)
+            np.testing.assert_allclose(x["time"], y["time"])
+        assert len(got[key]["debug_data"]) == len(solo.debug_data_list)
+        for x, y in zip(got[key]["debug_data"], solo.debug_data_list):
+            for f in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(x[f], y[f], rtol=3e-4, atol=3e-5)
+    assert checked_responses >= 3, "schedule must exercise generation"

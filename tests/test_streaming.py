@@ -311,6 +311,8 @@ def test_threshold_z_decision_rule():
     s.stream_end_prob_list = []
     s.stream_end_score_sum = 0.0
     s.frame_idx = 0
+    s.response_min_interval_frames = None
+    s.last_response_frame = None
 
     fired = []
     for score in [0.1, 0.12, 0.11, 0.1, 0.09, 0.11, 0.9, 0.1]:
@@ -330,4 +332,42 @@ def test_threshold_z_decision_rule():
     s2.stream_end_prob_list = [0.1, 0.1, 0.1, 0.1]
     s2.stream_end_score_sum = 0.0
     s2.frame_idx = 5
+    s2.response_min_interval_frames = None
+    s2.last_response_frame = None
     assert s2._check_trigger({"informative_score": 5.0}) is False
+
+
+def test_response_min_interval_frames(tiny_model):
+    """The min-interval gate suppresses triggers within N frames of the
+    previous response, identically in the stepwise and chunked loops, and
+    reduces the response count vs the ungated run."""
+    params, cfg, tokenizer = tiny_model
+    frames = frames_for(cfg, 10, seed=9)
+
+    def run(chunked, min_int):
+        s = make_session(tiny_model, stream_end_prob_threshold=0.5,
+                         response_min_interval_frames=min_int)
+        s.input_video_stream(frames)
+        s.input_query_stream([{"role": "user", "content": "q", "time": 0}])
+        resp = s.inference(chunked=chunked)
+        return s, resp
+
+    base, resp_base = run(False, None)
+    n_base = len([r for r in resp_base if r["role"] == "assistant"])
+    assert n_base >= 3, "fixture must fire repeatedly without the gate"
+
+    step, resp_step = run(False, 4)
+    chunk, resp_chunk = run(True, 4)
+    n_gated = len([r for r in resp_step if r["role"] == "assistant"])
+    assert 1 <= n_gated < n_base
+    # responses at least 4 frames apart (times are frame/fps at fps=1)
+    times = [r["time"] for r in resp_step if r["role"] == "assistant"]
+    assert all(b - a >= 4 for a, b in zip(times, times[1:]))
+    # stepwise == chunked
+    assert [(r["role"], r["time"]) for r in resp_step] == \
+        [(r["role"], r["time"]) for r in resp_chunk]
+    assert [r["content"] for r in resp_step] == \
+        [r["content"] for r in resp_chunk]
+    for a, b in zip(step.debug_data_list, chunk.debug_data_list):
+        for k in ("informative_score", "relevance_score"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5)
