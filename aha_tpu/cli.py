@@ -759,6 +759,10 @@ def cmd_serve(argv):
     p.add_argument("--decode_workers", type=int, default=2)
     p.add_argument("--emit_scores", action="store_true",
                    help="include per-frame score traces (debug_data)")
+    p.add_argument("--stats", action="store_true",
+                   help="run the instrumented path and print the wall-clock "
+                        "phase split (admit/text/score/gen/host) to stderr "
+                        "at exit — adds per-phase sync overhead")
     p.add_argument("--stream_end_prob_threshold", type=float, default=None)
     p.add_argument("--threshold_z", type=float, default=None)
     p.add_argument("--first_n_frames_no_generate", type=int, default=0)
@@ -869,11 +873,17 @@ def cmd_serve(argv):
         out.write(json.dumps(rec) + "\n")
         out.flush()
 
-    n = len(server.run_items(requests(), fps=args.frame_fps, on_result=emit))
+    stats: dict | None = {} if args.stats else None
+    n = len(server.run_items(requests(), fps=args.frame_fps, on_result=emit,
+                             stats=stats))
     pool.shutdown()
     if out is not sys.stdout:
         out.close()
     print(f"served {n} streams", file=sys.stderr)
+    if stats is not None:
+        print("phase split: " + json.dumps(
+            {k: (round(v, 3) if isinstance(v, float) else v)
+             for k, v in sorted(stats.items())}), file=sys.stderr)
 
 
 COMMANDS = {

@@ -538,7 +538,8 @@ def test_multi_stream_min_interval_matches_single_sessions(model):
 
 
 @pytest.mark.slow
-def test_server_fuzz_ragged_schedule_matches_solo(model):
+@pytest.mark.parametrize("seed", [42, 7])
+def test_server_fuzz_ragged_schedule_matches_solo(model, seed):
     """Soak the continuous-batching server with a seeded random schedule —
     12 streams of ragged lengths, staggered queries, per-stream threshold
     overrides, some empty — over 3 slots, and assert every stream's
@@ -548,7 +549,7 @@ def test_server_fuzz_ragged_schedule_matches_solo(model):
     from aha_tpu.streaming.multi import MultiStreamServer
 
     params, cfg, tok = model
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     r = cfg.frame_resolution
 
     def icfg(prob=0.55):
