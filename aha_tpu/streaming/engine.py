@@ -74,7 +74,13 @@ def _serve_overlap() -> bool:
     """AHA_SERVE_OVERLAP (default on): serve_step generates inline in the
     mixed while_loop so non-triggered rows keep scoring through a decode
     (engine._mixed_loop). 0 falls back to freeze-then-generate — kept for
-    on-chip A/B and as an escape hatch."""
+    on-chip A/B and as an escape hatch.
+
+    Read ONCE per StreamEngine at construction (the value picks which
+    program serve_step traces, and jit caches per engine): toggling the
+    env var after an engine exists has no effect on it — build a new
+    session/engine per arm when A/Bing (scripts/perf/ab_serve_overlap.py
+    does)."""
     import os
 
     return os.environ.get("AHA_SERVE_OVERLAP", "1") not in ("0", "false")
@@ -129,6 +135,7 @@ class StreamEngine:
         self.lora = lora
         self.lora_scale = lora_scale
         self.kv_dtype = kv_dtype
+        self.serve_overlap = _serve_overlap()
         self.mesh = mesh
         if mesh is not None:
             from aha_tpu.parallel.mesh import apply_named_sharding
@@ -513,10 +520,7 @@ class StreamEngine:
                         fe = frames[jnp.arange(B), idx]       # [B, F, H]
                         if F < width:
                             fe = jnp.pad(fe, ((0, 0), (0, width - F), (0, 0)))
-                    ge = gen_emb[:, :width] if width <= gen_emb.shape[1] \
-                        else jnp.pad(gen_emb,
-                                     ((0, 0), (0, width - gen_emb.shape[1]),
-                                      (0, 0)))
+                    ge = gen_emb[:, :width]   # gen_emb pre-padded to W
                     te = jnp.pad(tok_emb1, ((0, 0), (0, width - 1), (0, 0)))
                     m = mode[:, None, None]
                     emb = jnp.where(m == 1, ge, te)
@@ -650,7 +654,7 @@ class StreamEngine:
             # pass False on every call, so compiling the decode machinery
             # into their hot program would be pure compile-time/HBM
             # waste — specialize it out instead of lax.cond-ing over it.
-            if do_generate and _serve_overlap():
+            if do_generate and self.serve_overlap:
                 # overlapped scoring+generation: triggered rows decode
                 # INLINE while the rest keep scoring (see _mixed_loop)
                 return _mixed_loop(

@@ -165,6 +165,14 @@ class MultiStreamSession:
         mesh=None,
     ):
         infer_cfg.validate()
+        if infer_cfg.threshold_z is not None and not (
+                isinstance(infer_cfg.running_list_length, int)
+                and infer_cfg.running_list_length >= 2):
+            raise ValueError(
+                "batched threshold_z needs a bounded running_list_length "
+                ">= 2 (the z window is fixed-size per-row device state); "
+                f"got {infer_cfg.running_list_length!r}. Use independent "
+                "StreamSessions for an unbounded running list.")
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.args = infer_cfg
@@ -413,7 +421,23 @@ class MultiStreamSession:
                     z_hist = z_hist.at[b].set(0.0)
                     z_cnt = z_cnt.at[b].set(0)
                     resume_at[b] = 0
-                    if opts:
+                    _THR_KEYS = ("stream_end_prob_threshold",
+                                 "stream_end_score_sum_threshold",
+                                 "threshold_z")
+                    if opts and any(kk in opts for kk in _THR_KEYS):
+                        # a request carrying ANY trigger key fully defines
+                        # its stream's rule set (one-process-per-stream
+                        # equivalence: a reference process has exactly the
+                        # rules it was launched with — never the server
+                        # default OR'd in). Unspecified/None = disabled.
+                        if stats is not None and opts.get(
+                                "threshold_z") is not None:
+                            raise NotImplementedError(
+                                "instrumented profiling (stats=) of "
+                                "threshold_z workloads is not supported")
+                        self.prob_thr[b] = np.inf
+                        self.sum_thr[b] = np.inf
+                        self.z_thr[b] = np.inf
                         if opts.get("stream_end_prob_threshold") is not None:
                             self.prob_thr[b] = float(
                                 opts["stream_end_prob_threshold"])

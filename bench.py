@@ -15,6 +15,7 @@ reports which preset ran in the metric name.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -441,7 +442,7 @@ def main():
         print(f"bench: {last_err}; falling back to CPU tiny", file=sys.stderr)
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")   # backend never initialized
         result = run_bench("tiny")
         result["metric"] = "streaming_scoring_fps[tiny-cpu-fallback]"
         result["tpu_unavailable"] = last_err
@@ -462,12 +463,14 @@ def main():
     # backend init itself raises). Record an explicitly-labeled CPU tiny
     # run rather than nothing: the metric name and tpu_unavailable flag
     # keep it from being read as a chip number (BASELINE.md holds the real
-    # on-chip captures).
+    # on-chip captures). Run it in a SUBPROCESS: this process may hold an
+    # initialized (dead) TPU backend, and jax.config.update cannot switch
+    # a cached backend.
     try:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        result = run_bench("tiny")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--smoke"], timeout=1800, capture_output=True,
+                           text=True)
+        result = json.loads(r.stdout.strip().splitlines()[-1])
         result["metric"] = "streaming_scoring_fps[tiny-cpu-fallback]"
         result["tpu_unavailable"] = str(last_err)
         print(json.dumps(result))
