@@ -64,7 +64,12 @@ def _build_session(args):
         lora, overrides, lora_scale = loader.load_adapter(
             args.lora_pretrained, cfg, dtype=jnp.float32)
         params = loader.apply_overrides(params, overrides)
-    if args.int8:
+    if getattr(args, "int4", False):
+        # packed int4 (group-wise, fused Pallas unpack-matmul): the
+        # HBM-constrained option — 4.2 GB of 7B weights; int8 is the
+        # throughput recipe (BASELINE.md)
+        params = quant.quantize_params(params, bits=4)
+    elif args.int8:
         params = quant.quantize_params(params)
     infer_cfg = InferConfig(
         frame_fps=args.frame_fps,
@@ -102,6 +107,9 @@ def _add_infer_flags(p: argparse.ArgumentParser):
                         "reference artifact): adapters + modules_to_save "
                         "are applied on top of --llm_pretrained")
     p.add_argument("--int8", action="store_true", help="int8 weight quantization")
+    p.add_argument("--int4", action="store_true",
+                   help="packed int4 weights (fused Pallas kernel; smallest "
+                        "HBM footprint, slower than --int8)")
     p.add_argument("--test_dataset", required=True,
                    choices=["tvsum", "tvsum_degraded", "hisum", "youcook2",
                             "magqa", "charades", "generic",
@@ -751,6 +759,7 @@ def cmd_serve(argv):
     p.add_argument("--tokenizer_pretrained", default=None)
     p.add_argument("--lora_pretrained", default=None)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int4", action="store_true")
     p.add_argument("--input", default="-", help="requests JSONL (- = stdin)")
     p.add_argument("--output", default="-", help="results JSONL (- = stdout)")
     p.add_argument("--batch", type=int, default=8, help="concurrent slots")
