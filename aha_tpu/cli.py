@@ -814,19 +814,30 @@ def cmd_serve(argv):
 
     res = session.cfg.frame_resolution
 
+    class RequestError(Exception):
+        def __init__(self, key, cause):
+            super().__init__(str(cause))
+            self.key = key
+
     def decode_request(line):
-        req = json.loads(line)
-        frames, _idx = media.decode_video(
-            req["video"], output_fps=args.frame_fps, output_size=res,
-            max_frames=args.max_frames)
-        # per-stream trigger sensitivity (the reference's per-process
-        # threshold, kept per-slot in the batched server)
-        opts = {k: req[k] for k in ("stream_end_prob_threshold",
-                                    "stream_end_score_sum_threshold",
-                                    "threshold_z")
-                if k in req}
-        return (req.get("key", req["video"]), frames,
-                req.get("conversation", []), opts)
+        try:
+            req = json.loads(line)
+        except Exception as e:
+            raise RequestError(None, e)
+        key = req.get("key", req.get("video"))
+        try:
+            frames, _idx = media.decode_video(
+                req["video"], output_fps=args.frame_fps, output_size=res,
+                max_frames=args.max_frames)
+            # per-stream trigger sensitivity (the reference's per-process
+            # threshold, kept per-slot in the batched server)
+            opts = {k: req[k] for k in ("stream_end_prob_threshold",
+                                        "stream_end_score_sum_threshold",
+                                        "threshold_z")
+                    if k in req}
+        except Exception as e:
+            raise RequestError(key, e)
+        return key, frames, req.get("conversation", []), opts
 
     # bounded decode-ahead: the pool keeps at most 2*workers requests in
     # flight so a long input backlog cannot exhaust host RAM with frames
@@ -844,32 +855,45 @@ def cmd_serve(argv):
     DONE = object()
 
     def feed_pool():
-        for line in read_lines(src):
-            depth.acquire()            # block until a decode slot frees
-            pending.put(pool.submit(decode_request, line))
-        pending.put(DONE)
+        try:
+            for line in read_lines(src):
+                depth.acquire()        # block until a decode slot frees
+                pending.put(pool.submit(decode_request, line))
+        finally:
+            # ALWAYS terminate the stream — a feeder exception (unreadable
+            # input, bad encoding) must end the server, not hang it
+            pending.put(DONE)
 
     feeder = threading.Thread(target=feed_pool, daemon=True)
     feeder.start()
 
     def requests():
         """Yield decoded requests; None while decode lags (run_items keeps
-        serving occupied slots instead of stalling on the feeder)."""
+        serving occupied slots instead of stalling on the feeder). The
+        head-of-queue future is held locally until done() so an in-flight
+        decode never blocks the serving loop."""
+        cur = None
         while True:
-            try:
-                fut = pending.get_nowait()
-            except _queue.Empty:
-                yield None
-                continue
-            if fut is DONE:
+            if cur is None:
+                try:
+                    cur = pending.get_nowait()
+                except _queue.Empty:
+                    yield None
+                    continue
+            if cur is DONE:
                 return
+            if not cur.done():
+                yield None             # decode still running — keep serving
+                continue
+            fut, cur = cur, None
             try:
                 item = fut.result()
             except Exception as e:     # bad JSON / unreadable video: the
                 # stream fails, the server does not (reference analog:
                 # dataset retry fallback, datasets.py:333-363)
                 depth.release()
-                out.write(json.dumps({"key": None, "error": str(e)}) + "\n")
+                key = getattr(e, "key", None)
+                out.write(json.dumps({"key": key, "error": str(e)}) + "\n")
                 out.flush()
                 continue
             depth.release()

@@ -486,27 +486,6 @@ class StreamEngine:
                  out_len, counts, triggered, resp_done, new_wait,
                  zh, zc) = state
 
-                # 1. decoding rows retire their pending token (write, eos /
-                # length check) BEFORE this pass's model call
-                writing = mode == 2
-                j = jnp.minimum(out_len, N - 1)
-                out_ids = jnp.where(
-                    writing[:, None]
-                    & (jnp.arange(N)[None, :] == j[:, None]),
-                    tok[:, None], out_ids)
-                out_len = out_len + writing.astype(jnp.int32)
-                is_eos = writing & (tok == eos)
-                pen = writing & ~(tok == eos)
-                counts = counts.at[jnp.arange(B), tok].add(pen.astype(jnp.int32))
-                stop = writing & (is_eos | (out_len >= N))
-                mode = jnp.where(stop, 3, mode)
-                resp_done = resp_done | stop
-                # 2. scoring rows that reached their limit wait (and ask
-                # for an exit once nothing is generating: retire/admit)
-                lim_hit = (mode == 0) & (i >= limit)
-                new_wait = new_wait | lim_hit
-                mode = jnp.where(lim_hit, 3, mode)
-
                 # 3. one ragged mixed chunk: frames / gen prompt / one
                 # token. Two widths behind a cond: once every scoring row
                 # waits (the common decode tail), passes drop to the
@@ -587,8 +566,30 @@ class StreamEngine:
                     jnp.any(decoding), with_lm,
                     lambda op: jnp.zeros((B,), jnp.int32), (last_h, counts))
                 tok = jnp.where(decoding, next_tok, tok)
+
+                # 6. tail-write the token this pass just produced (exactly
+                # generate()'s write/eos/counts order) and detect stops
+                # HERE, so cond sees them and the loop never spends a
+                # weight pass on all-invalid rows
+                j = jnp.minimum(out_len, N - 1)
+                out_ids = jnp.where(
+                    decoding[:, None]
+                    & (jnp.arange(N)[None, :] == j[:, None]),
+                    tok[:, None], out_ids)
+                out_len = out_len + decoding.astype(jnp.int32)
+                is_eos = decoding & (tok == eos)
+                pen = decoding & ~(tok == eos)
+                counts = counts.at[jnp.arange(B), tok].add(pen.astype(jnp.int32))
+                stop = decoding & (is_eos | (out_len >= N))
+                resp_done = resp_done | stop
                 mode = jnp.where(mode == 1, 2, mode)   # prompt done -> decode
+                mode = jnp.where(stop, 3, mode)        # response finished
                 mode = jnp.where(fire, 1, mode)        # trigger -> prompt next
+                # scoring rows that reached their limit wait (and ask for
+                # an exit once nothing is generating: retire/admit)
+                lim_hit = (mode == 0) & (i >= limit)
+                new_wait = new_wait | lim_hit
+                mode = jnp.where(lim_hit, 3, mode)
 
                 return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                         out_len, counts, triggered, resp_done, new_wait,

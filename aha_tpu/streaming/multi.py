@@ -202,9 +202,6 @@ class MultiStreamSession:
                              float(infer_cfg.stream_end_score_sum_threshold))
         self._default_z = (np.inf if infer_cfg.threshold_z is None
                            else float(infer_cfg.threshold_z))
-        self.prob_thr = np.full(batch, self._default_prob, np.float64)
-        self.sum_thr = np.full(batch, self._default_sum, np.float64)
-        self.z_thr = np.full(batch, self._default_z, np.float64)
         tok = tokenizer
         self._start_ids = tok.apply_chat_template(
             [{"role": "system", "content": infer_cfg.system_prompt}])
@@ -296,7 +293,13 @@ class MultiStreamSession:
         # (constant within a program — responses land at host boundaries)
         min_int = getattr(a, "response_min_interval_frames", None)
         resume_at = np.zeros(B, np.int64)
-        if stats is not None and np.isfinite(self.z_thr).any():
+        # per-row trigger thresholds — run-local like every other slot
+        # state (an aborted run must not leak request overrides into the
+        # next); inf disables a criterion for a row
+        prob_thr = np.full(B, self._default_prob, np.float64)
+        sum_thr = np.full(B, self._default_sum, np.float64)
+        z_thr = np.full(B, self._default_z, np.float64)
+        if stats is not None and np.isfinite(self._default_z):
             raise NotImplementedError(
                 "instrumented profiling (stats=) of threshold_z workloads "
                 "is not supported; use the production path")
@@ -415,9 +418,9 @@ class MultiStreamSession:
                     occupied[b] = True
                     key[b] = k
                     T[b], i[b], score_sum[b] = n, 0, 0.0
-                    self.prob_thr[b] = self._default_prob
-                    self.sum_thr[b] = self._default_sum
-                    self.z_thr[b] = self._default_z
+                    prob_thr[b] = self._default_prob
+                    sum_thr[b] = self._default_sum
+                    z_thr[b] = self._default_z
                     z_hist = z_hist.at[b].set(0.0)
                     z_cnt = z_cnt.at[b].set(0)
                     resume_at[b] = 0
@@ -435,17 +438,17 @@ class MultiStreamSession:
                             raise NotImplementedError(
                                 "instrumented profiling (stats=) of "
                                 "threshold_z workloads is not supported")
-                        self.prob_thr[b] = np.inf
-                        self.sum_thr[b] = np.inf
-                        self.z_thr[b] = np.inf
+                        prob_thr[b] = np.inf
+                        sum_thr[b] = np.inf
+                        z_thr[b] = np.inf
                         if opts.get("stream_end_prob_threshold") is not None:
-                            self.prob_thr[b] = float(
+                            prob_thr[b] = float(
                                 opts["stream_end_prob_threshold"])
                         if opts.get("stream_end_score_sum_threshold") is not None:
-                            self.sum_thr[b] = float(
+                            sum_thr[b] = float(
                                 opts["stream_end_score_sum_threshold"])
                         if opts.get("threshold_z") is not None:
-                            self.z_thr[b] = float(opts["threshold_z"])
+                            z_thr[b] = float(opts["threshold_z"])
                     last_role[b], init_vision[b] = "system", False
                     pending_last[b] = []
                     queries[b], q_ptr[b] = user_turns, 0
@@ -526,10 +529,10 @@ class MultiStreamSession:
                 (cache, scores_dev, i_dev, sum_dev, trig_dev, out_ids,
                  out_len, counts, last_tok, z_hist, z_cnt) = eng.serve_step(
                     cache, p_rows, can_step, frames_buf, i, limit,
-                    score_sum, counts, self.prob_thr,
-                    self.sum_thr,
+                    score_sum, counts, prob_thr,
+                    sum_thr,
                     tuple(a.score_heads), self._gen_prompt_ids,
-                    do_generate=do_gen, z_threshold=self.z_thr,
+                    do_generate=do_gen, z_threshold=z_thr,
                     z_state=(z_hist, z_cnt), first_n_frames=first_n,
                     resume_at=resume_at)
                 (i_new, triggered, s_host, new_sum, out_ids, out_len,
@@ -582,10 +585,10 @@ class MultiStreamSession:
                     ) if key in heads)
                     score_sum[b] += stream_end
                     ok = i[b] >= resume_at[b]
-                    if ok and score_sum[b] > self.sum_thr[b]:
+                    if ok and score_sum[b] > sum_thr[b]:
                         fused_triggered[b] = True
                         score_sum[b] = 0.0
-                    if ok and stream_end > self.prob_thr[b]:
+                    if ok and stream_end > prob_thr[b]:
                         fused_triggered[b] = True
                     debug[b].append(dict(
                         time=int(i[b]) / fps,
@@ -605,10 +608,10 @@ class MultiStreamSession:
             (cache, scores, i_new, new_sum, triggered, z_hist,
              z_cnt) = eng.score_until_trigger_multi(
                     cache, frames_buf, i, limit, score_sum,
-                    self.prob_thr,
-                    self.sum_thr,
+                    prob_thr,
+                    sum_thr,
                     tuple(a.score_heads),
-                    z_threshold=self.z_thr, z_state=(z_hist, z_cnt),
+                    z_threshold=z_thr, z_state=(z_hist, z_cnt),
                     first_n_frames=first_n, resume_at=resume_at,
                 )
             # one batched fetch: 4 separate device_gets would pay the

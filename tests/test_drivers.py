@@ -485,8 +485,8 @@ def test_cli_serve_end_to_end(tmp_path):
     ])
     lines = [json.loads(l) for l in outp.read_text().splitlines()]
     by_key = {l.get("key"): l for l in lines}
-    assert set(by_key) == {"a", "b", None}
-    assert "error" in by_key[None]
+    assert set(by_key) == {"a", "b", "bad"}
+    assert "error" in by_key["bad"]   # error line keeps the request key
     for k in ("a", "b"):
         assert isinstance(by_key[k]["responses"], list)
         assert by_key[k]["debug_data"], k  # per-frame scores present
