@@ -301,6 +301,26 @@ def run_bench(preset: str) -> dict:
 
     multi_qa_fps, qa_lo, qa_hi = _stats(run_multi_qa, repeats=3)
 
+    # ragged-trigger QA: ONE stream answers (every frame triggers at the
+    # 0.55 threshold on random weights) while the other 7 only score
+    # (per-item threshold overrides) — the realistic MAGQA serving shape.
+    # The symmetric workload above fires all rows in lockstep, so it
+    # cannot show whether decode passes stall the non-answering streams
+    # (engine._mixed_loop overlap); this one can.
+    mute = {"stream_end_prob_threshold": 1e30}
+    qa_ragged_items = [(b, qa_frames[b], qa_convs[b],
+                        None if b == 0 else mute) for b in range(B)]
+
+    def run_multi_qa_ragged():
+        t0 = time.perf_counter()
+        res = qa.run_items(list(qa_ragged_items), fps=1.0,
+                           max_frames=mb_frames)
+        n_frames = sum(len(res[b]["debug_data"]) for b in range(B))
+        return n_frames / (time.perf_counter() - t0)
+
+    run_multi_qa_ragged()            # warmup (first ragged-shape compile)
+    qa_ragged_fps, qar_lo, qar_hi = _stats(run_multi_qa_ragged, repeats=3)
+
     # phase decomposition of the same workload (one instrumented pass;
     # phase-end syncs add overhead, so the split explains multi_stream_qa
     # rather than re-measuring it)
@@ -386,6 +406,7 @@ def run_bench(preset: str) -> dict:
         # #2 asked for a batched-decode number, not just single-stream):
         # tokens emitted across all triggered rows / wall-clock of the
         # generation phase (instrumented pass, includes its host syncs)
+        "multi_stream_qa_ragged_fps": round(qa_ragged_fps, 3),
         "batched_decode_tok_s": round(
             qa_split.get("tokens_generated", 0)
             / max(qa_split.get("gen_s", 0.0), 1e-9), 1),
@@ -399,6 +420,7 @@ def run_bench(preset: str) -> dict:
             "multi_stream_8x_aggregate_fps": [round(multi_lo, 2), round(multi_hi, 2)],
             "multi_stream_8x_w8a8_fps": [round(m8_lo, 2), round(m8_hi, 2)],
             "multi_stream_qa_8x_fps": [round(qa_lo, 2), round(qa_hi, 2)],
+            "multi_stream_qa_ragged_fps": [round(qar_lo, 2), round(qar_hi, 2)],
             "continuous_batching_16rag_fps": [round(cb_lo, 2), round(cb_hi, 2)],
             "decode_tokens_per_sec": [round(dec_lo, 2), round(dec_hi, 2)],
         },
