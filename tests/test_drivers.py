@@ -490,3 +490,64 @@ def test_cli_serve_end_to_end(tmp_path):
     for k in ("a", "b"):
         assert isinstance(by_key[k]["responses"], list)
         assert by_key[k]["debug_data"], k  # per-frame scores present
+
+
+@pytest.mark.slow
+def test_cli_serve_live_stdin(tmp_path):
+    """`aha serve` fed over a pipe with a SLOW producer: the first result
+    must be written before the second request is even sent (live serving,
+    not batch collection), and the server must exit cleanly at EOF."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    cv2 = pytest.importorskip("cv2")
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for j in range(2):
+        w = cv2.VideoWriter(str(vids / f"v{j}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 2.0, (48, 32))
+        for i in range(6):
+            w.write(np.full((32, 48, 3), (40 * i + 30 * j) % 255, np.uint8))
+        w.release()
+    outp = tmp_path / "res.jsonl"
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from aha_tpu.cli import main; import sys;"
+         "sys.exit(main(sys.argv[1:]))",
+         "serve", "--model_preset", "tiny", "--input", "-",
+         "--output", str(outp), "--batch", "2", "--max_frames", "8",
+         "--frame_fps", "1.0", "--stream_end_prob_threshold", "0.55",
+         "--max_new_tokens", "4", "--kv_window", "64",
+         "--num_sink_tokens", "4"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd="/root/repo")
+
+    def req(j):
+        return json.dumps({
+            "key": f"s{j}", "video": str(vids / f"v{j}.mp4"),
+            "conversation": [{"role": "user", "time": 0.0,
+                              "content": "?"}]}) + "\n"
+
+    proc.stdin.write(req(0))
+    proc.stdin.flush()
+    # wait for the FIRST result line to land before sending request 2
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if outp.exists() and outp.read_text().strip():
+            break
+        _time.sleep(0.5)
+    first = [json.loads(l) for l in outp.read_text().splitlines()]
+    assert [l["key"] for l in first] == ["s0"], first
+
+    proc.stdin.write(req(1))
+    proc.stdin.close()
+    rc = proc.wait(timeout=300)
+    err = proc.stderr.read()
+    assert rc == 0, err
+    lines = [json.loads(l) for l in outp.read_text().splitlines()]
+    assert [l["key"] for l in lines] == ["s0", "s1"]
+    assert "served 2 streams" in err
