@@ -380,6 +380,25 @@ def run_bench(preset: str) -> dict:
 
     decode_tps, dec_lo, dec_hi = _stats(run_decode)
 
+    # fused batched decode: the production serving rate (one jitted
+    # generate over B rows, no per-phase syncs) — the instrumented
+    # batched_decode_tok_s below under-reads it ~3-4x (405.7 vs 111.1 on
+    # the v5e-1 7B int8, scripts/perf/ab_int4_decode.py)
+    bdec_engine = _SE2(engine.params, cfg, engine.policy, batch=B,
+                       max_new_tokens=32)
+    bdec_prompts = [prompt] * B
+
+    def run_batched_decode():
+        dc = bdec_engine.new_cache()
+        t0 = time.perf_counter()
+        _, _oi, ol, _, _ = bdec_engine.generate(dc, bdec_prompts,
+                                                bdec_engine.new_rep_counts())
+        n_tok = int(jax.device_get(ol).sum())
+        return max(n_tok, 1) / (time.perf_counter() - t0)
+
+    run_batched_decode()                         # compile
+    bdec_tps, bdec_lo, bdec_hi = _stats(run_batched_decode)
+
     # headline: the sustained scoring rate. The scan fast path IS the
     # product path for the scoring benchmarks (tvsum/hisum/charades run
     # score_video's single-dispatch scan); the per-frame-dispatch metrics
@@ -410,6 +429,9 @@ def run_bench(preset: str) -> dict:
         "batched_decode_tok_s": round(
             qa_split.get("tokens_generated", 0)
             / max(qa_split.get("gen_s", 0.0), 1e-9), 1),
+        # production fused path (no instrumentation syncs): B rows, one
+        # jitted generate — the serving-throughput headline for decode
+        "batched_decode_fused_tok_s": round(bdec_tps, 1),
         "continuous_batching_16rag_fps": round(cb_fps, 3),
         "repeats": REPEATS,
         "spread": {
@@ -423,6 +445,7 @@ def run_bench(preset: str) -> dict:
             "multi_stream_qa_ragged_fps": [round(qar_lo, 2), round(qar_hi, 2)],
             "continuous_batching_16rag_fps": [round(cb_lo, 2), round(cb_hi, 2)],
             "decode_tokens_per_sec": [round(dec_lo, 2), round(dec_hi, 2)],
+            "batched_decode_fused_tok_s": [round(bdec_lo, 2), round(bdec_hi, 2)],
         },
     }
 
