@@ -19,6 +19,7 @@ Weight layout: kernels are [in, out] (right-multiplication, natural for
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ from aha_tpu.ops.kv_cache import (
     advance,
     plan_update,
     write_layer,
+    write_layer_stacked,
 )
 
 
@@ -348,36 +350,96 @@ def decode_chunk(
     # index. Quantized matmuls take the index into their Pallas kernel via
     # scalar prefetch — scanning sliced weight copies into a pallas_call
     # measured 1.7x slower end-to-end (47.9 vs 80.9 scan fps on the 7B).
+    #
+    # The caches go through the layer loop as scan xs/ys (read this layer's
+    # slice, emit the updated slice). A round-3 experiment rebuilt this as a
+    # fori_loop CARRYING the stacked [L, ...] buffers with in-place
+    # dynamic_update_slice writes (write_layer_stacked), on the theory that
+    # the scan-ys formulation streams the whole ~2 GB cache every decode
+    # pass. MEASURED NEGATIVE, twice, on the v5e-1 7B B=8 decode:
+    #   * batched scatter into the stacked buffer: 44.8 tok/s vs 405.7 scan;
+    #   * per-row DUS (the alias-friendly form): 45.4 tok/s — the compiled
+    #     HLO shows 4 full-cache LAYOUT-CHANGING copies per layer iteration
+    #     (the DUS write and the attention read want different tilings of
+    #     the carried buffer, and XLA layout assignment transposes the
+    #     whole [L,...] array each way, every layer).
+    # A donated while-loop microbench additionally shows XLA aliases the
+    # scan-ys formulation fully in place (cache machinery ~0 ms/step), so
+    # there was no 8 ms to win back — that attribution was an artifact of
+    # slope-timing write_layer standalone (non-donated => real copies).
+    # AHA_CACHE_LOOP=fori (S==1 passes only) keeps the negative result
+    # reproducible.
     lyr = params["layers"]
 
+    # AHA_ABL: comma list of measurement-only knockouts for in-situ decode
+    # attribution (each knocks one component out of the REAL compiled
+    # program — results are wrong, timing deltas are honest):
+    #   no_attn  — attention output := q (removes attention compute AND the
+    #              cache read, keeps all shapes/deps),
+    #   no_write — skip write_layer (attention reads the stale slice; the
+    #              scan still emits ys, so only the scatter cost vanishes).
+    # See also no_lmhead in lm_logits. scripts/perf/ab_int4_decode.py is
+    # the harness: AHA_ABL=no_attn python ... --presets 7b-int8.
+    abl = set(filter(None, os.environ.get("AHA_ABL", "").split(",")))
+
     def make_layer_fn(transient: str):
-        def layer_fn(x, scanned):
-            k_cache_l, v_cache_l, ks_l, vs_l, i = scanned
-            h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
-            q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
-            k_c, v_c, ks_c, vs_c = write_layer(k_cache_l, v_cache_l, k, v, plan,
-                                               ks_l, vs_l, rot=(w_cos, w_sin))
-            attn = cached_attention(
-                q, k_c, v_c, plan,
-                rope_theta=cfg.rope_theta, sink_slots=sink_slots,
-                sink_policy=sink_policy, mask_mode=policy.mask_mode,
-                evicting=policy.kind in ("sink", "sliding"),
-                transient=transient, rope_tables=rope_tables,
-                kv_scales=None if ks_c is None else (ks_c, vs_c))
+        def attend(x, i, q, k_c, v_c, ks_c, vs_c):
+            if "no_attn" in abl:
+                attn = q.astype(x.dtype)
+            else:
+                attn = cached_attention(
+                    q, k_c, v_c, plan,
+                    rope_theta=cfg.rope_theta, sink_slots=sink_slots,
+                    sink_policy=sink_policy, mask_mode=policy.mask_mode,
+                    evicting=policy.kind in ("sink", "sliding"),
+                    transient=transient, rope_tables=rope_tables,
+                    kv_scales=None if ks_c is None else (ks_c, vs_c))
             attn = attn.reshape(*x.shape[:2], cfg.q_dim)
             x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),
                            lora_scale, layer=i)
             h = rms_norm(x, _idx(lyr["post_norm"]["scale"], i), cfg.rms_norm_eps)
-            x = x + _mlp(h, lyr, lora, lora_scale, layer=i)
+            return x + _mlp(h, lyr, lora, lora_scale, layer=i)
+
+        def layer_fn(i, carry):
+            x, k_all, v_all, ks_all, vs_all = carry
+            h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
+            q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
+            (k_all, v_all, ks_all, vs_all,
+             k_c, v_c, ks_c, vs_c) = write_layer_stacked(
+                k_all, v_all, i, k, v, plan, ks_all, vs_all,
+                rot=(w_cos, w_sin))
+            x = attend(x, i, q, k_c, v_c, ks_c, vs_c)
+            return (x, k_all, v_all, ks_all, vs_all)
+
+        def layer_fn_scan(x, scanned):
+            k_cache_l, v_cache_l, ks_l, vs_l, i = scanned
+            h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
+            q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
+            if "no_write" in abl:
+                k_c, v_c, ks_c, vs_c = k_cache_l, v_cache_l, ks_l, vs_l
+                # keep k/v alive so their projections aren't DCE'd with them
+                x = x + (0.0 * (k.sum() + v.sum())).astype(x.dtype)
+            else:
+                k_c, v_c, ks_c, vs_c = write_layer(k_cache_l, v_cache_l, k, v,
+                                                   plan, ks_l, vs_l,
+                                                   rot=(w_cos, w_sin))
+            x = attend(x, i, q, k_c, v_c, ks_c, vs_c)
             return x, (k_c, v_c, ks_c, vs_c)
 
-        return layer_fn
+        return layer_fn, layer_fn_scan
 
-    scanned = (cache.k, cache.v, cache.k_scale, cache.v_scale,
-               jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    use_fori = os.environ.get("AHA_CACHE_LOOP", "scan") == "fori" and S == 1
 
     def run_scan(transient, x0):
-        return jax.lax.scan(make_layer_fn(transient), x0, scanned)
+        loop_fn, scan_fn = make_layer_fn(transient)
+        if not use_fori:
+            scanned = (cache.k, cache.v, cache.k_scale, cache.v_scale,
+                       jnp.arange(cfg.num_layers, dtype=jnp.int32))
+            return jax.lax.scan(scan_fn, x0, scanned)
+        x, new_k, new_v, new_ks, new_vs = jax.lax.fori_loop(
+            0, cfg.num_layers, loop_fn,
+            (x0, cache.k, cache.v, cache.k_scale, cache.v_scale))
+        return x, (new_k, new_v, new_ks, new_vs)
 
     if policy.kind == "sink":
         # ONE chunk-level cond around the whole layer scan: during the fill
@@ -414,6 +476,11 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, dtype=jnp.bfloat16) -> jn
 
 
 def lm_logits(params: dict, cfg: QwenConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    if "no_lmhead" in os.environ.get("AHA_ABL", ""):
+        # measurement-only knockout (see decode_chunk): shape-preserving
+        # fake logits that keep the trunk alive but skip the [H, V] matmul
+        return jnp.broadcast_to(hidden.sum(-1, keepdims=True),
+                                (*hidden.shape[:-1], cfg.vocab_size))
     if cfg.tie_word_embeddings:
         w = params["embed"]["weight"]
         if isinstance(w, dict):

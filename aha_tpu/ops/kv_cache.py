@@ -334,6 +334,80 @@ def write_layer(
     return k_cache, v_cache, k_scale, v_scale
 
 
+def write_layer_stacked(
+    k_all: jnp.ndarray,    # [L, B, W+1, KVH, Dh] — the full stacked cache
+    v_all: jnp.ndarray,
+    layer,                 # traced int32 — which layer's slots to write
+    k_new: jnp.ndarray,    # [B, S, KVH, Dh] (unrotated)
+    v_new: jnp.ndarray,
+    plan: UpdatePlan,
+    ks_all: jnp.ndarray | None = None,    # [L, B, W+1, KVH] (int8 KV mode)
+    vs_all: jnp.ndarray | None = None,
+    *,
+    rot: tuple | None = None,             # (cos, sin) at plan.write_pos
+):
+    """`write_layer` for a layer loop that CARRIES the stacked caches.
+
+    KEPT AS A MEASURED NEGATIVE RESULT — not the production path. The
+    theory was that the scan-ys formulation streams the whole ~2 GB cache
+    every decode pass, and an in-place carried write would save it. On the
+    v5e-1 7B B=8 decode BOTH variants lost to the scan by ~9x:
+      * batched scatter (`buf.at[layer, bidx, slots].set`): 44.8 tok/s —
+        XLA does not alias scatter on a loop carry; it copies the full
+        stacked buffer every layer;
+      * this per-row `dynamic_update_slice` form: 45.4 tok/s — the DUS
+        itself aliases, but the DUS write and the attention read want
+        DIFFERENT layouts of the carried buffer, and layout assignment
+        inserts 4 full-cache transposing copies per layer iteration
+        (visible in the compiled HLO's inner while region).
+    A donated while-loop microbench further shows the scan-ys form is
+    already aliased fully in place by XLA (~0 ms/step of cache cost), so
+    there was nothing to win. Production = `write_layer` under lax.scan;
+    AHA_CACHE_LOOP=fori reproduces this experiment.
+
+    Returns (k_all, v_all, ks_all, vs_all, k_c, v_c, ks_c, vs_c) — the
+    updated stacked buffers plus this layer's slices for attention.
+    """
+    if rot is not None:
+        from .rope import apply_rope
+
+        w_cos, w_sin = rot
+        k_new = apply_rope(k_new.astype(jnp.float32), w_cos, w_sin).astype(k_new.dtype)
+
+    B, S = k_new.shape[:2]
+    z = jnp.int32(0)
+
+    ks = vs = None
+    if k_all.dtype == jnp.int8:
+        k_new, ks = quantize_kv(k_new)
+        v_new, vs = quantize_kv(v_new)
+    else:
+        k_new = k_new.astype(k_all.dtype)
+        v_new = v_new.astype(v_all.dtype)
+
+    for b in range(B):
+        bi = jnp.int32(b)
+        for s in range(S):
+            slot = plan.slots[b, s]
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[b, s][None, None, None], (layer, bi, slot, z, z))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[b, s][None, None, None], (layer, bi, slot, z, z))
+            if ks is not None:
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, ks[b, s][None, None, None], (layer, bi, slot, z))
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, vs[b, s][None, None, None], (layer, bi, slot, z))
+
+    ks_c = vs_c = None
+    if ks is not None:
+        ks_c = jax.lax.dynamic_index_in_dim(ks_all, layer, 0, keepdims=False)
+        vs_c = jax.lax.dynamic_index_in_dim(vs_all, layer, 0, keepdims=False)
+    k_c = jax.lax.dynamic_index_in_dim(k_all, layer, 0, keepdims=False)
+    v_c = jax.lax.dynamic_index_in_dim(v_all, layer, 0, keepdims=False)
+    return k_all, v_all, ks_all, vs_all, k_c, v_c, ks_c, vs_c
+
+
 def advance(cache: KVCache, plan: UpdatePlan, new_k: jnp.ndarray, new_v: jnp.ndarray,
             new_k_scale=None, new_v_scale=None) -> KVCache:
     """Produce the post-chunk cache. new_k/new_v: [L, B, W+1, KVH, Dh] already

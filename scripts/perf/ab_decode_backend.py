@@ -29,9 +29,13 @@ BACKENDS = ("auto", "w8a8", "fused", "fused_a8")
 
 
 def main():
+    global BACKENDS
     B = int(sys.argv[sys.argv.index("--b") + 1]) if "--b" in sys.argv else 8
     max_new = (int(sys.argv[sys.argv.index("--tokens") + 1])
                if "--tokens" in sys.argv else 64)
+    if "--backends" in sys.argv:
+        BACKENDS = tuple(
+            sys.argv[sys.argv.index("--backends") + 1].split(","))
 
     import jax
 

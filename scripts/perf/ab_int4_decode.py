@@ -62,7 +62,10 @@ def main():
     B = int(sys.argv[sys.argv.index("--b") + 1]) if "--b" in sys.argv else 8
     max_new = (int(sys.argv[sys.argv.index("--tokens") + 1])
                if "--tokens" in sys.argv else 64)
-    for preset in ("7b-int8", "7b-int4"):
+    presets = ("7b-int8", "7b-int4")
+    if "--presets" in sys.argv:
+        presets = tuple(sys.argv[sys.argv.index("--presets") + 1].split(","))
+    for preset in presets:
         r = run(preset, B, max_new)
         print(json.dumps(r), flush=True)
 

@@ -498,3 +498,53 @@ def test_sliding_attention_parity_past_fill(reference_root):
                                rope_theta=THETA, evicting=True)
         np.testing.assert_allclose(np.asarray(out), ref_out, rtol=5e-4,
                                    atol=5e-4, err_msg=f"chunk {ci} (S={S})")
+
+
+def test_write_layer_stacked_matches_write_layer():
+    """The decode fast path's in-place stacked write (fori-loop carry,
+    per-row dynamic_update_slice — see qwen2.decode_chunk) must produce
+    byte-identical caches and layer slices to the reference scan-ys
+    formulation's `write_layer`, in both bf16 and int8-KV modes."""
+    from aha_tpu.ops.kv_cache import write_layer_stacked
+
+    L, B = 3, 4
+    policy = CachePolicy("sink", window=16, num_sink=4)
+    rng = np.random.default_rng(5)
+
+    for dtype in (jnp.bfloat16, jnp.int8):
+        my = init_cache(policy, num_layers=L, batch=B, num_kv_heads=KVH,
+                        head_dim=DH, dtype=dtype)
+        # advance into steady state so slots wrap (seen > window)
+        my = my.__class__(**{**my.__dict__,
+                             "seen": jnp.full((B,), 40, jnp.int32),
+                             "length": jnp.full((B,), 16, jnp.int32)})
+        for S in (1, 3):
+            valid_len = jnp.asarray(rng.integers(0, S + 1, B), jnp.int32)
+            plan = plan_update(my, policy, valid_len, S)
+            cos, sin = rope_cos_sin(plan.write_pos, DH, THETA)
+            k = jnp.asarray(rng.standard_normal((B, S, KVH, DH)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((B, S, KVH, DH)), jnp.float32)
+
+            k_all, v_all = my.k, my.v
+            ks_all, vs_all = my.k_scale, my.v_scale
+            per_layer = []
+            for i in range(L):
+                ks_l = None if ks_all is None else ks_all[i]
+                vs_l = None if vs_all is None else vs_all[i]
+                per_layer.append(write_layer(k_all[i], v_all[i], k, v, plan,
+                                             ks_l, vs_l, rot=(cos, sin)))
+
+            sk, sv, sks, svs = k_all, v_all, ks_all, vs_all
+            for i in range(L):
+                (sk, sv, sks, svs, k_c, v_c, ks_c, vs_c) = write_layer_stacked(
+                    sk, sv, jnp.int32(i), k, v, plan, sks, svs,
+                    rot=(cos, sin))
+                ref_k, ref_v, ref_ks, ref_vs = per_layer[i]
+                np.testing.assert_array_equal(np.asarray(k_c), np.asarray(ref_k))
+                np.testing.assert_array_equal(np.asarray(v_c), np.asarray(ref_v))
+                np.testing.assert_array_equal(np.asarray(sk[i]), np.asarray(ref_k))
+                if ks_c is not None:
+                    np.testing.assert_array_equal(np.asarray(ks_c),
+                                                  np.asarray(ref_ks))
+                    np.testing.assert_array_equal(np.asarray(vs_c),
+                                                  np.asarray(ref_vs))
