@@ -152,11 +152,22 @@ class StreamEngine:
             fused_used = quant.is_quantized(kern) and (
                 ("q4value" in kern and backend in ("auto", "fused", "fused_a8"))
                 or backend in ("fused", "fused_a8"))
-            if (fused_used and jax.default_backend() in ("tpu", "axon")
-                    and "qkv_proj" not in lyr):
-                # quantized serving on the fused kernels: merge q/k/v and
-                # gate/up so they run 4 calls/layer instead of 7 (each
-                # pallas_call costs ~10 us of dispatch+glue)
+            import os as _os
+
+            del fused_used  # merge now covers every quantized backend
+            merge_env = _os.environ.get("AHA_MERGE_PROJ")  # "1"/"0" override
+            merge = (quant.is_quantized(kern)
+                     and jax.default_backend() in ("tpu", "axon")
+                     ) if merge_env is None else merge_env == "1"
+            if merge and "qkv_proj" not in lyr and quant.is_quantized(kern):
+                # quantized serving: merge q/k/v and gate/up so each layer
+                # runs 4 matmul calls instead of 7. Originally justified for
+                # the fused Pallas kernels (~10 us dispatch+glue per
+                # pallas_call); measured on-chip for the int8 einsum decode
+                # path too: B=8x64-token batched decode 422.0 tok/s merged
+                # vs 405.3 split (+4%, fewer/larger weight streams per
+                # pass) — so it is now the default for every quantized
+                # backend. AHA_MERGE_PROJ=0 restores split projections.
                 params = {**params,
                           "llm": quant.merge_decoder_projections(params["llm"])}
         self.params = params
@@ -791,7 +802,20 @@ class StreamEngine:
         self._serve_step = _jit(serve_step, donate_argnums=(1,),
                                 static_argnums=(15,))
         self._encode_frames = _jit(encode_frames)
-        self._generate = _jit(generate)
+        # AHA_DONATE_GEN=1: measured TIE on-chip (B=8x64-token batched
+        # decode: 409.3 tok/s donated vs 405.3 non-donated, within noise)
+        # — the while-loop carry is already in-place without donation, so
+        # the default stays NON-donated (rollback callers keep the
+        # pre-generation cache alive; see session._generate_response).
+        # The knob stays for reproducibility of the A/B (BASELINE.md,
+        # in-situ knockout section). Donating callers must device-copy
+        # first if they need rollback.
+        import os as _os
+
+        if _os.environ.get("AHA_DONATE_GEN") == "1":
+            self._generate = _jit(generate, donate_argnums=(1,))
+        else:
+            self._generate = _jit(generate)
         # donated: k/v pass through aliased, metadata buffers reset in place
         self._reset_cache = jax.jit(reset_cache, donate_argnums=(0,))
         self._reset_cache_rows = jax.jit(reset_cache_rows, donate_argnums=(0,))
