@@ -462,6 +462,88 @@ def decode_chunk(
     return x, new_cache
 
 
+def decode_chunk_spec(
+    params: dict,
+    cfg: QwenConfig,
+    policy: CachePolicy,
+    cache: KVCache,
+    inputs_embeds: jnp.ndarray,   # [B, S, H] — carried token + drafts
+    plans,                        # ops.spec_decode.SpecPlans (composed)
+    *,
+    lora: dict | None = None,
+    lora_scale: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Speculative VERIFY pass: like `decode_chunk`, but bit-equal to S
+    sequential 1-token passes (the reference's greedy loop semantics) and
+    READ-ONLY on the cache.
+
+    Draft K/V never touch the cache — each layer emits its pre-rotated
+    in-flight block instead (scan ys), and `speculative_attention` scores
+    every chunk position exactly as the corresponding sequential step
+    would (per-step composed masks/positions; see ops/spec_decode.py and
+    the chunk-vs-sequential divergence probe in BASELINE.md round 3).
+    Acceptance-gated commit happens afterwards via
+    `spec_decode.commit_slots` + `select_meta`.
+
+    Returns (final hidden [B, S, H], infl_k [L, B, S, KVH, Dh] pre-rotated
+    at plans.write_pos, infl_v [L, B, S, KVH, Dh]).
+
+    Like decode_chunk, a single chunk-level cond around the layer scan
+    picks the fast pre-rotation scoring or (sink policy, `plans.exact`)
+    the reference rotate-at-read branch — which here costs ONE cache
+    rotation per verify pass instead of one per decoded token, so
+    speculation also amortizes the post-fill exact-path tax the plain
+    loop pays (BASELINE.md round 3).
+    """
+    from aha_tpu.ops.rope import apply_rope as _apply_rope
+
+    sink_policy = policy.kind == "sink"
+    sink_slots = policy.num_sink if sink_policy else 0
+    w_cos, w_sin = rope_cos_sin(plans.write_pos, cfg.head_dim, cfg.rope_theta)
+    if sink_policy:
+        e_cos, e_sin = rope_cos_sin(plans.q_pos, cfg.head_dim, cfg.rope_theta)
+        x_cos, x_sin = rope_cos_sin(plans.qx, cfg.head_dim, cfg.rope_theta)
+    else:
+        e_cos, e_sin = w_cos, w_sin
+        x_cos, x_sin = w_cos, w_sin
+    rope_tables = (w_cos, w_sin, e_cos, e_sin, x_cos, x_sin)
+    lyr = params["layers"]
+
+    def make_scan_fn(exact: bool):
+        def scan_fn(x, scanned):
+            k_cache_l, v_cache_l, ks_l, vs_l, i = scanned
+            h = rms_norm(x, _idx(lyr["input_norm"]["scale"], i), cfg.rms_norm_eps)
+            q, k, v = _qkv(h, lyr, cfg, lora, lora_scale, layer=i)
+            k_rot = _apply_rope(k.astype(jnp.float32), w_cos, w_sin).astype(k.dtype)
+            attn = attention.speculative_attention(
+                q, k_cache_l, v_cache_l, k_rot, v, plans,
+                rope_theta=cfg.rope_theta, sink_slots=sink_slots,
+                sink_policy=sink_policy, rope_tables=rope_tables,
+                kv_scales=None if ks_l is None else (ks_l, vs_l),
+                exact=exact)
+            attn = attn.reshape(*x.shape[:2], cfg.q_dim)
+            x = x + linear(attn, lyr["o_proj"], _layer_lora(lora, "o_proj"),
+                           lora_scale, layer=i)
+            h = rms_norm(x, _idx(lyr["post_norm"]["scale"], i), cfg.rms_norm_eps)
+            x = x + _mlp(h, lyr, lora, lora_scale, layer=i)
+            return x, (k_rot, v)
+        return scan_fn
+
+    scanned = (cache.k, cache.v, cache.k_scale, cache.v_scale,
+               jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    if sink_policy:
+        x, (infl_k, infl_v) = jax.lax.cond(
+            plans.exact,
+            lambda x0: jax.lax.scan(make_scan_fn(True), x0, scanned),
+            lambda x0: jax.lax.scan(make_scan_fn(False), x0, scanned),
+            inputs_embeds)
+    else:
+        x, (infl_k, infl_v) = jax.lax.scan(make_scan_fn(False),
+                                           inputs_embeds, scanned)
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    return x, infl_k, infl_v
+
+
 # ---------------------------------------------------------------------------
 # Embedding / logits
 # ---------------------------------------------------------------------------

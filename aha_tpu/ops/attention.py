@@ -250,6 +250,141 @@ def transient_deviation(plan: UpdatePlan, sink_slots: int) -> jnp.ndarray:
     return (slot_ids >= sink_slots) & (plan.new_order >= 0) & (rho != D)
 
 
+def speculative_attention(
+    q: jnp.ndarray,        # [B, S, NH, Dh] (unrotated)
+    k_cache: jnp.ndarray,  # [B, W+1, KVH, Dh] (PRE-ROTATED, read-only)
+    v_cache: jnp.ndarray,
+    k_infl: jnp.ndarray,   # [B, S, KVH, Dh] in-flight keys, PRE-ROTATED at
+    #                        plans.write_pos (the values a commit would store)
+    v_infl: jnp.ndarray,
+    plans,                 # spec_decode.SpecPlans
+    *,
+    rope_theta: float,
+    sink_slots: int = 0,
+    sink_policy: bool = False,
+    rope_tables: tuple | None = None,   # (w_cos, w_sin, e_cos, e_sin, x_cos, x_sin)
+    kv_scales: tuple | None = None,     # (k_scale, v_scale) — int8 KV cache
+    exact: bool = False,
+) -> jnp.ndarray:
+    """Speculative verify attention: one pass that scores S chunk tokens
+    exactly as S sequential 1-token `cached_attention` steps would,
+    WITHOUT writing the cache.
+
+    Query p uses the p-th composed sequential operands (`spec_decode.
+    plan_compose`): its cache visibility (plans.cache_mask) excludes the
+    slots sequential steps 0..p would have overwritten, and the
+    replacement keys are scored from the in-flight block (plans.infl_mask
+    — write-then-attend parity, including the junk-slot invisibility of
+    invalid/static tokens).
+
+    exact=False: the fast pre-rotation algebra of `cached_attention`
+    (ring + in-flight columns: q at write_pos against keys at write_pos;
+    sink columns: q at the sequential q_pos). Valid while no composed
+    step deviates (plans.exact is the gate, like decode_chunk's cond).
+
+    exact=True: the reference rotate-at-read semantics, composed so ONE
+    cache rotation serves all S steps — cache keys rotate to their
+    key_pos after step 1 (plans.dpos) and ring/in-flight queries use the
+    cumulative-shift-adjusted positions plans.qx, which telescope each
+    step's per-row shift into the query instead of re-rotating the cache
+    per step; sink columns (never shifted) score against q at q_pos.
+    This covers the sink fill transient AND the permanent post-fill
+    chunk/decode position lag (BASELINE.md round 3) — and amortizes the
+    O(W) rotation the plain decode loop pays PER TOKEN over the whole
+    verify chunk.
+
+    In-flight V stays in the compute dtype; int8 KV scales apply to the
+    cache parts only (the exact branch folds K scales before rotating,
+    like cached_attention's exact_out).
+    """
+    B, S, NH, Dh = q.shape
+    KVH = k_cache.shape[2]
+    n_rep = NH // KVH
+    if rope_tables is None:
+        w_cos, w_sin = rope_cos_sin(plans.write_pos, Dh, rope_theta)
+        e_cos, e_sin = rope_cos_sin(plans.q_pos, Dh, rope_theta)
+        x_cos, x_sin = rope_cos_sin(plans.qx, Dh, rope_theta)
+    else:
+        w_cos, w_sin, e_cos, e_sin, x_cos, x_sin = rope_tables
+    scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+    cache_mask = plans.cache_mask[:, None, None, :, :]   # [B,1,1,S,W+1]
+    ks = vs = None
+    if kv_scales is not None:
+        ks, vs = kv_scales
+        ks = ks.transpose(0, 2, 1)[:, :, None, None, :]
+        vs = vs.transpose(0, 2, 1)[:, :, None, None, :]
+
+    if exact:
+        # fold K scales, rotate the cache to key_pos(step 1) once
+        kc = k_cache
+        if kv_scales is not None:
+            kc = kc.astype(jnp.float32) * kv_scales[0][..., None]
+        kc = rotate_by_positions(kc.astype(jnp.float32), plans.dpos,
+                                 rope_theta).astype(q.dtype)
+        # in-flight keys: stored commit-canonical at write_pos; re-rotate
+        # the small block to qx (delta rotation, [B, S] only)
+        k_if = rotate_by_positions(k_infl.astype(jnp.float32),
+                                   plans.qx - plans.write_pos,
+                                   rope_theta).astype(q.dtype)
+        q_ring = apply_rope(q.astype(jnp.float32), x_cos, x_sin).astype(q.dtype)
+        ks_cache = None     # K scales already folded
+    else:
+        kc = k_cache
+        k_if = k_infl
+        q_ring = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(q.dtype)
+        ks_cache = ks
+    qg = q_ring.reshape(B, S, KVH, n_rep, Dh)
+
+    def part(qg_p, kc, vc, mask, lo, hi, *, ks_p, vs_p):
+        k_p = kc[:, lo:hi]
+        v_p = vc[:, lo:hi]
+        if k_p.dtype == jnp.int8:
+            k_p = k_p.astype(q.dtype)
+        if v_p.dtype == jnp.int8:
+            v_p = v_p.astype(q.dtype)
+        s = jnp.einsum("bsgrd,bwgd->bgrsw", qg_p, k_p,
+                       preferred_element_type=jnp.float32)
+        if ks_p is not None:
+            s = s * ks_p[..., lo:hi]
+        s = jnp.where(mask[..., lo:hi], s * scale, NEG_INF)
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None])
+        l = jnp.sum(p, axis=-1)
+        if vs_p is not None:
+            p = p * vs_p[..., lo:hi]
+        o = jnp.einsum("bgrsw,bwgd->bsgrd", p.astype(v_p.dtype), v_p,
+                       preferred_element_type=jnp.float32)
+        return m.transpose(0, 3, 1, 2), l.transpose(0, 3, 1, 2), o
+
+    W1 = k_cache.shape[1]
+    parts = []
+    if sink_policy and sink_slots:
+        qe = apply_rope(q.astype(jnp.float32), e_cos, e_sin).astype(q.dtype)
+        qe = qe.reshape(B, S, KVH, n_rep, Dh)
+        parts.append(part(qe, kc, v_cache, cache_mask, 0, sink_slots,
+                          ks_p=ks_cache, vs_p=vs))
+        parts.append(part(qg, kc, v_cache, cache_mask, sink_slots, W1,
+                          ks_p=ks_cache, vs_p=vs))
+    else:
+        parts.append(part(qg, kc, v_cache, cache_mask, 0, W1,
+                          ks_p=ks_cache, vs_p=vs))
+    infl_mask = plans.infl_mask[:, None, None, :, :]      # [B,1,1,S,S]
+    parts.append(part(qg, k_if, v_infl, infl_mask, 0, S,
+                      ks_p=None, vs_p=None))
+
+    m = parts[0][0]
+    for mp, _, _ in parts[1:]:
+        m = jnp.maximum(m, mp)
+    denom = 0.0
+    out = 0.0
+    for mp, lp, op in parts:
+        w = jnp.exp(mp - m)
+        denom = denom + lp * w
+        out = out + op * w[..., None]
+    out = out / denom[..., None]
+    return out.reshape(B, S, NH, Dh).astype(q.dtype)
+
+
 def blockwise_causal_attention(
     q: jnp.ndarray,  # [B, T, NH, Dh] (already rotated)
     k: jnp.ndarray,  # [B, T, KVH, Dh]

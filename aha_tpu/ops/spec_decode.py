@@ -1,0 +1,242 @@
+"""Speculative-decode planning: exact emulation of S sequential 1-token
+cache updates inside ONE verify pass.
+
+Why this module exists (measured, BASELINE.md round 3): batched greedy
+decode on the 7B runs within ~2x of the chip's practical weight-stream
+limit, so the remaining decode lever is algorithmic — verify several
+draft tokens per weight stream. But a chunked ``decode_chunk(S)`` is NOT
+equivalent to S sequential 1-token passes once a window-evicting policy
+is active: sequential queries attend to old keys that a chunked write
+has already overwritten, and the eviction/shift bookkeeping interleaves
+differently (probe recorded in BASELINE.md; regression:
+tests/test_spec_decode.py). The reference's greedy loop
+(`/root/reference/models/live_llava/modeling_live.py:64-90`) is strictly
+sequential, so speculative verification must reproduce the sequential
+semantics bit-for-bit or exact-greedy parity is lost.
+
+The scheme:
+
+  * ``plan_compose`` — compose S metadata-only ``plan_update`` steps
+    (each exactly what a 1-token pass would do), keeping every
+    intermediate. Pure [B, W+1] integer ops; S is small and static.
+  * the verify pass is READ-ONLY: draft K/V stay in an in-flight block
+    (never written to the cache), and each query position p masks the
+    cache exactly as the p-th sequential step would see it — including
+    masking out slots that sequential steps 0..p would have overwritten
+    (their replacement keys are scored from the in-flight block).
+  * ``select_meta`` / ``commit_slots`` — after acceptance, the cache
+    metadata jumps to the m-th intermediate state and only the accepted
+    tokens' K/V are scattered in, via a layer ``lax.scan`` (the
+    formulation XLA aliases in place; a scatter on a while-loop carry
+    copies the whole cache — measured 9x slower, see
+    ``kv_cache.write_layer_stacked``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .attention import transient_deviation
+from .kv_cache import (CachePolicy, KVCache, UpdatePlan, plan_update,
+                       quantize_kv, reference_mask_operands)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SpecPlans:
+    """Composition of S sequential 1-token update plans.
+
+    Per-step operands are stacked along axis 1 ([B, S]); intermediate
+    metadata along axis 0 ([S+1, ...], entry j = state after j steps).
+    """
+
+    slots: jnp.ndarray       # [B, S] destination slot of token p (junk if invalid)
+    g: jnp.ndarray           # [B, S] global token index
+    q_pos: jnp.ndarray       # [B, S] SEQUENTIAL query position (length-capped)
+    write_pos: jnp.ndarray   # [B, S] key pre-rotation position (commit-canonical)
+    valid: jnp.ndarray       # [B, S] bool
+    cache_mask: jnp.ndarray  # [B, S, W+1] bool — cache columns visible to query p
+    infl_mask: jnp.ndarray   # [B, S, S] bool — in-flight column i visible to query p
+    meta_key_pos: jnp.ndarray  # [S+1, B, W+1]
+    meta_order: jnp.ndarray    # [S+1, B, W+1]
+    meta_seen: jnp.ndarray     # [S+1, B]
+    meta_length: jnp.ndarray   # [S+1, B]
+    # exact-mode operands (reference rotate-at-read semantics, composed so
+    # ONE cache rotation serves all S steps — see speculative_attention):
+    #   step p's reference distance to ring slot c is
+    #     q_pos_p - key_pos_c(after step p) = qx_p - key_pos_c(after step 1)
+    #   because the per-step sink shift is a per-row scalar: qx folds the
+    #   shifts accumulated at steps 2..p into the query position instead of
+    #   re-rotating the cache per step.
+    qx: jnp.ndarray          # [B, S] ring AND in-flight positions (queries
+    # and in-flight keys share the offset: both are born after their own
+    # step's shift, so self-distance qx_p - qx_p = 0 and cross-distances
+    # telescope to the reference's q_pos_p - key_pos_i(after step p))
+    dpos: jnp.ndarray        # [B, W+1] cache rotation: key_pos(step 1) - order
+    exact: jnp.ndarray       # [] bool — some step deviates from the fast
+    # pre-rotation algebra (sink fill transient OR the permanent post-fill
+    # chunk/decode position lag); the verify pass conds to the exact branch.
+
+
+def plan_compose(cache: KVCache, policy: CachePolicy,
+                 valid_len: jnp.ndarray, S: int) -> SpecPlans:
+    """valid_len: [B] int32 in [0, S] — number of real tokens this chunk
+    (position 0 is the carried token, 1.. are drafts). Steps >= valid_len
+    are exact no-ops, matching a 1-token pass with valid_len 0."""
+    junk = policy.junk
+    meta = cache
+    slots, gs, q_poss, write_poss, valids = [], [], [], [], []
+    qxs = []
+    cache_masks, infl_masks = [], []
+    metas = [(cache.key_pos, cache.order, cache.seen, cache.length)]
+    written = jnp.zeros(cache.order.shape, bool)          # [B, W+1]
+    exact = jnp.zeros((), bool)
+    shift_acc = jnp.zeros((cache.batch,), jnp.int32)      # shifts at steps 2..p
+    dpos = None
+    sink = policy.num_sink if policy.kind == "sink" else 0
+    evicting = policy.kind in ("sink", "sliding")
+    use_hf = policy.mask_mode == "hf" and evicting
+
+    for p in range(S):
+        v_p = jnp.minimum(jnp.maximum(valid_len - p, 0), 1)    # [B] 0/1
+        plan: UpdatePlan = plan_update(meta, policy, v_p, 1)
+        if policy.kind == "sink":
+            # only the sink policy deviates from the fast pre-rotation
+            # algebra (production decode_chunk conds on this for sink only;
+            # the other kinds score at write_pos == q_pos and are exact by
+            # construction). NOTE this is not only the fill transient: any
+            # post-fill mix of chunk sizes (frame appends + 1-token decode)
+            # leaves permanent per-key position lags, so post-fill
+            # generation lives on the exact branch (BASELINE.md round 3).
+            exact = exact | jnp.any(transient_deviation(plan, sink)
+                                    & plan.valid[:, :1])
+        if p == 0:
+            # rotation taking stored keys (pre-rotated at their write_pos =
+            # order under sink) to their key_pos after step 1 — the single
+            # cache rotation the exact branch needs for all S steps
+            dpos = jnp.where(plan.new_order >= 0,
+                             plan.new_key_pos - plan.new_order, 0)
+        else:
+            shift_acc = shift_acc + plan.shift
+        qxs.append(plan.q_pos[:, 0] + shift_acc)
+        slot_p = plan.slots[:, 0]
+        slots.append(slot_p)
+        gs.append(plan.g[:, 0])
+        q_poss.append(plan.q_pos[:, 0])
+        write_poss.append(plan.write_pos[:, 0])
+        valids.append(plan.valid[:, 0])
+
+        # visibility of CACHE columns for this query = exactly what the
+        # 1-token pass computes, minus columns already overwritten by
+        # chunk tokens 0..p (their replacement keys live in-flight)
+        if use_hf:
+            ref_idx, q_cap = reference_mask_operands(plan, sink_slots=sink)
+            vis = (ref_idx >= 0) & (ref_idx <= q_cap[:, :1])
+        else:
+            vis = (plan.new_order >= 0) & (plan.new_order <= plan.g[:, :1])
+        # plan.new_order claims slot_p holds token g_p — in the verify pass
+        # it does not (read-only); mask the chunk's own slots out of the
+        # cache part (junk writes excluded: invisible anyway, and under the
+        # static policy the old junk content must stay invisible)
+        written = written | (jax.nn.one_hot(slot_p, written.shape[1],
+                                            dtype=jnp.bool_)
+                             & plan.valid[:, :1] & (slot_p != junk)[:, None])
+        cache_masks.append(vis & ~written)
+
+        # in-flight columns: sequential step p sees chunk token i <= p iff
+        # token i was actually stored (slot != junk; the static policy
+        # freezes its prefix and never sees later tokens) — plus itself,
+        # which the reference always attends (its K is in the live chunk)
+        i_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+        stored = jnp.stack([s != junk for s in slots[: p + 1]]
+                           + [jnp.zeros_like(slot_p, bool)] * (S - p - 1),
+                           axis=1)                         # [B, S]
+        # (i == p is covered by `stored`: a valid token on a non-junk slot
+        # sees itself, exactly like the production write-then-attend pass;
+        # static-policy and invalid tokens go to junk and stay invisible
+        # even to themselves — parity with the 1-token pass, which leaves
+        # such rows attending the cache only)
+        vis_i = (i_idx <= p) & stored & jnp.stack(
+            valids + [jnp.zeros_like(valids[0])] * (S - p - 1), axis=1)
+        infl_masks.append(vis_i)
+
+        meta = dataclasses.replace(
+            meta, key_pos=plan.new_key_pos, order=plan.new_order,
+            seen=plan.new_seen, length=plan.new_length)
+        metas.append((plan.new_key_pos, plan.new_order,
+                      plan.new_seen, plan.new_length))
+
+    stack1 = lambda xs: jnp.stack(xs, axis=1)
+    return SpecPlans(
+        slots=stack1(slots), g=stack1(gs), q_pos=stack1(q_poss),
+        write_pos=stack1(write_poss), valid=stack1(valids),
+        cache_mask=jnp.stack(cache_masks, axis=1),
+        infl_mask=jnp.stack(infl_masks, axis=1),
+        meta_key_pos=jnp.stack([m[0] for m in metas]),
+        meta_order=jnp.stack([m[1] for m in metas]),
+        meta_seen=jnp.stack([m[2] for m in metas]),
+        meta_length=jnp.stack([m[3] for m in metas]),
+        qx=stack1(qxs), dpos=dpos, exact=exact,
+    )
+
+
+def select_meta(cache: KVCache, plans: SpecPlans,
+                m_cache: jnp.ndarray) -> KVCache:
+    """Jump each row's metadata to the state after its accepted m_cache
+    (in [0, S]) sequential steps."""
+    def pick(stack):  # [S+1, B, ...] -> [B, ...]
+        idx = m_cache.reshape(1, -1, *([1] * (stack.ndim - 2)))
+        return jnp.take_along_axis(stack, idx, axis=0)[0]
+
+    return dataclasses.replace(
+        cache,
+        key_pos=pick(plans.meta_key_pos), order=pick(plans.meta_order),
+        seen=pick(plans.meta_seen), length=pick(plans.meta_length))
+
+
+def commit_slots(cache: KVCache, plans: SpecPlans,
+                 infl_k: jnp.ndarray,    # [L, B, S, KVH, Dh] (pre-rotated)
+                 infl_v: jnp.ndarray,
+                 m_cache: jnp.ndarray,   # [B] accepted chunk tokens (0..S)
+                 junk: int) -> KVCache:
+    """Scatter the accepted tokens' K/V into their planned slots.
+
+    Runs as a lax.scan over layers with the cache streamed through xs/ys —
+    the formulation XLA aliases fully in place (see module docstring).
+    Rejected columns route to the junk slot. int8 KV caches quantize the
+    in-flight block here (per-(token, head) scales, like write_layer).
+    """
+    S = infl_k.shape[2]
+    keep = jnp.arange(S, dtype=jnp.int32)[None, :] < m_cache[:, None]
+    slots = jnp.where(keep & plans.valid, plans.slots, junk)   # [B, S]
+
+    quant = cache.k.dtype == jnp.int8
+    if quant:
+        ks_new, k_sc = jax.vmap(quantize_kv)(infl_k)   # over L
+        vs_new, v_sc = jax.vmap(quantize_kv)(infl_v)
+    else:
+        ks_new, vs_new = infl_k, infl_v
+        k_sc = v_sc = None
+
+    def scat(buf, val):
+        # buf [B, W+1, ...], val [B, S, ...]
+        return jax.vmap(lambda b, i, s: b.at[i].set(s))(buf, slots, val)
+
+    def body(_, xs):
+        if quant:
+            kc, vc, kn, vn, ksc, vsc, kscn, vscn = xs
+            return None, (scat(kc, kn), scat(vc, vn),
+                          scat(ksc, kscn), scat(vsc, vscn))
+        kc, vc, kn, vn = xs
+        return None, (scat(kc, kn), scat(vc, vn))
+
+    if quant:
+        _, (k, v, ksc, vsc) = jax.lax.scan(
+            body, None, (cache.k, cache.v, ks_new, vs_new,
+                         cache.k_scale, cache.v_scale, k_sc, v_sc))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc)
+    _, (k, v) = jax.lax.scan(body, None, (cache.k, cache.v, ks_new, vs_new))
+    return dataclasses.replace(cache, k=k, v=v)
