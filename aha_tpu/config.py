@@ -330,6 +330,17 @@ class InferConfig:
     # "auto" (model dtype) | "int8": per-(slot, head) quantized KV — half
     # the cache HBM / attention DMA, ~0.5% attention-output error
     kv_cache_dtype: str = "auto"
+    # speculative decoding: tokens verified per decoder pass (the carried
+    # token + S-1 n-gram-lookup drafts). 1 = off (the plain sequential
+    # loop). EXACT greedy parity either way — acceptance replays the
+    # reference loop's argmax/eos/budget/penalty bookkeeping per position
+    # (engine.generate_spec); env override AHA_SPEC_DECODE=S. Default 4:
+    # measured on the v5e-1 7B int8 (scripts/perf/ab_spec_decode.py) the
+    # verify pass is weight-DMA-bound like the 1-token pass, so rejected
+    # drafts cost NOTHING (423.7 vs 420.6 tok/s at B=8) while acceptance
+    # pays up to 3.6x (S=4) / 6.1x (S=8) — expected value >= 0 on any
+    # workload, and answers that quote stream context accept often.
+    spec_decode_tokens: int = 4
     # "hf" (default): replicate the reference's transformers-4.49 mask
     # arithmetic, incl. its post-fill intra-chunk non-causality (see
     # CachePolicy.mask_mode); "strict": true causal order <= g

@@ -183,6 +183,49 @@ def plan_compose(cache: KVCache, policy: CachePolicy,
     )
 
 
+def ngram_draft(hist: jnp.ndarray,      # [B, M] token history, -1 = empty
+                hist_len: jnp.ndarray,  # [B] valid prefix length
+                carry: jnp.ndarray,     # [B] next token to be written
+                n_draft: int) -> jnp.ndarray:
+    """Self-drafting by n-gram lookup (prompt-lookup decoding): propose the
+    continuation that followed the most recent earlier occurrence of the
+    current suffix. Bigram key (last written token, carry) first, unigram
+    (carry) fallback; no match -> zeros. Drafts are PROPOSALS only — the
+    verify pass accepts exactly the prefix that matches sequential greedy
+    argmax, so draft quality affects speed, never correctness.
+
+    All ops are [B, M] elementwise/argmax — negligible next to one decoder
+    pass. `hist` must be contiguous (prompt then generated tokens, no gap)
+    with unused columns -1 so they can never match a real token id.
+    Returns drafts [B, n_draft] int32.
+    """
+    B, M = hist.shape
+    # place carry at hist[hist_len]: the sequence suffix ends ...last, carry
+    bidx = jnp.arange(B)
+    h = hist.at[bidx, jnp.minimum(hist_len, M - 1)].set(carry)
+    L = hist_len + 1                                   # [B] length incl. carry
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :]      # [1, M]
+    key_a = h[bidx, jnp.maximum(L - 2, 0)]             # last written token
+    key_b = carry
+
+    def latest(match):                                  # [B, M] -> [B], -1 none
+        return jnp.max(jnp.where(match, idx, -1), axis=1)
+
+    # bigram: h[j] == key_a & h[j+1] == key_b, continuation starts at j+2
+    nxt = jnp.concatenate([h[:, 1:], jnp.full((B, 1), -1, h.dtype)], axis=1)
+    m2 = ((h == key_a[:, None]) & (nxt == key_b[:, None])
+          & (idx + 2 < L[:, None]) & (L[:, None] >= 2))
+    j2 = latest(m2)
+    # unigram: h[j] == carry, continuation starts at j+1
+    m1 = (h == key_b[:, None]) & (idx + 1 < L[:, None])
+    j1 = latest(m1)
+    start = jnp.where(j2 >= 0, j2 + 2, jnp.where(j1 >= 0, j1 + 1, M))  # [B]
+    pos = start[:, None] + jnp.arange(n_draft, dtype=jnp.int32)[None, :]
+    ok = pos < L[:, None]
+    drafts = jnp.take_along_axis(h, jnp.clip(pos, 0, M - 1), axis=1)
+    return jnp.where(ok & (drafts >= 0), drafts, 0).astype(jnp.int32)
+
+
 def select_meta(cache: KVCache, plans: SpecPlans,
                 m_cache: jnp.ndarray) -> KVCache:
     """Jump each row's metadata to the state after its accepted m_cache

@@ -31,7 +31,7 @@ import numpy as np
 
 from aha_tpu.config import AhaConfig
 from aha_tpu.models import aha, qwen2
-from aha_tpu.ops import attention
+from aha_tpu.ops import attention, spec_decode
 from aha_tpu.ops.kv_cache import (CachePolicy, KVCache, init_cache,
                                   reset_cache, reset_cache_rows)
 
@@ -114,6 +114,7 @@ class StreamEngine:
         lora_scale: float = 0.0,
         mesh=None,
         kv_dtype=None,
+        spec_tokens: int | None = None,
     ):
         """mesh: optional jax.sharding.Mesh('data','model') — mesh-sharded
         (TP/DP) inference. Params and cache get NamedShardings from
@@ -135,6 +136,19 @@ class StreamEngine:
         self.lora = lora
         self.lora_scale = lora_scale
         self.kv_dtype = kv_dtype
+        # speculative decoding chunk size (carried token + S-1 n-gram
+        # drafts per weight stream); 1 = off. Exact greedy parity with the
+        # sequential loop either way (generate_spec docstring). The raw
+        # engine default is off (tests construct engines directly and CPU
+        # verify passes are compute-priced, not DMA-free); the product
+        # surface defaults to InferConfig.spec_decode_tokens=4 — measured
+        # free-when-rejected on the chip (ab_spec_decode.py). Env override
+        # AHA_SPEC_DECODE=S.
+        import os as _os
+
+        if spec_tokens is None:
+            spec_tokens = int(_os.environ.get("AHA_SPEC_DECODE", "1") or 1)
+        self.spec_tokens = max(int(spec_tokens), 1)
         self.serve_overlap = _serve_overlap()
         self.mesh = mesh
         if mesh is not None:
@@ -762,6 +776,111 @@ class StreamEngine:
             last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
             return cache, out_ids, out_len, counts, last_tok
 
+        def generate_spec(params, cache, prompt_ids, valid_len, counts,
+                          active=None):
+            """Speculative greedy decode: EXACT output parity with
+            `generate` (the reference's strictly sequential loop), but each
+            weight stream verifies S = self.spec_tokens candidate tokens —
+            the carried token plus S-1 n-gram-lookup drafts
+            (`spec_decode.ngram_draft`) — via the read-only verify pass
+            (`qwen2.decode_chunk_spec`), committing only the prefix that
+            matches sequential greedy argmax. Motivation (BASELINE.md round
+            3): batched decode runs within ~2x of the chip's weight-stream
+            limit, so the remaining lever is tokens per weight stream.
+
+            Exactness: position p's hidden state bit-matches the p-th
+            sequential 1-token pass for every cache policy/fill state
+            (tests/test_spec_decode.py); acceptance replays the sequential
+            loop's write/eos/budget/repetition-penalty bookkeeping per
+            position, so a rejected draft costs nothing but the pass and a
+            perfect drafter changes no output byte.
+            """
+            S = self.spec_tokens
+            eos = cfg.eos_token_id
+            N = self.max_new_tokens
+            B = prompt_ids.shape[0]
+            P = prompt_ids.shape[1]
+            M = P + N + 1
+            if active is not None:
+                valid_len = jnp.where(active, valid_len, 0)
+            cache, logits = append_ids(params, cache, prompt_ids, valid_len)
+            tok = jnp.argmax(
+                _apply_repetition_penalty(logits, counts, self.repetition_penalty), axis=-1
+            ).astype(jnp.int32)
+
+            bidx = jnp.arange(B)
+            out_ids = jnp.zeros((B, N), jnp.int32)
+            out_len = jnp.zeros((B,), jnp.int32)
+            done = (jnp.zeros((B,), bool) if active is None else ~active)
+            # contiguous draft-source history: prompt then generated tokens,
+            # -1 in unused columns (never matches a real id)
+            hist = jnp.full((B, M), -1, jnp.int32)
+            cols = jnp.arange(P, dtype=jnp.int32)[None, :]
+            hist = hist.at[:, :P].set(
+                jnp.where(cols < valid_len[:, None], prompt_ids, -1))
+            hist_len = valid_len.astype(jnp.int32)
+
+            def cond(state):
+                _, _, _, out_len, done, _, _, _ = state
+                return jnp.any(~done & (out_len < N))
+
+            def body(state):
+                tok, cache, out_ids, out_len, done, counts, hist, hist_len = state
+                drafts = spec_decode.ngram_draft(hist, hist_len, tok, S - 1)
+                chunk = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B, S]
+                plan_valid = jnp.where(~done & (out_len < N), S, 0).astype(jnp.int32)
+                plans = spec_decode.plan_compose(cache, policy, plan_valid, S)
+                embeds = qwen2.embed_tokens(
+                    params["llm"], chunk, dtype=jnp.dtype(cfg.dtype))
+                hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                    params["llm"], cfg.llm, policy, cache, embeds, plans,
+                    lora=lora, lora_scale=lora_scale)
+                logits = qwen2.lm_logits(
+                    params["llm"], cfg.llm, hidden).astype(jnp.float32)  # [B, S, V]
+
+                # replay the sequential loop's bookkeeping position by
+                # position (S is small and static — this unrolls at trace
+                # time into [B]-sized ops, no extra device passes)
+                reach = ~done & (out_len < N)   # position p reached + writable
+                m_cache = jnp.zeros((B,), jnp.int32)
+                carry = tok
+                for p in range(S):
+                    tok_p = chunk[:, p]
+                    write = reach
+                    out_ids = out_ids.at[
+                        bidx, jnp.where(write, out_len, N)].set(tok_p, mode="drop")
+                    hist = hist.at[
+                        bidx, jnp.where(write, hist_len, M)].set(tok_p, mode="drop")
+                    out_len = out_len + write
+                    hist_len = hist_len + write
+                    is_eos = tok_p == eos
+                    counts = counts.at[bidx, tok_p].add(
+                        (write & ~is_eos).astype(jnp.int32))
+                    done = done | (write & is_eos)
+                    # the decoder step for tok_p ran speculatively; it COUNTS
+                    # iff the sequential loop would have run it
+                    processed = write & ~is_eos & (out_len < N)
+                    m_cache = m_cache + processed
+                    t_next = jnp.argmax(_apply_repetition_penalty(
+                        logits[:, p], counts, self.repetition_penalty),
+                        axis=-1).astype(jnp.int32)
+                    carry = jnp.where(processed, t_next, carry)
+                    if p + 1 < S:
+                        # draft p+1 is accepted iff it IS the sequential token
+                        reach = processed & (chunk[:, p + 1] == t_next)
+
+                cache = spec_decode.commit_slots(
+                    cache, plans, infl_k, infl_v, m_cache, policy.junk)
+                cache = spec_decode.select_meta(cache, plans, m_cache)
+                return (carry, cache, out_ids, out_len, done, counts,
+                        hist, hist_len)
+
+            state = (tok, cache, out_ids, out_len, done, counts, hist, hist_len)
+            _, cache, out_ids, out_len, _, counts, _, _ = jax.lax.while_loop(
+                cond, body, state)
+            last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
+            return cache, out_ids, out_len, counts, last_tok
+
         # the cache argument is donated on the per-chunk hot paths: the ring
         # buffer updates in place instead of being copied every frame.
         # `generate` deliberately does NOT donate — the session keeps the
@@ -816,6 +935,9 @@ class StreamEngine:
             self._generate = _jit(generate, donate_argnums=(1,))
         else:
             self._generate = _jit(generate)
+        # speculative variant: same non-donation rationale as generate
+        self._generate_spec = (_jit(generate_spec)
+                               if self.spec_tokens > 1 else None)
         # donated: k/v pass through aliased, metadata buffers reset in place
         self._reset_cache = jax.jit(reset_cache, donate_argnums=(0,))
         self._reset_cache_rows = jax.jit(reset_cache_rows, donate_argnums=(0,))
@@ -882,6 +1004,9 @@ class StreamEngine:
     def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray,
                  active=None):
         ids, lens = self.pad_ids(ids_list)
+        if self._generate_spec is not None:
+            return self._generate_spec(self.params, cache, ids, lens, counts,
+                                       active)
         return self._generate(self.params, cache, ids, lens, counts, active)
 
     def new_z_state(self, window: int = 20):

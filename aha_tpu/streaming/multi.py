@@ -189,6 +189,7 @@ class MultiStreamSession:
             repetition_penalty=infer_cfg.repetition_penalty,
             lora=lora, lora_scale=lora_scale, mesh=mesh,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
+            spec_tokens=infer_cfg.spec_decode_tokens,
         )
         # per-row trigger thresholds (the reference runs one process per
         # stream, each with its own sensitivity; the batched server keeps

@@ -538,5 +538,6 @@ def build_session(
         lora=lora,
         lora_scale=lora_scale,
         kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
+        spec_tokens=infer_cfg.spec_decode_tokens,
     )
     return StreamSession(engine, tokenizer, infer_cfg)

@@ -1,0 +1,179 @@
+"""Speculative generation: end-to-end output parity with the sequential loop.
+
+`engine.generate_spec` must reproduce `engine.generate` (the reference's
+`fast_greedy_generate`, `/root/reference/models/modeling_live.py:64-90`)
+byte for byte — out_ids, out_len, repetition counts, last_tok AND the
+resulting KV cache — for every cache policy, with and without repetition
+penalty, across eos termination, token-budget cuts mid-chunk, and inactive
+rows. The n-gram drafter only affects speed: rejected drafts replay the
+sequential tokens exactly (verify-pass parity: tests/test_spec_decode.py).
+
+Acceptance-path coverage: a constant-argmax model (zeroed lm_head) makes
+the drafter accept full chunks after the first pass, exercising commit at
+full width; random tiny models mostly reject, exercising the replay path.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aha_tpu.config import InferConfig, aha_tiny
+from aha_tpu.models import aha
+from aha_tpu.ops import spec_decode
+from aha_tpu.ops.kv_cache import CachePolicy
+from aha_tpu.streaming.engine import StreamEngine
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tokenizer = aha.build_model_and_tokenizer(cfg, seed=0)
+    return params, cfg
+
+
+def _policy(kind):
+    if kind == "sink":
+        # small window so generation crosses fill + eviction (the exact
+        # rotate-at-read branch) within a short test
+        return CachePolicy("sink", window=24, num_sink=4)
+    if kind == "sliding":
+        return CachePolicy("sliding", window=24)
+    return CachePolicy("none", window=256)
+
+
+def _run(params, cfg, kind, *, S, N, prompt_rows, prefill_rows=None,
+         penalty=None, eos=None, active=None):
+    c = cfg if eos is None else dataclasses.replace(cfg, eos_token_id=eos)
+    eng = StreamEngine(params, c, _policy(kind), batch=len(prompt_rows),
+                       max_new_tokens=N, repetition_penalty=penalty,
+                       spec_tokens=S)
+    cache = eng.new_cache()
+    if prefill_rows is not None:
+        cache, _ = eng.append_ids(cache, prefill_rows)
+    counts = eng.new_rep_counts()
+    act = None if active is None else jnp.asarray(active, bool)
+    cache, out_ids, out_len, counts, last = eng.generate(
+        cache, prompt_rows, counts, act)
+    return (np.asarray(out_ids), np.asarray(out_len), np.asarray(counts),
+            np.asarray(last), cache)
+
+
+def _assert_pair_equal(a, b, kind):
+    out_a, len_a, cnt_a, last_a, cache_a = a
+    out_b, len_b, cnt_b, last_b, cache_b = b
+    np.testing.assert_array_equal(len_a, len_b)
+    for r in range(out_a.shape[0]):
+        np.testing.assert_array_equal(out_a[r, : len_a[r]],
+                                      out_b[r, : len_b[r]])
+    np.testing.assert_array_equal(cnt_a, cnt_b)
+    np.testing.assert_array_equal(last_a, last_b)
+    # full cache-state parity (metadata + occupied non-junk slots)
+    junk = _policy(kind).junk
+    keep = np.ones(_policy(kind).num_slots, bool)
+    keep[junk] = False
+    np.testing.assert_array_equal(np.asarray(cache_a.order)[:, keep],
+                                  np.asarray(cache_b.order)[:, keep])
+    np.testing.assert_array_equal(np.asarray(cache_a.key_pos)[:, keep],
+                                  np.asarray(cache_b.key_pos)[:, keep])
+    np.testing.assert_array_equal(np.asarray(cache_a.seen),
+                                  np.asarray(cache_b.seen))
+    occ = (np.asarray(cache_a.order) >= 0) & keep[None, :]
+    sel = occ[None, :, :, None, None]
+    for name in ("k", "v"):
+        xa = np.where(sel, np.asarray(getattr(cache_a, name), np.float32), 0.0)
+        xb = np.where(sel, np.asarray(getattr(cache_b, name), np.float32), 0.0)
+        np.testing.assert_allclose(xa, xb, rtol=2e-5, atol=2e-5)
+
+
+PROMPTS = [[5, 9, 17, 3], [11, 2]]
+PREFILL = [list(range(20, 44)), list(range(50, 62))]
+
+
+def _full_only(request):
+    import os
+    if not (request.config.getoption("--full", default=False)
+            or os.environ.get("AHA_FULL_TESTS") == "1"):
+        pytest.skip("slow tier (run with --full or AHA_FULL_TESTS=1)")
+
+
+@pytest.mark.parametrize("kind", ["none", "sink", "sliding"])
+def test_spec_generate_matches_sequential(tiny_model, kind, request):
+    if kind != "sink":
+        _full_only(request)
+    params, cfg = tiny_model
+    kw = dict(S=4, N=18, prompt_rows=PROMPTS, prefill_rows=PREFILL)
+    _assert_pair_equal(_run(params, cfg, kind, **kw),
+                       _run(params, cfg, kind, **dict(kw, S=1)), kind)
+
+
+def test_spec_generate_repetition_penalty(tiny_model, request):
+    _full_only(request)
+    params, cfg = tiny_model
+    kw = dict(S=4, N=18, prompt_rows=PROMPTS, prefill_rows=PREFILL,
+              penalty=1.3)
+    _assert_pair_equal(_run(params, cfg, "sink", **kw),
+                       _run(params, cfg, "sink", **dict(kw, S=1)), "sink")
+
+
+def test_spec_generate_eos_and_inactive_rows(tiny_model):
+    """Pick eos = a token the model actually emits, so rows terminate
+    mid-stream; row 1 inactive (must stay a no-op)."""
+    params, cfg = tiny_model
+    base = _run(params, cfg, "sink", S=1, N=18, prompt_rows=PROMPTS,
+                prefill_rows=PREFILL)
+    out, out_len = base[0], base[1]
+    eos = int(out[0, min(4, out_len[0] - 1)])
+    kw = dict(S=4, N=18, prompt_rows=PROMPTS, prefill_rows=PREFILL,
+              eos=eos, active=[True, False])
+    _assert_pair_equal(_run(params, cfg, "sink", **kw),
+                       _run(params, cfg, "sink", **dict(kw, S=1)), "sink")
+
+
+def test_spec_generate_budget_cut_mid_chunk(tiny_model):
+    """N not a multiple of S: the last verify chunk crosses the token
+    budget; only in-budget tokens may be written or committed."""
+    params, cfg = tiny_model
+    kw = dict(S=4, N=6, prompt_rows=PROMPTS, prefill_rows=PREFILL)
+    _assert_pair_equal(_run(params, cfg, "sink", **kw),
+                       _run(params, cfg, "sink", **dict(kw, S=1)), "sink")
+
+
+def test_spec_generate_full_acceptance(tiny_model, request):
+    """Constant-argmax model (zeroed lm_head): after the first pass the
+    drafter proposes the repeated token and every chunk commits at full
+    width — exercises multi-token commit + eviction under acceptance."""
+    _full_only(request)
+    params, cfg = tiny_model
+    z = {**params, "llm": {**params["llm"],
+                           "lm_head": {"kernel": jnp.zeros_like(
+                               params["llm"]["lm_head"]["kernel"])}}}
+    kw = dict(S=4, N=20, prompt_rows=PROMPTS, prefill_rows=PREFILL)
+    a = _run(z, cfg, "sink", **kw)
+    b = _run(z, cfg, "sink", **dict(kw, S=1))
+    _assert_pair_equal(a, b, "sink")
+    assert (a[1] == 20).all() and (a[0] == a[0][:, :1]).all()
+
+
+def test_ngram_draft_lookup():
+    """Bigram hit, unigram fallback, no-match zeros, and empty-history
+    safety — pure [B, M] ops, checked against hand-computed answers."""
+    hist = jnp.asarray([
+        [7, 8, 9, 7, 8, 3, 4, -1, -1, -1],   # bigram (8,?) after [7,8] -> 9
+        [5, 6, 2, 5, 1, 1, -1, -1, -1, -1],  # no bigram (1,5); unigram 5 -> 1
+        [3, 4, 5, 6, 7, 8, -1, -1, -1, -1],  # no occurrence of carry 9
+        [-1] * 10,                            # empty history
+    ], jnp.int32)
+    hist_len = jnp.asarray([7, 6, 6, 0], jnp.int32)
+    carry = jnp.asarray([8, 5, 9, 2], jnp.int32)
+    drafts = np.asarray(spec_decode.ngram_draft(hist, hist_len, carry, 3))
+    # row 0: suffix ...4, carry 8? last written 4, carry 8 -> no bigram
+    #        (4,8); unigram latest 8 at idx 4 -> continuation [3, 4, 8]
+    #        (col 7 holds the carry placed at hist_len)
+    np.testing.assert_array_equal(drafts[0], [3, 4, 8])
+    # row 1: last written 1, carry 5 -> bigram (1,5)? no; unigram latest 5
+    #        at idx 3 -> continuation [1, 1, 5]
+    np.testing.assert_array_equal(drafts[1], [1, 1, 5])
+    np.testing.assert_array_equal(drafts[2], [0, 0, 0])
+    np.testing.assert_array_equal(drafts[3], [0, 0, 0])
