@@ -142,12 +142,16 @@ class StreamEngine:
         # engine default is off (tests construct engines directly and CPU
         # verify passes are compute-priced, not DMA-free); the product
         # surface defaults to InferConfig.spec_decode_tokens=4 — measured
-        # free-when-rejected on the chip (ab_spec_decode.py). Env override
-        # AHA_SPEC_DECODE=S.
+        # free-when-rejected on the chip (ab_spec_decode.py). A set
+        # AHA_SPEC_DECODE always wins (global kill switch / sweep knob,
+        # even over an explicit config value).
         import os as _os
 
-        if spec_tokens is None:
-            spec_tokens = int(_os.environ.get("AHA_SPEC_DECODE", "1") or 1)
+        env_s = _os.environ.get("AHA_SPEC_DECODE")
+        if env_s:
+            spec_tokens = int(env_s)
+        elif spec_tokens is None:
+            spec_tokens = 1
         self.spec_tokens = max(int(spec_tokens), 1)
         self.serve_overlap = _serve_overlap()
         self.mesh = mesh
@@ -482,6 +486,15 @@ class StreamEngine:
             token is never fed back through the model — ref
             modeling_live.py:64-90).
 
+            Speculative decode tail (S = spec_tokens > 1): once every live
+            row is decoding (no scoring or prompt rows — the common tail
+            of a response round), passes switch to an S-token verify chunk
+            (`spec_tail`): the carried token plus S-1 n-gram-lookup drafts
+            verified in ONE weight stream, committing exactly the prefix
+            that matches sequential greedy argmax — measured free when
+            rejected, up to S x when accepted (BASELINE.md round 3).
+            Per-row outputs and cache state stay byte-identical.
+
             Returns (cache, scores_buf, i, score_sum, triggered, out_ids,
             out_len, counts, last_tok)."""
             eos = cfg.eos_token_id
@@ -490,6 +503,9 @@ class StreamEngine:
             F = frames.shape[2]
             Pg = gen_ids.shape[1]
             W = max(F, Pg)
+            S = self.spec_tokens
+            Mh = Pg + N + 1
+            bidx = jnp.arange(B)
             gen_emb = qwen2.embed_tokens(params["llm"], gen_ids,
                                          dtype=jnp.dtype(cfg.dtype))
             if Pg < W:
@@ -497,19 +513,27 @@ class StreamEngine:
 
             mode0 = jnp.where(triggered0, 1,
                               jnp.where(start < limit, 0, 3)).astype(jnp.int32)
+            # n-gram draft history for the speculative tail: generation
+            # prompt + every generated token, -1 padding (never matches a
+            # real id). Threaded as loop state even at S == 1, where it is
+            # carried untouched (a while-loop carry costs nothing).
+            glen = gen_len.astype(jnp.int32)
+            hist0 = jnp.concatenate([
+                jnp.where(jnp.arange(Pg, dtype=jnp.int32)[None, :]
+                          < glen[:, None], gen_ids.astype(jnp.int32), -1),
+                jnp.full((B, Mh - Pg), -1, jnp.int32)], axis=1)
 
             def cond(state):
-                (_, _, _, _, mode, _, _, _, _, _, resp_done,
-                 new_wait, _zh, _zc) = state
+                mode, resp_done, new_wait = state[4], state[10], state[11]
                 live = mode != 3
                 gen_live = (mode == 1) | (mode == 2)
                 need_host = jnp.any(resp_done) | jnp.any(new_wait)
                 return jnp.any(live) & ~(need_host & ~jnp.any(gen_live))
 
-            def body(state):
+            def seq_pass(state):
                 (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                  out_len, counts, triggered, resp_done, new_wait,
-                 zh, zc) = state
+                 zh, zc, hist, hist_len) = state
 
                 # 3. one ragged mixed chunk: frames / gen prompt / one
                 # token. Two widths behind a cond: once every scoring row
@@ -547,8 +571,12 @@ class StreamEngine:
                 # branch keeps the program at ONE cond); the decode tail
                 # runs at width 1 (64 of 65 gen-only passes for a
                 # 64-token answer — one token's matmuls + the weight
-                # stream, same pass cost as generate()'s)
-                if W == 1:
+                # stream, same pass cost as generate()'s). At S > 1 the
+                # spec_tail branch owns the pure-decode case (body-level
+                # cond), so seq_pass always runs wide.
+                if S > 1:
+                    cache, last_h = run(W, True, cache)
+                elif W == 1:
                     cache, last_h = run(1, True, cache)
                 else:
                     cache, last_h = jax.lax.cond(
@@ -602,6 +630,9 @@ class StreamEngine:
                     & (jnp.arange(N)[None, :] == j[:, None]),
                     tok[:, None], out_ids)
                 out_len = out_len + decoding.astype(jnp.int32)
+                hist = hist.at[bidx, jnp.where(decoding, hist_len, Mh)].set(
+                    tok, mode="drop")
+                hist_len = hist_len + decoding.astype(jnp.int32)
                 is_eos = decoding & (tok == eos)
                 pen = decoding & ~(tok == eos)
                 counts = counts.at[jnp.arange(B), tok].add(pen.astype(jnp.int32))
@@ -618,16 +649,86 @@ class StreamEngine:
 
                 return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                         out_len, counts, triggered, resp_done, new_wait,
-                        zh, zc)
+                        zh, zc, hist, hist_len)
+
+            def spec_tail(state):
+                """Pure-decode pass at width S: verify the carried token
+                plus S-1 n-gram drafts in ONE weight stream (the
+                generate_spec machinery re-based on the mixed loop's
+                written-but-unfed carry: `tok` is already in out_ids/hist/
+                counts, so feeding chunk position p tail-writes the NEXT
+                token t_{p+1} with exactly seq_pass's write/eos/budget
+                order). Entered only when no row scores or prompts."""
+                (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                 out_len, counts, triggered, resp_done, new_wait,
+                 zh, zc, hist, hist_len) = state
+                decoding = mode == 2
+                # the carry is already written, so the lookup anchors one
+                # position back (ngram_draft re-places it at hist_len - 1)
+                drafts = spec_decode.ngram_draft(
+                    hist, jnp.maximum(hist_len - 1, 0), tok, S - 1)
+                chunk = jnp.concatenate([tok[:, None], drafts], axis=1)
+                plan_valid = jnp.where(decoding, S, 0).astype(jnp.int32)
+                plans = spec_decode.plan_compose(cache, policy, plan_valid, S)
+                embeds = qwen2.embed_tokens(
+                    params["llm"], chunk, dtype=jnp.dtype(cfg.dtype))
+                hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                    params["llm"], cfg.llm, policy, cache, embeds, plans,
+                    lora=lora, lora_scale=lora_scale)
+                logits = qwen2.lm_logits(
+                    params["llm"], cfg.llm, hidden).astype(jnp.float32)
+
+                reach = decoding          # feed of chunk[:, p] would run
+                m_cache = jnp.zeros((B,), jnp.int32)
+                for p in range(S):
+                    m_cache = m_cache + reach.astype(jnp.int32)
+                    t_next = jnp.argmax(_apply_repetition_penalty(
+                        logits[:, p], counts, self.repetition_penalty),
+                        axis=-1).astype(jnp.int32)
+                    write = reach
+                    out_ids = out_ids.at[
+                        bidx, jnp.where(write, out_len, N)].set(
+                        t_next, mode="drop")
+                    hist = hist.at[
+                        bidx, jnp.where(write, hist_len, Mh)].set(
+                        t_next, mode="drop")
+                    out_len = out_len + write.astype(jnp.int32)
+                    hist_len = hist_len + write.astype(jnp.int32)
+                    is_eos = t_next == eos
+                    counts = counts.at[bidx, t_next].add(
+                        (write & ~is_eos).astype(jnp.int32))
+                    stop = write & (is_eos | (out_len >= N))
+                    resp_done = resp_done | stop
+                    mode = jnp.where(stop, 3, mode)
+                    tok = jnp.where(write, t_next, tok)
+                    if p + 1 < S:
+                        # draft p+1 is fed next iff it IS the token the
+                        # sequential loop just produced and nothing stopped
+                        reach = write & ~stop & (chunk[:, p + 1] == t_next)
+
+                cache = spec_decode.commit_slots(
+                    cache, plans, infl_k, infl_v, m_cache, policy.junk)
+                cache = spec_decode.select_meta(cache, plans, m_cache)
+                return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                        out_len, counts, triggered, resp_done, new_wait,
+                        zh, zc, hist, hist_len)
+
+            if S == 1:
+                body = seq_pass
+            else:
+                def body(state):
+                    return jax.lax.cond(
+                        jnp.any((state[4] == 0) | (state[4] == 1)),
+                        seq_pass, spec_tail, state)
 
             state = (start, cache, scores_buf, score_sum, mode0,
                      jnp.zeros((B,), jnp.int32),
                      jnp.zeros((B, N), jnp.int32), jnp.zeros((B,), jnp.int32),
                      counts, triggered0, jnp.zeros((B,), bool),
-                     jnp.zeros((B,), bool), z_hist, z_cnt)
+                     jnp.zeros((B,), bool), z_hist, z_cnt, hist0, glen)
             (i, cache, scores_buf, score_sum, mode, tok, out_ids, out_len,
-             counts, triggered, resp_done, _nw, z_hist,
-             z_cnt) = jax.lax.while_loop(cond, body, state)
+             counts, triggered, resp_done, _nw, z_hist, z_cnt,
+             _hist, _hlen) = jax.lax.while_loop(cond, body, state)
             last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
             return (cache, scores_buf, i, score_sum, triggered, out_ids,
                     out_len, counts, last_tok, z_hist, z_cnt)
@@ -698,8 +799,9 @@ class StreamEngine:
 
             def gen_branch(op):
                 c, cnt = op
-                return generate(params, c, gen_ids, gen_len, cnt,
-                                active=triggered)
+                gen = generate_spec if self.spec_tokens > 1 else generate
+                return gen(params, c, gen_ids, gen_len, cnt,
+                           active=triggered)
 
             def skip_branch(op):
                 c, cnt = op

@@ -408,6 +408,55 @@ def test_serve_overlap_matches_legacy_path(model, monkeypatch):
                 np.testing.assert_allclose(x[f], y[f], rtol=1e-5, atol=1e-7)
 
 
+def test_serve_spec_decode_matches_sequential(model, monkeypatch):
+    """AHA_SPEC_DECODE=4 (speculative verify tail in the fused serving
+    loop, engine spec_tail) and =1 (sequential width-1 tail) must produce
+    identical responses and score traces — acceptance-gated commit is a
+    pure scheduling change. max_new_tokens=6 with S=4 crosses a budget
+    cut mid-chunk; two queries per row exercise re-trigger after a
+    committed speculative response."""
+    from aha_tpu.streaming.multi import MultiStreamSession
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(11)
+    r = cfg.frame_resolution
+    videos = [rng.integers(0, 255, (9, r, r, 3), dtype=np.uint8)
+              for _ in range(3)]
+    convs = [
+        [{"role": "user", "content": "watch for it", "time": 0}],
+        [{"role": "user", "content": "q at 3", "time": 3.0},
+         {"role": "user", "content": "again", "time": 6.0}],
+        [],
+    ]
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=6,
+        )
+
+    outs = {}
+    for flag in ("4", "1"):
+        monkeypatch.setenv("AHA_SPEC_DECODE", flag)
+        sess = MultiStreamSession(params, cfg, tok, icfg(), batch=3)
+        outs[flag] = sess.run(videos, convs, fps=1.0)
+
+    any_response = False
+    for a, b in zip(outs["4"], outs["1"]):
+        ra = [t for t in a["responses"] if t["role"] == "assistant"]
+        rb = [t for t in b["responses"] if t["role"] == "assistant"]
+        assert ra == rb
+        any_response |= bool(ra)
+        assert len(a["debug_data"]) == len(b["debug_data"])
+        for x, y in zip(a["debug_data"], b["debug_data"]):
+            for f in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(x[f], y[f], rtol=1e-5, atol=1e-7)
+    assert any_response   # the fixture must actually trigger generation
+
+
 def test_server_per_stream_thresholds(model):
     """A request may override its trigger sensitivity: a row with an
     unreachable threshold never responds while its slot-mates (and later
