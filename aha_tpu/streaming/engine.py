@@ -454,7 +454,8 @@ class StreamEngine:
         def _mixed_loop(params, cache, frames, start, limit, score_sum,
                         triggered0, scores_buf, prob_threshold, sum_threshold,
                         head_mask, gen_ids, gen_len, counts, z_thr, z_hist,
-                        z_cnt, first_n, resume_at):
+                        z_cnt, first_n, resume_at, ctx_ids=None,
+                        ctx_len=None):
             """Trigger scoring AND greedy generation in ONE while_loop: a
             row that triggers switches to decoding INLINE while the other
             rows keep scoring frames — batch rows are independent sessions
@@ -504,7 +505,8 @@ class StreamEngine:
             Pg = gen_ids.shape[1]
             W = max(F, Pg)
             S = self.spec_tokens
-            Mh = Pg + N + 1
+            C = 0 if ctx_ids is None else ctx_ids.shape[1]
+            Mh = C + Pg + N + 1
             bidx = jnp.arange(B)
             gen_emb = qwen2.embed_tokens(params["llm"], gen_ids,
                                          dtype=jnp.dtype(cfg.dtype))
@@ -513,15 +515,26 @@ class StreamEngine:
 
             mode0 = jnp.where(triggered0, 1,
                               jnp.where(start < limit, 0, 3)).astype(jnp.int32)
-            # n-gram draft history for the speculative tail: generation
-            # prompt + every generated token, -1 padding (never matches a
-            # real id). Threaded as loop state even at S == 1, where it is
-            # carried untouched (a while-loop carry costs nothing).
+            # n-gram draft history for the speculative tail: [recent
+            # conversation text (ctx)] [generation prompt] [generated
+            # tokens], -1 padding (never matches a real id). Threaded as
+            # loop state even at S == 1, where it is carried untouched
+            # (a while-loop carry costs nothing).
             glen = gen_len.astype(jnp.int32)
-            hist0 = jnp.concatenate([
-                jnp.where(jnp.arange(Pg, dtype=jnp.int32)[None, :]
-                          < glen[:, None], gen_ids.astype(jnp.int32), -1),
-                jnp.full((B, Mh - Pg), -1, jnp.int32)], axis=1)
+            hist0 = jnp.full((B, Mh), -1, jnp.int32)
+            if C:
+                ccols = jnp.arange(C, dtype=jnp.int32)[None, :]
+                hist0 = hist0.at[:, :C].set(
+                    jnp.where(ccols < ctx_len[:, None],
+                              ctx_ids.astype(jnp.int32), -1))
+                off0 = ctx_len.astype(jnp.int32)
+            else:
+                off0 = jnp.zeros((B,), jnp.int32)
+            pcols = jnp.arange(Pg, dtype=jnp.int32)[None, :]
+            hist0 = hist0.at[bidx[:, None], off0[:, None] + pcols].set(
+                jnp.where(pcols < glen[:, None],
+                          gen_ids.astype(jnp.int32), -1), mode="drop")
+            hlen0 = off0 + glen
 
             def cond(state):
                 mode, resp_done, new_wait = state[4], state[10], state[11]
@@ -725,7 +738,7 @@ class StreamEngine:
                      jnp.zeros((B,), jnp.int32),
                      jnp.zeros((B, N), jnp.int32), jnp.zeros((B,), jnp.int32),
                      counts, triggered0, jnp.zeros((B,), bool),
-                     jnp.zeros((B,), bool), z_hist, z_cnt, hist0, glen)
+                     jnp.zeros((B,), bool), z_hist, z_cnt, hist0, hlen0)
             (i, cache, scores_buf, score_sum, mode, tok, out_ids, out_len,
              counts, triggered, resp_done, _nw, z_hist, z_cnt,
              _hist, _hlen) = jax.lax.while_loop(cond, body, state)
@@ -736,8 +749,8 @@ class StreamEngine:
         def serve_step(params, cache, ids, id_len, can_step, frames, start,
                        limit, score_sum, counts, prob_threshold,
                        sum_threshold, head_mask, gen_ids, gen_len,
-                       do_generate, z_thr, z_hist, z_cnt, first_n,
-                       resume_at):
+                       ctx_ids, ctx_len, do_generate, z_thr, z_hist, z_cnt,
+                       first_n, resume_at):
             """One serving-loop iteration as ONE program (the multi-stream
             QA hot path): fused [role-prefix + frame] step with its trigger
             rule evaluated on device, the batched trigger loop, and greedy
@@ -788,7 +801,7 @@ class StreamEngine:
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
                     gen_ids, gen_len, counts, z_thr, z_hist, z_cnt, first_n,
-                    resume_at)
+                    resume_at, ctx_ids, ctx_len)
 
             cache, scores_buf, i2, sum2, triggered, z_hist, z_cnt = \
                 _trigger_loop(
@@ -799,9 +812,12 @@ class StreamEngine:
 
             def gen_branch(op):
                 c, cnt = op
-                gen = generate_spec if self.spec_tokens > 1 else generate
-                return gen(params, c, gen_ids, gen_len, cnt,
-                           active=triggered)
+                if self.spec_tokens > 1:
+                    return generate_spec(params, c, gen_ids, gen_len, cnt,
+                                         active=triggered, ctx_ids=ctx_ids,
+                                         ctx_len=ctx_len)
+                return generate(params, c, gen_ids, gen_len, cnt,
+                                active=triggered)
 
             def skip_branch(op):
                 c, cnt = op
@@ -879,7 +895,7 @@ class StreamEngine:
             return cache, out_ids, out_len, counts, last_tok
 
         def generate_spec(params, cache, prompt_ids, valid_len, counts,
-                          active=None):
+                          active=None, ctx_ids=None, ctx_len=None):
             """Speculative greedy decode: EXACT output parity with
             `generate` (the reference's strictly sequential loop), but each
             weight stream verifies S = self.spec_tokens candidate tokens —
@@ -896,13 +912,21 @@ class StreamEngine:
             loop's write/eos/budget/repetition-penalty bookkeeping per
             position, so a rejected draft costs nothing but the pass and a
             perfect drafter changes no output byte.
+
+            ctx_ids/ctx_len: optional draft CONTEXT ([B, C] int32 + [B]
+            valid lengths) — recent conversation text (queries, earlier
+            responses) prepended to the lookup history. Answers that
+            quote the asked question are prompt-lookup's sweet spot, so
+            this is where real-checkpoint acceptance comes from. Pure
+            draft source: never fed to the model, cannot change output.
             """
             S = self.spec_tokens
             eos = cfg.eos_token_id
             N = self.max_new_tokens
             B = prompt_ids.shape[0]
             P = prompt_ids.shape[1]
-            M = P + N + 1
+            C = 0 if ctx_ids is None else ctx_ids.shape[1]
+            M = C + P + N + 1
             if active is not None:
                 valid_len = jnp.where(active, valid_len, 0)
             cache, logits = append_ids(params, cache, prompt_ids, valid_len)
@@ -914,13 +938,22 @@ class StreamEngine:
             out_ids = jnp.zeros((B, N), jnp.int32)
             out_len = jnp.zeros((B,), jnp.int32)
             done = (jnp.zeros((B,), bool) if active is None else ~active)
-            # contiguous draft-source history: prompt then generated tokens,
+            # contiguous draft-source history: [context] [prompt] [generated],
             # -1 in unused columns (never matches a real id)
             hist = jnp.full((B, M), -1, jnp.int32)
+            if C:
+                ccols = jnp.arange(C, dtype=jnp.int32)[None, :]
+                hist = hist.at[:, :C].set(
+                    jnp.where(ccols < ctx_len[:, None],
+                              ctx_ids.astype(jnp.int32), -1))
+                off = ctx_len.astype(jnp.int32)
+            else:
+                off = jnp.zeros((B,), jnp.int32)
             cols = jnp.arange(P, dtype=jnp.int32)[None, :]
-            hist = hist.at[:, :P].set(
-                jnp.where(cols < valid_len[:, None], prompt_ids, -1))
-            hist_len = valid_len.astype(jnp.int32)
+            hist = hist.at[bidx[:, None], off[:, None] + cols].set(
+                jnp.where(cols < valid_len[:, None],
+                          prompt_ids.astype(jnp.int32), -1), mode="drop")
+            hist_len = off + valid_len.astype(jnp.int32)
 
             def cond(state):
                 _, _, _, out_len, done, _, _, _ = state
@@ -1021,7 +1054,7 @@ class StreamEngine:
         # gated by do_generate, so rollback callers pass False and generate
         # host-side on a non-donating path
         self._serve_step = _jit(serve_step, donate_argnums=(1,),
-                                static_argnums=(15,))
+                                static_argnums=(17,))
         self._encode_frames = _jit(encode_frames)
         # AHA_DONATE_GEN=1: measured TIE on-chip (B=8x64-token batched
         # decode: 409.3 tok/s donated vs 405.3 non-donated, within noise)
@@ -1104,11 +1137,16 @@ class StreamEngine:
         )
 
     def generate(self, cache: KVCache, ids_list: list[list[int]], counts: jnp.ndarray,
-                 active=None):
+                 active=None, ctx=None):
+        """ctx: optional (ctx_ids [B, C] int32, ctx_len [B] int32) draft
+        context for the speculative n-gram lookup (recent conversation
+        text). Draft source only — ignored by the sequential path and
+        unable to change any output byte on the speculative one."""
         ids, lens = self.pad_ids(ids_list)
         if self._generate_spec is not None:
+            ctx_ids, ctx_len = ctx if ctx is not None else (None, None)
             return self._generate_spec(self.params, cache, ids, lens, counts,
-                                       active)
+                                       active, ctx_ids, ctx_len)
         return self._generate(self.params, cache, ids, lens, counts, active)
 
     def new_z_state(self, window: int = 20):
@@ -1156,16 +1194,22 @@ class StreamEngine:
                    score_heads: tuple[str, ...],
                    gen_prompt: list[int], *, do_generate: bool = True,
                    z_threshold=None, z_state=None, first_n_frames: int = 0,
-                   resume_at=None):
+                   resume_at=None, ctx=None):
         """One fused serving iteration (see serve_step in _build).
         prefix_rows: per-row role-transition prefix ids ([] = plain frame).
         frames: [B, T, F, H]. Thresholds may be scalars or per-row [B]
-        arrays (inf disables a criterion for a row). Returns (cache,
+        arrays (inf disables a criterion for a row). ctx: optional
+        (ctx_ids [B, C] int32, ctx_len [B]) draft context for the
+        speculative n-gram lookup (recent conversation text; draft source
+        only, cannot change output). Returns (cache,
         scores [B, T, 3], i, sum, triggered, out_ids, out_len, counts,
         last_tok, z_hist, z_cnt)."""
         B = frames.shape[0]
         ids, lens = self.pad_ids(prefix_rows)
         gen_ids, gen_len = self.pad_ids([list(gen_prompt)] * B)
+        ctx_ids, ctx_len = ((None, None) if ctx is None
+                            else (jnp.asarray(ctx[0], jnp.int32),
+                                  jnp.asarray(ctx[1], jnp.int32)))
         head_mask = jnp.asarray([
             1.0 if "informative_score" in score_heads else 0.0,
             1.0 if "relevance_score" in score_heads else 0.0,
@@ -1179,7 +1223,8 @@ class StreamEngine:
             jnp.asarray(score_sum, jnp.float32), counts,
             inf if prob_threshold is None else jnp.asarray(prob_threshold, jnp.float32),
             inf if sum_threshold is None else jnp.asarray(sum_threshold, jnp.float32),
-            head_mask, gen_ids, gen_len, bool(do_generate),
+            head_mask, gen_ids, gen_len, ctx_ids, ctx_len,
+            bool(do_generate),
             inf if z_threshold is None else jnp.asarray(z_threshold, jnp.float32),
             jnp.asarray(z_hist, jnp.float32), jnp.asarray(z_cnt, jnp.int32),
             jnp.int32(first_n_frames),

@@ -308,6 +308,26 @@ class MultiStreamSession:
         i = np.zeros(B, np.int64)
         score_sum = np.zeros(B, np.float64)
         last_role = ["system"] * B
+        # per-row draft context for speculative decoding: recent
+        # conversation text (query ids, earlier response ids), newest
+        # last, capped at 128 tokens. Pure n-gram draft source — never
+        # fed to the model, cannot change any output byte.
+        CTX = 128
+        ctx_ids = np.zeros((B, CTX), np.int32)
+        ctx_len = np.zeros(B, np.int32)
+
+        def push_ctx(b, ids):
+            ids = np.asarray(ids, np.int32).ravel()
+            if ids.size >= CTX:
+                ctx_ids[b] = ids[-CTX:]
+                ctx_len[b] = CTX
+                return
+            n = int(ctx_len[b])
+            keep = min(n, CTX - ids.size)
+            if keep < n:
+                ctx_ids[b, :keep] = ctx_ids[b, n - keep:n]
+            ctx_ids[b, keep:keep + ids.size] = ids
+            ctx_len[b] = keep + ids.size
         init_vision = [False] * B
         pending_last: list[list[int]] = [[] for _ in range(B)]
         queries: list[list[dict]] = [[] for _ in range(B)]
@@ -349,6 +369,7 @@ class MultiStreamSession:
                 if not triggered[b]:
                     continue
                 n = int(out_len[b])
+                push_ctx(b, out_ids[b, :n])   # answers seed later drafts
                 text = self.tokenizer.decode(
                     out_ids[b, :n], skip_special_tokens=True)
                 responses[b].append({
@@ -452,6 +473,8 @@ class MultiStreamSession:
                             z_thr[b] = float(opts["threshold_z"])
                     last_role[b], init_vision[b] = "system", False
                     pending_last[b] = []
+                    ctx_ids[b] = 0
+                    ctx_len[b] = 0
                     queries[b], q_ptr[b] = user_turns, 0
                     responses[b] = [
                         {"time": t["time"], "content": t["content"],
@@ -483,6 +506,7 @@ class MultiStreamSession:
                     )
                     q_ptr[b] += 1
                     last_role[b] = "user"
+                    push_ctx(b, q_rows[b])
                     any_q = True
             if any_q:
                 cache, _ = eng.append_ids(cache, q_rows)
@@ -535,7 +559,7 @@ class MultiStreamSession:
                     tuple(a.score_heads), self._gen_prompt_ids,
                     do_generate=do_gen, z_threshold=z_thr,
                     z_state=(z_hist, z_cnt), first_n_frames=first_n,
-                    resume_at=resume_at)
+                    resume_at=resume_at, ctx=(ctx_ids, ctx_len))
                 (i_new, triggered, s_host, new_sum, out_ids, out_len,
                  last_tok) = jax.device_get(
                     (i_dev, trig_dev, scores_dev, sum_dev, out_ids,
@@ -557,7 +581,9 @@ class MultiStreamSession:
                                   else [] for b in range(B)]
                         _, out_ids, out_len, counts, last_tok = eng.generate(
                             cache, g_rows, counts,
-                            active=jnp.asarray(triggered))
+                            active=jnp.asarray(triggered),
+                            ctx=(jnp.asarray(ctx_ids),
+                                 jnp.asarray(ctx_len)))
                         cache = pre_cache
                         out_ids, out_len, last_tok = jax.device_get(
                             (out_ids, out_len, last_tok))
@@ -640,7 +666,9 @@ class MultiStreamSession:
                           for b in range(B)]
                 gen_cache, out_ids, out_len, counts, last_tok = \
                     eng.generate(cache, g_rows, counts,
-                                 active=jnp.asarray(triggered))
+                                 active=jnp.asarray(triggered),
+                                 ctx=(jnp.asarray(ctx_ids),
+                                      jnp.asarray(ctx_len)))
                 cache = pre_cache if a.remove_assistant_turns else gen_cache
                 out_ids, out_len, last_tok = jax.device_get(
                     (out_ids, out_len, last_tok))

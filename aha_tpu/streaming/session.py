@@ -22,6 +22,7 @@ from __future__ import annotations
 import collections
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from aha_tpu.config import AhaConfig, InferConfig
@@ -97,6 +98,10 @@ class StreamSession:
         self.consecutive_n_frames = 0
         self.debug_data_list: list[dict] = []
         self._pending_last_ids: list[int] = []
+        # draft context for speculative decoding: recent conversation text
+        # (query ids, earlier response ids), most-recent-last, capped at
+        # 128 tokens. Pure n-gram draft source — never fed to the model.
+        self._draft_ctx: list[int] = []
         # reuse the allocated ring buffer across videos (metadata-only reset;
         # a fresh new_cache() would churn ~120 MB of HBM per video on the 7B
         # and defeat donation in multi-video drivers)
@@ -170,6 +175,7 @@ class StreamSession:
             add_stream_prompt=True,
         )
         self.cache, _ = self.engine.append_ids(self.cache, [query_ids])
+        self._push_draft_ctx(query_ids)
         self.last_role = "user"
 
     def encode_given_query(self, query: str):
@@ -177,10 +183,27 @@ class StreamSession:
         self.query_queue.append((self.video_time, query))
         self._encode_query()
 
+    _DRAFT_CTX_TOKENS = 128
+
+    def _push_draft_ctx(self, ids):
+        self._draft_ctx.extend(int(t) for t in ids)
+        self._draft_ctx = self._draft_ctx[-self._DRAFT_CTX_TOKENS:]
+
+    def _draft_ctx_arrays(self):
+        """(ctx_ids [1, 128], ctx_len [1]) for engine.generate — the
+        speculative drafter's lookup context (fixed width: one compiled
+        shape)."""
+        C = self._DRAFT_CTX_TOKENS
+        ids = np.zeros((1, C), np.int32)
+        n = len(self._draft_ctx)
+        ids[0, :n] = self._draft_ctx
+        return jnp.asarray(ids), jnp.asarray([n], jnp.int32)
+
     def _generate_response(self) -> str:
         pre_cache = self.cache
         cache, out_ids, out_len, counts, last_tok = self.engine.generate(
-            self.cache, [self._added_stream_generation_ids], self.rep_counts
+            self.cache, [self._added_stream_generation_ids], self.rep_counts,
+            ctx=self._draft_ctx_arrays(),
         )
         self.rep_counts = counts
         if not self.remove_assistant_turns:
@@ -193,6 +216,7 @@ class StreamSession:
         n = int(out_len[0])
         ids = np.asarray(out_ids[0, :n])
         response = self.tokenizer.decode(ids, skip_special_tokens=True)
+        self._push_draft_ctx(ids)   # earlier answers seed later drafts
         self.num_frames_no_reply = 0
         self.last_role = "assistant"
         return response

@@ -384,8 +384,13 @@ def run_bench(preset: str) -> dict:
     # generate over B rows, no per-phase syncs) — the instrumented
     # batched_decode_tok_s below under-reads it ~3-4x (405.7 vs 111.1 on
     # the v5e-1 7B int8, scripts/perf/ab_int4_decode.py)
+    # spec_tokens=4 = the production serving default (InferConfig): the
+    # S=4 verify pass costs the same as a 1-token pass on the chip
+    # (reject-free, BASELINE.md round 3), so this is >= the sequential
+    # number by construction; decode_tokens_per_sec above stays sequential
+    # for cross-round comparability.
     bdec_engine = _SE2(engine.params, cfg, engine.policy, batch=B,
-                       max_new_tokens=32)
+                       max_new_tokens=32, spec_tokens=4)
     bdec_prompts = [prompt] * B
 
     def run_batched_decode():
