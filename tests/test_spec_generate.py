@@ -156,6 +156,81 @@ def test_spec_generate_full_acceptance(tiny_model, request):
     assert (a[1] == 20).all() and (a[0] == a[0][:, :1]).all()
 
 
+def _serve_once(params, cfg, *, S, eos, N=10):
+    """One fused serve_step round: both rows trigger on frame 0 (threshold
+    -inf), generate through the mixed loop (spec tail at S > 1), return
+    host-fetched outputs."""
+    import dataclasses as dc
+
+    import jax
+
+    c = dc.replace(cfg, eos_token_id=eos)
+    eng = StreamEngine(params, c, _policy("sink"), batch=2,
+                       max_new_tokens=N, spec_tokens=S)
+    rng = np.random.default_rng(3)
+    F, H = c.frame_num_tokens, c.llm.hidden_size
+    frames = jnp.asarray(0.05 * rng.standard_normal((2, 3, F, H)),
+                         jnp.dtype(c.dtype))
+    out = eng.serve_step(
+        eng.new_cache(), [[5, 7], [9]], [True, True], frames,
+        np.zeros(2, np.int64), np.full(2, 3, np.int64), np.zeros(2),
+        eng.new_rep_counts(), -1e9, None,
+        ("informative_score", "relevance_score"), [11, 3])
+    (_, scores, i, ssum, trig, out_ids, out_len, counts, last_tok,
+     _zh, _zc) = jax.device_get(out)
+    return (np.asarray(out_ids), np.asarray(out_len), np.asarray(counts),
+            np.asarray(last_tok), np.asarray(scores), np.asarray(trig))
+
+
+def _assert_serve_equal(a, b):
+    out_a, len_a, cnt_a, last_a, sc_a, trig_a = a
+    out_b, len_b, cnt_b, last_b, sc_b, trig_b = b
+    np.testing.assert_array_equal(len_a, len_b)
+    for r in range(out_a.shape[0]):
+        np.testing.assert_array_equal(out_a[r, : len_a[r]],
+                                      out_b[r, : len_b[r]])
+    np.testing.assert_array_equal(cnt_a, cnt_b)
+    np.testing.assert_array_equal(last_a, last_b)
+    np.testing.assert_array_equal(trig_a, trig_b)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5, atol=1e-7)
+
+
+def test_serve_step_spec_oracle_full_acceptance(tiny_model, monkeypatch):
+    """Oracle drafter: feed the S=1 run's exact token sequence as drafts,
+    forcing FULL acceptance with real token variety through the serving
+    loop's spec tail (the n-gram drafter on random weights mostly
+    rejects, leaving multi-token commit untested there); then set eos to
+    a mid-sequence token so rows terminate INSIDE an accepted verify
+    chunk (stop must gate both the replay and the cache commit). Outputs
+    must bit-match the sequential tail either way."""
+    from aha_tpu.ops import spec_decode as sd
+
+    params, cfg = tiny_model
+    base = _serve_once(params, cfg, S=1, eos=0)   # token 0 never emitted?
+    out_ids, out_len = base[0], base[1]
+    assert (out_len >= 6).all(), "fixture must generate a real tail"
+    rec = jnp.asarray(out_ids, jnp.int32)         # [2, N] recorded tokens
+
+    def oracle(hist, hist_len, carry, n):
+        # spec_tail anchors the lookup at hist_len_true - 1, and
+        # hist_len_true = gen_prompt_len (2) + generated-so-far, so
+        # generated = hist_len - 1 and the next tokens start at rec[g]
+        g = hist_len - 1
+        pos = g[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+        ok = pos < rec.shape[1]
+        return jnp.where(ok, jnp.take_along_axis(
+            rec, jnp.clip(pos, 0, rec.shape[1] - 1), axis=1), 0)
+
+    monkeypatch.setattr(sd, "ngram_draft", oracle)
+    _assert_serve_equal(_serve_once(params, cfg, S=4, eos=0), base)
+
+    # eos mid-chunk: terminate at the 6th emitted token of row 0 (an
+    # accepted position > 0 in some verify chunk under the oracle)
+    eos = int(out_ids[0, 5])
+    base_eos = _serve_once(params, cfg, S=1, eos=eos)
+    _assert_serve_equal(_serve_once(params, cfg, S=4, eos=eos), base_eos)
+
+
 def test_ngram_draft_lookup():
     """Bigram hit, unigram fallback, no-match zeros, and empty-history
     safety — pure [B, M] ops, checked against hand-computed answers."""
