@@ -92,6 +92,7 @@ def _build_session(args):
         num_sink_tokens=args.num_sink_tokens,
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "auto"),
         kv_mask_mode=getattr(args, "kv_mask_mode", "hf"),
+        spec_decode_tokens=getattr(args, "spec_decode_tokens", 4),
     )
     return build_session(params, cfg, tokenizer, infer_cfg,
                          lora=lora, lora_scale=lora_scale)
@@ -146,7 +147,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--num_sink_tokens", type=int, default=32)
     p.add_argument("--kv_cache_dtype", default="auto", choices=["auto", "int8"],
                    help="int8: per-(slot, head) quantized KV cache — half "
-                        "the cache HBM / attention DMA, ~0.5% output error")
+                        "the cache HBM / attention DMA, ~0.5%% output error")
+    p.add_argument("--spec_decode_tokens", type=int, default=4,
+                   help="speculative decoding: tokens verified per decoder "
+                        "pass (1 = off). EXACT greedy parity either way; "
+                        "rejected drafts are free on TPU (BASELINE.md)")
     p.add_argument("--kv_mask_mode", default="hf", choices=["hf", "strict"],
                    help="hf: reference transformers-4.49 mask arithmetic "
                         "(post-fill chunks attend non-causally within the "
@@ -788,6 +793,9 @@ def cmd_serve(argv):
     p.add_argument("--num_sink_tokens", type=int, default=32)
     p.add_argument("--kv_cache_dtype", default="auto", choices=["auto", "int8"])
     p.add_argument("--kv_mask_mode", default="hf", choices=["hf", "strict"])
+    p.add_argument("--spec_decode_tokens", type=int, default=4,
+                   help="speculative decoding: tokens verified per decoder "
+                        "pass (1 = off); exact greedy parity either way")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="shard the slot batch over this many devices")
     p.add_argument("--mesh_model", type=int, default=1,
