@@ -189,10 +189,12 @@ def ngram_draft(hist: jnp.ndarray,      # [B, M] token history, -1 = empty
                 n_draft: int) -> jnp.ndarray:
     """Self-drafting by n-gram lookup (prompt-lookup decoding): propose the
     continuation that followed the most recent earlier occurrence of the
-    current suffix. Bigram key (last written token, carry) first, unigram
-    (carry) fallback; no match -> zeros. Drafts are PROPOSALS only — the
-    verify pass accepts exactly the prefix that matches sequential greedy
-    argmax, so draft quality affects speed, never correctness.
+    LONGEST matching suffix — trigram (prev, last, carry) first, then
+    bigram (last, carry), then unigram (carry); no match -> zeros. Longer
+    keys disambiguate repeated tokens (precision), shorter keys keep
+    recall. Drafts are PROPOSALS only — the verify pass accepts exactly
+    the prefix that matches sequential greedy argmax, so draft quality
+    affects speed, never correctness.
 
     All ops are [B, M] elementwise/argmax — negligible next to one decoder
     pass. `hist` must be contiguous (prompt then generated tokens, no gap)
@@ -205,21 +207,31 @@ def ngram_draft(hist: jnp.ndarray,      # [B, M] token history, -1 = empty
     h = hist.at[bidx, jnp.minimum(hist_len, M - 1)].set(carry)
     L = hist_len + 1                                   # [B] length incl. carry
     idx = jnp.arange(M, dtype=jnp.int32)[None, :]      # [1, M]
+    key_c = h[bidx, jnp.maximum(L - 3, 0)]             # token before last
     key_a = h[bidx, jnp.maximum(L - 2, 0)]             # last written token
     key_b = carry
 
     def latest(match):                                  # [B, M] -> [B], -1 none
         return jnp.max(jnp.where(match, idx, -1), axis=1)
 
-    # bigram: h[j] == key_a & h[j+1] == key_b, continuation starts at j+2
     nxt = jnp.concatenate([h[:, 1:], jnp.full((B, 1), -1, h.dtype)], axis=1)
+    nxt2 = jnp.concatenate([h[:, 2:], jnp.full((B, 2), -1, h.dtype)], axis=1)
+    # trigram: h[j] == key_c & h[j+1] == key_a & h[j+2] == key_b,
+    # continuation starts at j+3 (j+2 < L-1 excludes the suffix itself)
+    m3 = ((h == key_c[:, None]) & (nxt == key_a[:, None])
+          & (nxt2 == key_b[:, None])
+          & (idx + 3 < L[:, None]) & (L[:, None] >= 3))
+    j3 = latest(m3)
+    # bigram: h[j] == key_a & h[j+1] == key_b, continuation starts at j+2
     m2 = ((h == key_a[:, None]) & (nxt == key_b[:, None])
           & (idx + 2 < L[:, None]) & (L[:, None] >= 2))
     j2 = latest(m2)
     # unigram: h[j] == carry, continuation starts at j+1
     m1 = (h == key_b[:, None]) & (idx + 1 < L[:, None])
     j1 = latest(m1)
-    start = jnp.where(j2 >= 0, j2 + 2, jnp.where(j1 >= 0, j1 + 1, M))  # [B]
+    start = jnp.where(j3 >= 0, j3 + 3,
+                      jnp.where(j2 >= 0, j2 + 2,
+                                jnp.where(j1 >= 0, j1 + 1, M)))   # [B]
     pos = start[:, None] + jnp.arange(n_draft, dtype=jnp.int32)[None, :]
     ok = pos < L[:, None]
     drafts = jnp.take_along_axis(h, jnp.clip(pos, 0, M - 1), axis=1)

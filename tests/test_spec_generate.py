@@ -44,11 +44,11 @@ def _policy(kind):
 
 
 def _run(params, cfg, kind, *, S, N, prompt_rows, prefill_rows=None,
-         penalty=None, eos=None, active=None):
+         penalty=None, eos=None, active=None, kv=None):
     c = cfg if eos is None else dataclasses.replace(cfg, eos_token_id=eos)
     eng = StreamEngine(params, c, _policy(kind), batch=len(prompt_rows),
                        max_new_tokens=N, repetition_penalty=penalty,
-                       spec_tokens=S)
+                       spec_tokens=S, kv_dtype=kv)
     cache = eng.new_cache()
     if prefill_rows is not None:
         cache, _ = eng.append_ids(cache, prefill_rows)
@@ -129,6 +129,28 @@ def test_spec_generate_eos_and_inactive_rows(tiny_model):
               eos=eos, active=[True, False])
     _assert_pair_equal(_run(params, cfg, "sink", **kw),
                        _run(params, cfg, "sink", **dict(kw, S=1)), "sink")
+
+
+def test_spec_generate_int8_kv(tiny_model):
+    """int8 KV cache (the wide-batch serving recipe): the verify pass
+    reads the quantized cache and commit quantizes the accepted in-flight
+    block exactly as sequential write_layer would — outputs must match
+    the S=1 int8-KV run bit for bit."""
+    import jax.numpy as jnp_
+
+    params, cfg = tiny_model
+    kw = dict(S=4, N=14, prompt_rows=PROMPTS, prefill_rows=PREFILL,
+              kv=jnp_.int8)
+    a = _run(params, cfg, "sink", **kw)
+    b = _run(params, cfg, "sink", **dict(kw, S=1))
+    out_a, len_a, cnt_a, last_a, _ = a
+    out_b, len_b, cnt_b, last_b, _ = b
+    np.testing.assert_array_equal(len_a, len_b)
+    for r in range(out_a.shape[0]):
+        np.testing.assert_array_equal(out_a[r, : len_a[r]],
+                                      out_b[r, : len_b[r]])
+    np.testing.assert_array_equal(cnt_a, cnt_b)
+    np.testing.assert_array_equal(last_a, last_b)
 
 
 def test_spec_generate_budget_cut_mid_chunk(tiny_model):
@@ -252,3 +274,16 @@ def test_ngram_draft_lookup():
     np.testing.assert_array_equal(drafts[1], [1, 1, 5])
     np.testing.assert_array_equal(drafts[2], [0, 0, 0])
     np.testing.assert_array_equal(drafts[3], [0, 0, 0])
+
+
+def test_ngram_draft_trigram_beats_bigram():
+    """When the 3-token suffix has an earlier occurrence, its continuation
+    wins over a LATER bigram match (longest-suffix-first precision)."""
+    hist = jnp.asarray(
+        [[2, 3, 4, 8, 7, 3, 4, 6, 2, 3, -1, -1]], jnp.int32)
+    # suffix after placing carry: ... 2, 3, 4 — trigram (2,3,4) matches at
+    # j=0 -> continuation [8, 7, 3]; the LATER bigram (3,4) at j=5 would
+    # give [6, 2, 3] and must lose
+    drafts = np.asarray(spec_decode.ngram_draft(
+        hist, jnp.asarray([10], jnp.int32), jnp.asarray([4], jnp.int32), 3))
+    np.testing.assert_array_equal(drafts[0], [8, 7, 3])
