@@ -183,6 +183,33 @@ def plan_compose(cache: KVCache, policy: CachePolicy,
     )
 
 
+def build_draft_hist(ctx_ids: jnp.ndarray | None,   # [B, C] or None
+                     ctx_len: jnp.ndarray | None,   # [B] valid ctx lengths
+                     ids: jnp.ndarray,               # [B, P] prompt ids
+                     lens: jnp.ndarray,              # [B] valid prompt lengths
+                     extra: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Contiguous n-gram draft history for ``ngram_draft``: [context]
+    [prompt] [room for `extra` generated tokens], ragged rows packed left,
+    -1 in unused columns (never matches a real token id). Returns
+    ``(hist [B, C+P+extra] int32, hist_len [B] int32)``."""
+    B, P = ids.shape
+    C = 0 if ctx_ids is None else ctx_ids.shape[1]
+    bidx = jnp.arange(B)
+    hist = jnp.full((B, C + P + extra), -1, jnp.int32)
+    if C:
+        ccols = jnp.arange(C, dtype=jnp.int32)[None, :]
+        hist = hist.at[:, :C].set(
+            jnp.where(ccols < ctx_len[:, None], ctx_ids.astype(jnp.int32), -1))
+        off = ctx_len.astype(jnp.int32)
+    else:
+        off = jnp.zeros((B,), jnp.int32)
+    cols = jnp.arange(P, dtype=jnp.int32)[None, :]
+    hist = hist.at[bidx[:, None], off[:, None] + cols].set(
+        jnp.where(cols < lens[:, None], ids.astype(jnp.int32), -1),
+        mode="drop")
+    return hist, off + lens.astype(jnp.int32)
+
+
 def ngram_draft(hist: jnp.ndarray,      # [B, M] token history, -1 = empty
                 hist_len: jnp.ndarray,  # [B] valid prefix length
                 carry: jnp.ndarray,     # [B] next token to be written

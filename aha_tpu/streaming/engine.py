@@ -517,24 +517,17 @@ class StreamEngine:
                               jnp.where(start < limit, 0, 3)).astype(jnp.int32)
             # n-gram draft history for the speculative tail: [recent
             # conversation text (ctx)] [generation prompt] [generated
-            # tokens], -1 padding (never matches a real id). Threaded as
-            # loop state even at S == 1, where it is carried untouched
-            # (a while-loop carry costs nothing).
-            glen = gen_len.astype(jnp.int32)
-            hist0 = jnp.full((B, Mh), -1, jnp.int32)
-            if C:
-                ccols = jnp.arange(C, dtype=jnp.int32)[None, :]
-                hist0 = hist0.at[:, :C].set(
-                    jnp.where(ccols < ctx_len[:, None],
-                              ctx_ids.astype(jnp.int32), -1))
-                off0 = ctx_len.astype(jnp.int32)
+            # tokens], -1 padding (never matches a real id). At S == 1
+            # there is no drafting: carry token-sized placeholders,
+            # untouched (a while-loop carry costs nothing) — the scatter
+            # per decode pass would not.
+            if S > 1:
+                hist0, hlen0 = spec_decode.build_draft_hist(
+                    ctx_ids, ctx_len, gen_ids, gen_len.astype(jnp.int32),
+                    N + 1)
             else:
-                off0 = jnp.zeros((B,), jnp.int32)
-            pcols = jnp.arange(Pg, dtype=jnp.int32)[None, :]
-            hist0 = hist0.at[bidx[:, None], off0[:, None] + pcols].set(
-                jnp.where(pcols < glen[:, None],
-                          gen_ids.astype(jnp.int32), -1), mode="drop")
-            hlen0 = off0 + glen
+                hist0 = jnp.zeros((B, 1), jnp.int32)
+                hlen0 = jnp.zeros((B,), jnp.int32)
 
             def cond(state):
                 mode, resp_done, new_wait = state[4], state[10], state[11]
@@ -643,9 +636,11 @@ class StreamEngine:
                     & (jnp.arange(N)[None, :] == j[:, None]),
                     tok[:, None], out_ids)
                 out_len = out_len + decoding.astype(jnp.int32)
-                hist = hist.at[bidx, jnp.where(decoding, hist_len, Mh)].set(
-                    tok, mode="drop")
-                hist_len = hist_len + decoding.astype(jnp.int32)
+                if S > 1:   # S == 1 never drafts: skip the per-pass scatter
+                    hist = hist.at[
+                        bidx, jnp.where(decoding, hist_len, Mh)].set(
+                        tok, mode="drop")
+                    hist_len = hist_len + decoding.astype(jnp.int32)
                 is_eos = decoding & (tok == eos)
                 pen = decoding & ~(tok == eos)
                 counts = counts.at[jnp.arange(B), tok].add(pen.astype(jnp.int32))
@@ -940,20 +935,8 @@ class StreamEngine:
             done = (jnp.zeros((B,), bool) if active is None else ~active)
             # contiguous draft-source history: [context] [prompt] [generated],
             # -1 in unused columns (never matches a real id)
-            hist = jnp.full((B, M), -1, jnp.int32)
-            if C:
-                ccols = jnp.arange(C, dtype=jnp.int32)[None, :]
-                hist = hist.at[:, :C].set(
-                    jnp.where(ccols < ctx_len[:, None],
-                              ctx_ids.astype(jnp.int32), -1))
-                off = ctx_len.astype(jnp.int32)
-            else:
-                off = jnp.zeros((B,), jnp.int32)
-            cols = jnp.arange(P, dtype=jnp.int32)[None, :]
-            hist = hist.at[bidx[:, None], off[:, None] + cols].set(
-                jnp.where(cols < valid_len[:, None],
-                          prompt_ids.astype(jnp.int32), -1), mode="drop")
-            hist_len = off + valid_len.astype(jnp.int32)
+            hist, hist_len = spec_decode.build_draft_hist(
+                ctx_ids, ctx_len, prompt_ids, valid_len, N + 1)
 
             def cond(state):
                 _, _, _, out_len, done, _, _, _ = state

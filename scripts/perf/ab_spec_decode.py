@@ -38,16 +38,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _zero_lm_head(params):
-    import jax.numpy as jnp
-
-    llm = params["llm"]
-    k = llm["lm_head"]["kernel"]
-    if isinstance(k, dict):
-        k = {**k, "qvalue": jnp.zeros_like(k["qvalue"])}
-    else:
-        k = jnp.zeros_like(k)
-    return {**params, "llm": {**llm, "lm_head": {"kernel": k}}}
+from scripts.perf.perf_utils import zero_lm_head as _zero_lm_head  # noqa: E402
 
 
 def run(base_params, cfg, policy, variant: str, B: int, max_new: int,
@@ -103,6 +94,12 @@ def run(base_params, cfg, policy, variant: str, B: int, max_new: int,
 
 
 def main():
+    # a user-exported AHA_SPEC_DECODE overrides even explicit spec_tokens
+    # (the engine's ops kill switch) and would silently turn the 'base'
+    # arm speculative — pin the harness to its own per-variant settings
+    import os
+
+    os.environ.pop("AHA_SPEC_DECODE", None)
     args = sys.argv
     B = int(args[args.index("--b") + 1]) if "--b" in args else 8
     max_new = int(args[args.index("--tokens") + 1]) if "--tokens" in args else 64

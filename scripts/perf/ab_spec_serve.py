@@ -35,16 +35,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def zero_head(params):
-    import jax.numpy as jnp
-
-    llm = params["llm"]
-    k = llm["lm_head"]["kernel"]
-    if isinstance(k, dict):
-        k = {**k, "qvalue": jnp.zeros_like(k["qvalue"])}
-    else:
-        k = jnp.zeros_like(k)
-    return {**params, "llm": {**llm, "lm_head": {"kernel": k}}}
+from scripts.perf.perf_utils import zero_lm_head as zero_head  # noqa: E402
 
 
 def run(params, cfg, arm: str, S: int, B: int, T: int) -> dict:

@@ -12,6 +12,12 @@ import os
 # ran), so override through jax.config before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 
+# A user-exported AHA_SPEC_DECODE overrides even explicit spec_tokens
+# arguments (the ops kill switch, engine.py) — which would turn the
+# S=4-vs-S=1 parity tests into spec-vs-itself no-ops. Tests that WANT the
+# env path set it explicitly via monkeypatch.
+os.environ.pop("AHA_SPEC_DECODE", None)
+
 import jax
 
 jax.config.update("jax_num_cpu_devices", 8)

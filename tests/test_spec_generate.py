@@ -91,25 +91,20 @@ PROMPTS = [[5, 9, 17, 3], [11, 2]]
 PREFILL = [list(range(20, 44)), list(range(50, 62))]
 
 
-def _full_only(request):
-    import os
-    if not (request.config.getoption("--full", default=False)
-            or os.environ.get("AHA_FULL_TESTS") == "1"):
-        pytest.skip("slow tier (run with --full or AHA_FULL_TESTS=1)")
-
-
-@pytest.mark.parametrize("kind", ["none", "sink", "sliding"])
-def test_spec_generate_matches_sequential(tiny_model, kind, request):
-    if kind != "sink":
-        _full_only(request)
+@pytest.mark.parametrize("kind", [
+    pytest.param("none", marks=pytest.mark.slow),
+    "sink",
+    pytest.param("sliding", marks=pytest.mark.slow),
+])
+def test_spec_generate_matches_sequential(tiny_model, kind):
     params, cfg = tiny_model
     kw = dict(S=4, N=18, prompt_rows=PROMPTS, prefill_rows=PREFILL)
     _assert_pair_equal(_run(params, cfg, kind, **kw),
                        _run(params, cfg, kind, **dict(kw, S=1)), kind)
 
 
-def test_spec_generate_repetition_penalty(tiny_model, request):
-    _full_only(request)
+@pytest.mark.slow
+def test_spec_generate_repetition_penalty(tiny_model):
     params, cfg = tiny_model
     kw = dict(S=4, N=18, prompt_rows=PROMPTS, prefill_rows=PREFILL,
               penalty=1.3)
@@ -162,15 +157,15 @@ def test_spec_generate_budget_cut_mid_chunk(tiny_model):
                        _run(params, cfg, "sink", **dict(kw, S=1)), "sink")
 
 
-def test_spec_generate_full_acceptance(tiny_model, request):
+@pytest.mark.slow
+def test_spec_generate_full_acceptance(tiny_model):
     """Constant-argmax model (zeroed lm_head): after the first pass the
     drafter proposes the repeated token and every chunk commits at full
     width — exercises multi-token commit + eviction under acceptance."""
-    _full_only(request)
+    from scripts.perf.perf_utils import zero_lm_head
+
     params, cfg = tiny_model
-    z = {**params, "llm": {**params["llm"],
-                           "lm_head": {"kernel": jnp.zeros_like(
-                               params["llm"]["lm_head"]["kernel"])}}}
+    z = zero_lm_head(params)
     kw = dict(S=4, N=20, prompt_rows=PROMPTS, prefill_rows=PREFILL)
     a = _run(z, cfg, "sink", **kw)
     b = _run(z, cfg, "sink", **dict(kw, S=1))
