@@ -93,6 +93,7 @@ def _build_session(args):
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "auto"),
         kv_mask_mode=getattr(args, "kv_mask_mode", "hf"),
         spec_decode_tokens=getattr(args, "spec_decode_tokens", 4),
+        fused_score_frames=getattr(args, "fused_score_frames", 4),
     )
     return build_session(params, cfg, tokenizer, infer_cfg,
                          lora=lora, lora_scale=lora_scale)
@@ -152,6 +153,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
                    help="speculative decoding: tokens verified per decoder "
                         "pass (1 = off). EXACT greedy parity either way; "
                         "rejected drafts are free on TPU (BASELINE.md)")
+    p.add_argument("--fused_score_frames", type=int, default=4,
+                   help="frames verified per decoder weight stream on the "
+                        "scan scoring paths (1 = per-frame scan). EXACT "
+                        "score/cache parity; 2.2x single-stream scan "
+                        "throughput on v5e-1 (BASELINE.md round 3)")
     p.add_argument("--kv_mask_mode", default="hf", choices=["hf", "strict"],
                    help="hf: reference transformers-4.49 mask arithmetic "
                         "(post-fill chunks attend non-causally within the "

@@ -345,6 +345,17 @@ class InferConfig:
     # arithmetic, incl. its post-fill intra-chunk non-causality (see
     # CachePolicy.mask_mode); "strict": true causal order <= g
     kv_mask_mode: str = "hf"
+    # fused frame scoring: frames verified per decoder weight stream on the
+    # scan scoring paths (score_video / MultiStreamScorer — tvsum/hisum/
+    # grounding, no generation). 1 = the plain per-frame scan. EXACT score
+    # and cache parity either way (engine.append_frames_fused; tests/
+    # test_fused_scoring.py) — frame inputs are known in advance, so unlike
+    # speculative decode nothing can be rejected. Default 4: measured on
+    # the v5e-1 7B int8 (scripts/perf/ab_fused_scoring.py) the per-frame
+    # pass is weight-DMA-bound, so 4 frames ride one stream for 2.2x
+    # single-stream scan throughput (83.7 -> 187.0 fps); env override
+    # AHA_FUSED_SCORE=k.
+    fused_score_frames: int = 4
 
     def validate(self) -> None:
         n_set = sum(

@@ -47,19 +47,21 @@ from .kv_cache import (CachePolicy, KVCache, UpdatePlan, plan_update,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SpecPlans:
-    """Composition of S sequential 1-token update plans.
+    """Composition of S sequential STEP-token update plans (step=1:
+    speculative decode; step=F: fused frame scoring).
 
-    Per-step operands are stacked along axis 1 ([B, S]); intermediate
-    metadata along axis 0 ([S+1, ...], entry j = state after j steps).
+    Per-token operands are stacked along axis 1 ([B, N] with N = S*step
+    chunk tokens); intermediate metadata along axis 0 ([S+1, ...], entry
+    j = state after j steps).
     """
 
-    slots: jnp.ndarray       # [B, S] destination slot of token p (junk if invalid)
-    g: jnp.ndarray           # [B, S] global token index
-    q_pos: jnp.ndarray       # [B, S] SEQUENTIAL query position (length-capped)
-    write_pos: jnp.ndarray   # [B, S] key pre-rotation position (commit-canonical)
-    valid: jnp.ndarray       # [B, S] bool
-    cache_mask: jnp.ndarray  # [B, S, W+1] bool — cache columns visible to query p
-    infl_mask: jnp.ndarray   # [B, S, S] bool — in-flight column i visible to query p
+    slots: jnp.ndarray       # [B, N] destination slot of token p (junk if invalid)
+    g: jnp.ndarray           # [B, N] global token index
+    q_pos: jnp.ndarray       # [B, N] SEQUENTIAL query position (length-capped)
+    write_pos: jnp.ndarray   # [B, N] key pre-rotation position (commit-canonical)
+    valid: jnp.ndarray       # [B, N] bool
+    cache_mask: jnp.ndarray  # [B, N, W+1] bool — cache columns visible to query p
+    infl_mask: jnp.ndarray   # [B, N, N] bool — in-flight column i visible to query p
     meta_key_pos: jnp.ndarray  # [S+1, B, W+1]
     meta_order: jnp.ndarray    # [S+1, B, W+1]
     meta_seen: jnp.ndarray     # [S+1, B]
@@ -82,27 +84,66 @@ class SpecPlans:
 
 
 def plan_compose(cache: KVCache, policy: CachePolicy,
-                 valid_len: jnp.ndarray, S: int) -> SpecPlans:
-    """valid_len: [B] int32 in [0, S] — number of real tokens this chunk
-    (position 0 is the carried token, 1.. are drafts). Steps >= valid_len
-    are exact no-ops, matching a 1-token pass with valid_len 0."""
+                 valid_len: jnp.ndarray, S: int, step: int = 1) -> SpecPlans:
+    """valid_len: [B] int32 in [0, S*step] — number of real tokens this
+    chunk. Composes S sequential STEP-token ``plan_update`` steps:
+
+      * step=1 — the reference greedy loop (position 0 is the carried
+        token, 1.. are drafts); steps >= valid_len are exact no-ops,
+        matching a 1-token pass with valid_len 0.
+      * step=F — F-token frame appends (the fused frame-scoring path:
+        several production `decode_chunk(F)` steps verified in ONE weight
+        stream; see engine.append_frames_fused). valid tokens must be a
+        per-row prefix in whole frames (valid_len = n_active_frames * F).
+
+    Per-token operands come back with chunk axis S*step ([B, S*step]);
+    metadata intermediates stay per STEP ([S+1, ...] — `select_meta` jumps
+    in steps, `commit_slots` keeps in tokens).
+
+    Mask semantics are exactly the production write-then-attend pass, per
+    step: a step's queries see (a) cache columns as the step's own
+    ``plan_update`` masks them — per-QUERY-token under mask_mode='hf',
+    whose within-chunk visibility is non-causal post-fill (ref HF cache
+    masks; engine.append_text_frames docstring) — minus columns any step
+    <= p already overwrote (their replacement keys live in-flight), and
+    (b) in-flight columns of steps <= p that still own their slot, gated
+    by the same per-mode visibility formula (strict: g_i <= g_q; hf:
+    ref_idx_i(after step p) <= q_pos_q), which reduces to within-step
+    causality pre-fill and reproduces the reference's post-fill
+    non-causality."""
     junk = policy.junk
+    T = S * step                                          # chunk tokens
+    B = cache.batch
     meta = cache
+    W1 = cache.order.shape[1]
     slots, gs, q_poss, write_poss, valids = [], [], [], [], []
     qxs = []
     cache_masks, infl_masks = [], []
     metas = [(cache.key_pos, cache.order, cache.seen, cache.length)]
-    written = jnp.zeros(cache.order.shape, bool)          # [B, W+1]
+    written = jnp.zeros((B, W1), bool)                    # [B, W+1]
     exact = jnp.zeros((), bool)
-    shift_acc = jnp.zeros((cache.batch,), jnp.int32)      # shifts at steps 2..p
+    shift_acc = jnp.zeros((B,), jnp.int32)                # shifts at steps 2..p
     dpos = None
     sink = policy.num_sink if policy.kind == "sink" else 0
     evicting = policy.kind in ("sink", "sliding")
     use_hf = policy.mask_mode == "hf" and evicting
 
+    # fixed-size per-token state for the in-flight masks (junk/zero padding
+    # for steps not yet composed — `stored_all` gates them off)
+    tok_idx = jnp.arange(T, dtype=jnp.int32)[None, :]     # [1, T]
+    slots_all = jnp.full((B, T), junk, jnp.int32)
+    g_all = jnp.zeros((B, T), jnp.int32)
+    stored_all = jnp.zeros((B, T), bool)
+    # chunk index of the latest chunk token claiming each slot: an
+    # in-flight column is attendable only while it still OWNS its slot
+    # (a later step reusing the slot replaces it, exactly as the
+    # sequential overwrite would — only reachable when S*step nears the
+    # window, e.g. tiny test caches)
+    last_claim = jnp.full((B, W1), -1, jnp.int32)
+
     for p in range(S):
-        v_p = jnp.minimum(jnp.maximum(valid_len - p, 0), 1)    # [B] 0/1
-        plan: UpdatePlan = plan_update(meta, policy, v_p, 1)
+        v_p = jnp.clip(valid_len - p * step, 0, step)          # [B] 0..step
+        plan: UpdatePlan = plan_update(meta, policy, v_p, step)
         if policy.kind == "sink":
             # only the sink policy deviates from the fast pre-rotation
             # algebra (production decode_chunk conds on this for sink only;
@@ -121,47 +162,62 @@ def plan_compose(cache: KVCache, policy: CachePolicy,
                              plan.new_key_pos - plan.new_order, 0)
         else:
             shift_acc = shift_acc + plan.shift
-        qxs.append(plan.q_pos[:, 0] + shift_acc)
-        slot_p = plan.slots[:, 0]
-        slots.append(slot_p)
-        gs.append(plan.g[:, 0])
-        q_poss.append(plan.q_pos[:, 0])
-        write_poss.append(plan.write_pos[:, 0])
-        valids.append(plan.valid[:, 0])
+        qxs.append(plan.q_pos + shift_acc[:, None])
+        slots.append(plan.slots)
+        gs.append(plan.g)
+        q_poss.append(plan.q_pos)
+        write_poss.append(plan.write_pos)
+        valids.append(plan.valid)
 
-        # visibility of CACHE columns for this query = exactly what the
-        # 1-token pass computes, minus columns already overwritten by
-        # chunk tokens 0..p (their replacement keys live in-flight)
+        stored_p = plan.valid & (plan.slots != junk)           # [B, step]
+        lo = p * step
+        slots_all = slots_all.at[:, lo:lo + step].set(plan.slots)
+        g_all = g_all.at[:, lo:lo + step].set(plan.g)
+        stored_all = stored_all.at[:, lo:lo + step].set(stored_p)
+        claim_cols = jnp.broadcast_to(tok_idx[:, lo:lo + step], (B, step))
+        last_claim = jax.vmap(lambda lc, sl, ci: lc.at[sl].set(ci))(
+            last_claim, jnp.where(stored_p, plan.slots, junk), claim_cols)
+        last_claim = last_claim.at[:, junk].set(-1)
+
+        # visibility of CACHE columns for this step's queries = exactly
+        # what the step's production pass computes (per query token), minus
+        # columns already overwritten by chunk steps 0..p (their
+        # replacement keys live in-flight). `written` includes this step's
+        # own slots — production has them in-cache (write-then-attend); the
+        # verify pass scores them from the in-flight block instead.
         if use_hf:
             ref_idx, q_cap = reference_mask_operands(plan, sink_slots=sink)
-            vis = (ref_idx >= 0) & (ref_idx <= q_cap[:, :1])
+            vis = ((ref_idx[:, None, :] >= 0)
+                   & (ref_idx[:, None, :] <= q_cap[:, :, None]))
         else:
-            vis = (plan.new_order >= 0) & (plan.new_order <= plan.g[:, :1])
-        # plan.new_order claims slot_p holds token g_p — in the verify pass
-        # it does not (read-only); mask the chunk's own slots out of the
-        # cache part (junk writes excluded: invisible anyway, and under the
-        # static policy the old junk content must stay invisible)
-        written = written | (jax.nn.one_hot(slot_p, written.shape[1],
-                                            dtype=jnp.bool_)
-                             & plan.valid[:, :1] & (slot_p != junk)[:, None])
-        cache_masks.append(vis & ~written)
+            vis = ((plan.new_order[:, None, :] >= 0)
+                   & (plan.new_order[:, None, :] <= plan.g[:, :, None]))
+        # (junk writes excluded: invisible anyway, and under the static
+        # policy the old junk content must stay invisible)
+        written = written | jnp.any(
+            jax.nn.one_hot(jnp.where(stored_p, plan.slots, junk), W1,
+                           dtype=jnp.bool_)
+            & stored_p[..., None], axis=1)
+        cache_masks.append(vis & ~written[:, None, :])         # [B, step, W+1]
 
-        # in-flight columns: sequential step p sees chunk token i <= p iff
-        # token i was actually stored (slot != junk; the static policy
-        # freezes its prefix and never sees later tokens) — plus itself,
-        # which the reference always attends (its K is in the live chunk)
-        i_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
-        stored = jnp.stack([s != junk for s in slots[: p + 1]]
-                           + [jnp.zeros_like(slot_p, bool)] * (S - p - 1),
-                           axis=1)                         # [B, S]
-        # (i == p is covered by `stored`: a valid token on a non-junk slot
-        # sees itself, exactly like the production write-then-attend pass;
-        # static-policy and invalid tokens go to junk and stay invisible
-        # even to themselves — parity with the 1-token pass, which leaves
-        # such rows attending the cache only)
-        vis_i = (i_idx <= p) & stored & jnp.stack(
-            valids + [jnp.zeros_like(valids[0])] * (S - p - 1), axis=1)
-        infl_masks.append(vis_i)
+        # in-flight columns: sequential step p sees chunk token i of steps
+        # <= p iff token i was actually stored (slot != junk; the static
+        # policy freezes its prefix and never sees later tokens), still
+        # owns its slot, and passes the step's visibility formula. A valid
+        # token on a non-junk slot sees itself, exactly like the production
+        # write-then-attend pass; static-policy and invalid tokens go to
+        # junk and stay invisible even to themselves — parity with the
+        # production pass, which leaves such rows attending the cache only.
+        owns = (jnp.take_along_axis(last_claim, slots_all, axis=1)
+                == tok_idx)                                    # [B, T]
+        base = stored_all & owns
+        if use_hf:
+            evicted = (plan.new_seen - plan.new_length)[:, None]   # [B, 1]
+            ref_i = g_all - jnp.where(slots_all >= sink, evicted, 0)
+            form = ref_i[:, None, :] <= q_cap[:, :, None]
+        else:
+            form = g_all[:, None, :] <= plan.g[:, :, None]
+        infl_masks.append(base[:, None, :] & form)             # [B, step, T]
 
         meta = dataclasses.replace(
             meta, key_pos=plan.new_key_pos, order=plan.new_order,
@@ -169,17 +225,17 @@ def plan_compose(cache: KVCache, policy: CachePolicy,
         metas.append((plan.new_key_pos, plan.new_order,
                       plan.new_seen, plan.new_length))
 
-    stack1 = lambda xs: jnp.stack(xs, axis=1)
+    cat1 = lambda xs: jnp.concatenate(xs, axis=1)
     return SpecPlans(
-        slots=stack1(slots), g=stack1(gs), q_pos=stack1(q_poss),
-        write_pos=stack1(write_poss), valid=stack1(valids),
-        cache_mask=jnp.stack(cache_masks, axis=1),
-        infl_mask=jnp.stack(infl_masks, axis=1),
+        slots=cat1(slots), g=cat1(gs), q_pos=cat1(q_poss),
+        write_pos=cat1(write_poss), valid=cat1(valids),
+        cache_mask=cat1(cache_masks),
+        infl_mask=cat1(infl_masks),
         meta_key_pos=jnp.stack([m[0] for m in metas]),
         meta_order=jnp.stack([m[1] for m in metas]),
         meta_seen=jnp.stack([m[2] for m in metas]),
         meta_length=jnp.stack([m[3] for m in metas]),
-        qx=stack1(qxs), dpos=dpos, exact=exact,
+        qx=cat1(qxs), dpos=dpos, exact=exact,
     )
 
 

@@ -54,19 +54,19 @@ def _last_valid(x: jnp.ndarray, valid_len: jnp.ndarray) -> jnp.ndarray:
 
 
 def _scores_from_hidden(params, cfg: AhaConfig, hidden_last: jnp.ndarray) -> jnp.ndarray:
-    """hidden_last: [B, H] -> [B, 3] (informative, relevance, uncertainty).
+    """hidden_last: [..., H] -> [..., 3] (informative, relevance, uncertainty).
 
     informative = softmax(info_logits)[..., 1]; relevance = sigmoid(rel);
     uncertainty = exp(log_variance)  (ref: test/inference.py:222-227).
     """
     hf = hidden_last.astype(jnp.float32)
     heads = params["heads"]
-    info = jnp.einsum("bh,ho->bo", hf, heads["informative"]["kernel"].astype(jnp.float32))
-    rel = jnp.einsum("bh,ho->bo", hf, heads["relevance"]["kernel"].astype(jnp.float32))
-    unc = jnp.einsum("bh,ho->bo", hf, heads["uncertainty"]["kernel"].astype(jnp.float32))
-    informative = jax.nn.softmax(info, axis=-1)[:, 1]
-    relevance = jax.nn.sigmoid(rel[:, 0])
-    uncertainty = jnp.exp(unc[:, 0])
+    info = jnp.einsum("...h,ho->...o", hf, heads["informative"]["kernel"].astype(jnp.float32))
+    rel = jnp.einsum("...h,ho->...o", hf, heads["relevance"]["kernel"].astype(jnp.float32))
+    unc = jnp.einsum("...h,ho->...o", hf, heads["uncertainty"]["kernel"].astype(jnp.float32))
+    informative = jax.nn.softmax(info, axis=-1)[..., 1]
+    relevance = jax.nn.sigmoid(rel[..., 0])
+    uncertainty = jnp.exp(unc[..., 0])
     return jnp.stack([informative, relevance, uncertainty], axis=-1)
 
 
@@ -115,6 +115,7 @@ class StreamEngine:
         mesh=None,
         kv_dtype=None,
         spec_tokens: int | None = None,
+        fused_score_frames: int | None = None,
     ):
         """mesh: optional jax.sharding.Mesh('data','model') — mesh-sharded
         (TP/DP) inference. Params and cache get NamedShardings from
@@ -153,6 +154,18 @@ class StreamEngine:
         elif spec_tokens is None:
             spec_tokens = 1
         self.spec_tokens = max(int(spec_tokens), 1)
+        # fused frame scoring: score_stream verifies this many frames per
+        # weight stream (one read-only spec pass + commit, bit-equal to the
+        # per-frame scan — append_frames_fused docstring); 1 = the plain
+        # per-frame lax.scan. Like spec_tokens: raw-engine default off,
+        # the product surface sets InferConfig.fused_score_frames, and a
+        # set AHA_FUSED_SCORE env always wins.
+        env_f = _os.environ.get("AHA_FUSED_SCORE")
+        if env_f:
+            fused_score_frames = int(env_f)
+        elif fused_score_frames is None:
+            fused_score_frames = 1
+        self.fused_frames = max(int(fused_score_frames), 1)
         self.serve_overlap = _serve_overlap()
         self.mesh = mesh
         if mesh is not None:
@@ -324,6 +337,69 @@ class StreamEngine:
             cache, scores = jax.lax.scan(step, cache, (frames.swapaxes(0, 1), act))
             return cache, scores.swapaxes(0, 1)
 
+        def append_frames_fused(params, cache, frame_embeds, active=None):
+            """k production F-token frame appends verified in ONE weight
+            stream: frame_embeds [B, k, F, H] -> (cache, scores [B, k, 3]).
+
+            Scoring a frame costs one full pass of the (weight-DMA-bound)
+            decoder per `append_frames` call; the speculative machinery
+            already proves extra query rows ride such a pass for free
+            (BASELINE.md round 3: an S=4 verify pass costs the same as a
+            1-token pass). Here the same read-only verify pass + composed
+            F-token plans (`spec_decode.plan_compose(step=F)`) reproduce k
+            sequential `decode_chunk(F)` steps exactly — per-frame scores
+            and the committed cache match the per-frame scan for every
+            policy and fill state (tests/test_fused_scoring.py) — while
+            streaming the weights ONCE for k frames. Unlike speculative
+            decode there is nothing to reject: frame inputs are known in
+            advance, so the 'drafts' are always right and the commit is
+            the full valid prefix.
+
+            active: [B, k] bool, a per-row PREFIX (ragged stream tails).
+            """
+            B, k, F, H = frame_embeds.shape
+            if active is None:
+                n_act = jnp.full((B,), k, jnp.int32)
+            else:
+                n_act = jnp.sum(active.astype(jnp.int32), axis=1)
+            valid_len = n_act * F
+            plans = spec_decode.plan_compose(cache, policy, valid_len, k,
+                                             step=F)
+            hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                params["llm"], cfg.llm, policy, cache,
+                frame_embeds.reshape(B, k * F, H), plans,
+                lora=lora, lora_scale=lora_scale)
+            cache = spec_decode.select_meta(cache, plans, n_act)
+            cache = spec_decode.commit_slots(cache, plans, infl_k, infl_v,
+                                             valid_len, policy.junk)
+            scores = _scores_from_hidden(params, cfg, hidden[:, F - 1::F])
+            return cache, scores
+
+        def score_stream_fused(params, cache, frames, active=None):
+            # frames: [B, T, F, H] -> scores [B, T, 3]; groups of
+            # `fused_frames` frames share one weight stream (scan over
+            # ceil(T/k) fused chunks; tail padded with inactive frames).
+            # active: [B, T] bool, per-row PREFIX for ragged batches.
+            B, T, F, H = frames.shape
+            k = self.fused_frames
+            n = -(-T // k)
+            pad = n * k - T
+            act = active if active is not None else jnp.ones((B, T), bool)
+            if pad:
+                frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                act = jnp.pad(act, ((0, 0), (0, pad)))
+            fr = frames.reshape(B, n, k, F, H).swapaxes(0, 1)
+            ac = act.reshape(B, n, k).swapaxes(0, 1)
+
+            def step(c, xs):
+                fe, a = xs
+                c, s = append_frames_fused(params, c, fe, a)
+                return c, s
+
+            cache, scores = jax.lax.scan(step, cache, (fr, ac))
+            scores = scores.swapaxes(0, 1).reshape(B, n * k, 3)[:, :T]
+            return cache, scores
+
         def encode_frames(params, frames):
             return aha.visual_embed(params, cfg, frames)
 
@@ -369,6 +445,75 @@ class StreamEngine:
                 return (i + 1, cache, scores_buf, score_sum, sum_hit | prob_hit)
 
             state = (jnp.int32(0), cache, scores_buf, score_sum, jnp.bool_(False))
+            i, cache, scores_buf, score_sum, triggered = jax.lax.while_loop(
+                cond, body, state)
+            return cache, scores_buf, i, score_sum, triggered
+
+        def score_until_trigger_fused(params, cache, frames, n_frames,
+                                      score_sum, prob_threshold,
+                                      sum_threshold, head_mask, resume_at):
+            """Fused variant of score_until_trigger: chunks of
+            `fused_frames` frames share ONE weight stream via the read-only
+            verify pass (append_frames_fused rationale), with acceptance =
+            frames up to AND INCLUDING the first trigger. The verify pass
+            never writes the cache, so committing only the pre-trigger
+            prefix is exact — scores, cache, running sum and the trigger
+            point all match the per-frame loop (tests/test_fused_scoring.py
+            ::test_fused_trigger_loop_matches_sequential). Triggers exit
+            the loop, so `i` stays k-aligned whenever the body runs and the
+            dynamic_slice below never clamps (the public wrapper pads T to
+            a multiple of k >= n_frames).
+
+            frames: [T, F, H] (batch 1), T a multiple of fused_frames.
+            """
+            T, F, H = frames.shape
+            k = self.fused_frames
+            scores_buf = jnp.zeros((T, 3), jnp.float32)
+            j = jnp.arange(k, dtype=jnp.int32)
+
+            def cond(state):
+                i, _, _, _, triggered = state
+                return (i < n_frames) & ~triggered
+
+            def body(state):
+                i, cache, scores_buf, score_sum, _ = state
+                fe = jax.lax.dynamic_slice_in_dim(frames, i, k, axis=0)
+                n_valid = jnp.clip(n_frames - i, 0, k).astype(jnp.int32)
+                plans = spec_decode.plan_compose(
+                    cache, policy, (n_valid * F)[None], k, step=F)
+                hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                    params["llm"], cfg.llm, policy, cache,
+                    fe.reshape(1, k * F, H), plans,
+                    lora=lora, lora_scale=lora_scale)
+                s = _scores_from_hidden(params, cfg,
+                                        hidden[:, F - 1::F])[0]     # [k, 3]
+                s = s.astype(jnp.float32)
+                valid = j < n_valid
+                stream_end = jnp.where(
+                    valid, s[:, 0] * head_mask[0] + s[:, 1] * head_mask[1],
+                    0.0)
+                run = score_sum + jnp.cumsum(stream_end)            # [k]
+                # pre-trigger cumulative sums need no reset handling: any
+                # earlier sum-trigger would have exited the loop already
+                ok = ((i + j) >= resume_at) & valid
+                sum_hit = ok & (run > sum_threshold)
+                prob_hit = ok & (stream_end > prob_threshold)
+                trig = sum_hit | prob_hit
+                any_trig = jnp.any(trig)
+                first = jnp.argmax(trig).astype(jnp.int32)
+                A = jnp.where(any_trig, first + 1, n_valid)         # accepted
+                new_sum = run[jnp.maximum(A - 1, 0)]
+                new_sum = jnp.where(any_trig & sum_hit[first], 0.0, new_sum)
+                cache = spec_decode.select_meta(cache, plans, A[None])
+                cache = spec_decode.commit_slots(
+                    cache, plans, infl_k, infl_v, (A * F)[None], policy.junk)
+                keep = (j < A)[:, None]
+                scores_buf = jax.lax.dynamic_update_slice_in_dim(
+                    scores_buf, jnp.where(keep, s, 0.0), i, axis=0)
+                return (i + A, cache, scores_buf, new_sum, any_trig)
+
+            state = (jnp.int32(0), cache, scores_buf, score_sum,
+                     jnp.bool_(False))
             i, cache, scores_buf, score_sum, triggered = jax.lax.while_loop(
                 cond, body, state)
             return cache, scores_buf, i, score_sum, triggered
@@ -1030,7 +1175,15 @@ class StreamEngine:
         self._append_frames = _jit(append_frames, donate_argnums=(1,))
         self._append_text_frames = _jit(append_text_frames, donate_argnums=(1,))
         self._score_stream = _jit(score_stream, donate_argnums=(1,))
-        self._score_until_trigger = _jit(score_until_trigger, donate_argnums=(1,))
+        self._score_stream_fused = (
+            _jit(score_stream_fused, donate_argnums=(1,))
+            if self.fused_frames > 1 else None)
+        self._append_frames_fused = (
+            _jit(append_frames_fused, donate_argnums=(1,))
+            if self.fused_frames > 1 else None)
+        self._score_until_trigger = _jit(
+            score_until_trigger_fused if self.fused_frames > 1
+            else score_until_trigger, donate_argnums=(1,))
         self._score_until_trigger_multi = _jit(
             score_until_trigger_multi, donate_argnums=(1,))
         # cache donated (ring buffer updates in place); generation inside is
@@ -1089,6 +1242,8 @@ class StreamEngine:
                                         frame_embeds, active)
 
     def score_stream(self, cache: KVCache, frames: jnp.ndarray, active=None):
+        if self.fused_frames > 1:
+            return self._score_stream_fused(self.params, cache, frames, active)
         return self._score_stream(self.params, cache, frames, active)
 
     def score_until_trigger(self, cache: KVCache, frames: jnp.ndarray,
@@ -1103,6 +1258,10 @@ class StreamEngine:
         (response_min_interval_frames; <=0 = no suppression)."""
         T = frames.shape[0]
         Tp = _bucket(max(T, 1), (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
+        if self.fused_frames > 1 and Tp % self.fused_frames:
+            # the fused loop slices k-frame chunks at k-aligned offsets;
+            # T must be a multiple of k so the final slice never clamps
+            Tp += self.fused_frames - Tp % self.fused_frames
         if Tp > T:
             pad = jnp.zeros((Tp - T, *frames.shape[1:]), frames.dtype)
             frames = jnp.concatenate([frames, pad], axis=0)

@@ -71,7 +71,8 @@ class MultiStreamScorer:
         self.engine = StreamEngine(
             params, cfg, policy, batch=batch,
             lora=lora, lora_scale=lora_scale, mesh=mesh,
-            kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None)
+            kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
+            fused_score_frames=infer_cfg.fused_score_frames)
 
     def score_videos(
         self,

@@ -223,9 +223,28 @@ def run_bench(preset: str) -> dict:
 
     scan_fps, scan_lo, scan_hi = _stats(run_scan)
 
+    # fused frame scoring (the PRODUCT default for the scan scoring paths,
+    # InferConfig.fused_score_frames=4): 4 frames verified per weight
+    # stream, exact score/cache parity with the per-frame scan
+    # (tests/test_fused_scoring.py; scripts/perf/ab_fused_scoring.py)
+    from aha_tpu.streaming.engine import StreamEngine as _SE
+
+    fused_eng = _SE(engine.params, cfg, engine.policy, fused_score_frames=4)
+    cache_f = fused_eng.new_cache()
+    _, sf = fused_eng.score_stream(cache_f, embeds[None])
+    jax.device_get(sf)
+    def run_scan_fused():
+        c = fused_eng.new_cache()
+        t0 = time.perf_counter()
+        _, s = fused_eng.score_stream(c, embeds[None])
+        jax.device_get(s)
+        return BENCH_FRAMES / (time.perf_counter() - t0)
+
+    scan_fused_fps, scanf_lo, scanf_hi = _stats(run_scan_fused)
+    del fused_eng, cache_f
+
     # multi-stream serving: 8 concurrent streams share each weight pass
     # (BASELINE config #5) — aggregate frames/sec across the batch
-    from aha_tpu.streaming.engine import StreamEngine as _SE
 
     B = 8
     multi = _SE(engine.params, cfg, engine.policy, batch=B)
@@ -410,7 +429,7 @@ def run_bench(preset: str) -> dict:
     # additionally measure the axon tunnel's dispatch latency, which varies
     # 3-4x between sessions (see spread + BASELINE.md) — when stepwise <<
     # scan the gap is tunnel latency, not chip throughput.
-    headline = max(fps, trigger_loop_fps, scan_fps)
+    headline = max(fps, trigger_loop_fps, scan_fps, scan_fused_fps)
     return {
         "metric": f"streaming_scoring_fps[{preset}]",
         "value": round(headline, 3),
@@ -419,6 +438,7 @@ def run_bench(preset: str) -> dict:
         "trigger_loop_fps": round(trigger_loop_fps, 3),
         "stepwise_fps": round(fps, 3),
         "scan_fps": round(scan_fps, 3),
+        "scan_fused_fps": round(scan_fused_fps, 3),
         "vision_encode_fps": round(vision_fps, 3),
         "p50_frame_latency_ms": round(p50_ms, 2),
         "decode_tokens_per_sec": round(decode_tps, 3),
@@ -443,6 +463,7 @@ def run_bench(preset: str) -> dict:
             "stepwise_fps": [round(fps_lo, 2), round(fps_hi, 2)],
             "trigger_loop_fps": [round(trig_lo, 2), round(trig_hi, 2)],
             "scan_fps": [round(scan_lo, 2), round(scan_hi, 2)],
+            "scan_fused_fps": [round(scanf_lo, 2), round(scanf_hi, 2)],
             "vision_encode_fps": [round(vis_lo, 2), round(vis_hi, 2)],
             "multi_stream_8x_aggregate_fps": [round(multi_lo, 2), round(multi_hi, 2)],
             "multi_stream_8x_w8a8_fps": [round(m8_lo, 2), round(m8_hi, 2)],

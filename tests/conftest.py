@@ -14,9 +14,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 
 # A user-exported AHA_SPEC_DECODE overrides even explicit spec_tokens
 # arguments (the ops kill switch, engine.py) — which would turn the
-# S=4-vs-S=1 parity tests into spec-vs-itself no-ops. Tests that WANT the
-# env path set it explicitly via monkeypatch.
+# S=4-vs-S=1 parity tests into spec-vs-itself no-ops. Same for the fused
+# frame-scoring knob. Tests that WANT the env path set it explicitly via
+# monkeypatch.
 os.environ.pop("AHA_SPEC_DECODE", None)
+os.environ.pop("AHA_FUSED_SCORE", None)
 
 import jax
 
@@ -28,6 +30,14 @@ import sys
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
+
+# Persistent XLA compile cache (utils/compile_cache docstring): the slow
+# tier is compile-dominated on this 1-core host — repeat runs of unchanged
+# programs become disk reads. Content-addressed, so stale entries can
+# never serve a changed program; AHA_COMPILE_CACHE=0 disables.
+from aha_tpu.utils.compile_cache import enable as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
 
 import pytest
 
