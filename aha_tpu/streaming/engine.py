@@ -518,6 +518,67 @@ class StreamEngine:
                 cond, body, state)
             return cache, scores_buf, i, score_sum, triggered
 
+        def _fused_frames_pass(params, cache, frames, i, act, limit,
+                               score_sum, prob_threshold, sum_threshold,
+                               head_mask, z_thr, zh, zc, first_n, resume_at):
+            """ONE fused k-frame scoring pass over the batch with per-row
+            trigger acceptance — `score_until_trigger_fused`'s read-only
+            verify + acceptance-gated commit generalized to B rows (each
+            against ITS OWN thresholds/limit). The verify pass never writes
+            the cache, so committing only each row's pre-trigger prefix
+            (up to and including the triggering frame) is exact: scores,
+            cache, running sums and z-state match the per-frame loop
+            frame-for-frame (tests/test_fused_scoring.py).
+
+            frames: [B, T, F, H]; i/act/limit: [B] row cursor / scoring
+            rows / per-row frame limit (never exceeded: rows plan
+            min(k, limit-i) frames). Returns (cache, s [B, k, 3],
+            A [B] frames accepted, fire [B], new_sum [B], zh, zc).
+            """
+            B, T, F, H = frames.shape
+            k = self.fused_frames
+            bidx = jnp.arange(B)
+            j = jnp.arange(k, dtype=jnp.int32)
+            idx = jnp.clip(i[:, None] + j[None, :], 0, T - 1)   # [B, k]
+            fe = frames[bidx[:, None], idx]                     # [B, k, F, H]
+            n_valid = jnp.where(
+                act, jnp.clip(limit - i, 0, k), 0).astype(jnp.int32)
+            plans = spec_decode.plan_compose(cache, policy, n_valid * F, k,
+                                             step=F)
+            hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                params["llm"], cfg.llm, policy, cache,
+                fe.reshape(B, k * F, H), plans,
+                lora=lora, lora_scale=lora_scale)
+            s = _scores_from_hidden(
+                params, cfg, hidden[:, F - 1::F]).astype(jnp.float32)
+            stream_end = (s[..., 0] * head_mask[0]
+                          + s[..., 1] * head_mask[1])           # [B, k]
+
+            # per-offset trigger sweep — [B]-vector work only, the weight
+            # stream above is paid ONCE for all k frames. Reproduces the
+            # sequential loop's order exactly: sum accumulate -> sum/prob
+            # hits -> z push + hit -> sum reset -> freeze the row.
+            run_sum = score_sum
+            fire = jnp.zeros((B,), bool)
+            A = jnp.zeros((B,), jnp.int32)
+            for p in range(k):
+                alive = act & ~fire & (p < n_valid)
+                se = stream_end[:, p]
+                run_sum = run_sum + jnp.where(alive, se, 0.0)
+                ok = alive & ((i + p) >= resume_at)
+                sum_hit = ok & (run_sum > sum_threshold)
+                prob_hit = ok & (se > prob_threshold)
+                zh, zc, z_hit = z_step(zh, zc, se, alive, z_thr, first_n)
+                z_hit = z_hit & ok
+                run_sum = jnp.where(sum_hit, 0.0, run_sum)
+                A = A + alive.astype(jnp.int32)
+                fire = fire | sum_hit | prob_hit | z_hit
+
+            cache = spec_decode.select_meta(cache, plans, A)
+            cache = spec_decode.commit_slots(cache, plans, infl_k, infl_v,
+                                             A * F, policy.junk)
+            return cache, s, A, fire, run_sum, zh, zc
+
         def score_until_trigger_multi(params, cache, frames, start, limit,
                                       score_sum, prob_threshold, sum_threshold,
                                       head_mask, z_thr, z_hist, z_cnt,
@@ -542,7 +603,7 @@ class StreamEngine:
             """
             B, T = frames.shape[:2]
             scores_buf = jnp.zeros((B, T, 3), jnp.float32)
-            return _trigger_loop(
+            return trigger_loop_impl(
                 params, cache, frames, start, limit, score_sum,
                 jnp.zeros((B,), bool), scores_buf,
                 prob_threshold, sum_threshold, head_mask,
@@ -595,6 +656,58 @@ class StreamEngine:
             (i, cache, scores_buf, score_sum, triggered, z_hist,
              z_cnt) = jax.lax.while_loop(cond, body, state)
             return cache, scores_buf, i, score_sum, triggered, z_hist, z_cnt
+
+        def _trigger_loop_fused(params, cache, frames, start, limit,
+                                score_sum, triggered0, scores_buf,
+                                prob_threshold, sum_threshold, head_mask,
+                                z_thr, z_hist, z_cnt, first_n, resume_at):
+            """_trigger_loop at `fused_frames` frames per weight stream
+            (_fused_frames_pass). Per-row traces, cache contents, sums and
+            z-state are identical to the sequential loop; the only
+            observable difference is SCHEDULING — within the pass that
+            contains the first event, event-free rows complete their whole
+            k-frame chunk instead of stopping in lockstep, so they may
+            return up to k-1 frames further along. Rows are independent
+            sessions bounded by their own `limit` (the host's query
+            boundary), so those frames are exactly the ones the next
+            invocation would have scored against the same cache state."""
+            B, T = frames.shape[:2]
+            k = self.fused_frames
+            bidx = jnp.arange(B)
+            j = jnp.arange(k, dtype=jnp.int32)
+            entry_active = (start < limit) & ~triggered0
+
+            def row_active(i, triggered):
+                return (i < limit) & ~triggered
+
+            def cond(state):
+                i, _, _, _, triggered, _, _ = state
+                act = row_active(i, triggered)
+                return jnp.any(act) & ~jnp.any(entry_active & ~act)
+
+            def body(state):
+                i, cache, scores_buf, score_sum, triggered, zh, zc = state
+                act = row_active(i, triggered)
+                cache, s, A, fire, score_sum, zh, zc = _fused_frames_pass(
+                    params, cache, frames, i, act, limit, score_sum,
+                    prob_threshold, sum_threshold, head_mask, z_thr, zh, zc,
+                    first_n, resume_at)
+                keep = j[None, :] < A[:, None]
+                pos = i[:, None] + j[None, :]
+                scores_buf = scores_buf.at[
+                    bidx[:, None], jnp.where(keep, pos, T)].set(
+                    s, mode="drop")
+                return (i + A, cache, scores_buf, score_sum,
+                        triggered | fire, zh, zc)
+
+            state = (start, cache, scores_buf, score_sum, triggered0,
+                     z_hist, z_cnt)
+            (i, cache, scores_buf, score_sum, triggered, z_hist,
+             z_cnt) = jax.lax.while_loop(cond, body, state)
+            return cache, scores_buf, i, score_sum, triggered, z_hist, z_cnt
+
+        trigger_loop_impl = (_trigger_loop_fused if self.fused_frames > 1
+                             else _trigger_loop)
 
         def _mixed_loop(params, cache, frames, start, limit, score_sum,
                         triggered0, scores_buf, prob_threshold, sum_threshold,
@@ -866,13 +979,61 @@ class StreamEngine:
                         out_len, counts, triggered, resp_done, new_wait,
                         zh, zc, hist, hist_len)
 
-            if S == 1:
+            k = self.fused_frames
+
+            def fused_score_pass(state):
+                """Pure-scoring pass at k frames per weight stream
+                (_fused_frames_pass) — entered only when no row is
+                prompting or decoding, the dominant phase of
+                trigger-sparse serving. Per-row transitions replicate
+                seq_pass's scoring arm exactly (trigger -> prompt next
+                pass; limit -> wait + ask for host attention)."""
+                (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                 out_len, counts, triggered, resp_done, new_wait,
+                 zh, zc, hist, hist_len) = state
+                act = mode == 0
+                jk = jnp.arange(k, dtype=jnp.int32)
+                cache, s, A, fire, score_sum, zh, zc = _fused_frames_pass(
+                    params, cache, frames, i, act, limit, score_sum,
+                    prob_threshold, sum_threshold, head_mask, z_thr, zh, zc,
+                    first_n, resume_at)
+                keep = jk[None, :] < A[:, None]
+                pos = i[:, None] + jk[None, :]
+                scores_buf = scores_buf.at[
+                    bidx[:, None], jnp.where(keep, pos, T)].set(
+                    s, mode="drop")
+                i = i + A
+                triggered = triggered | fire
+                mode = jnp.where(fire, 1, mode)      # trigger -> prompt next
+                lim_hit = (mode == 0) & (i >= limit)
+                new_wait = new_wait | lim_hit
+                mode = jnp.where(lim_hit, 3, mode)
+                return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                        out_len, counts, triggered, resp_done, new_wait,
+                        zh, zc, hist, hist_len)
+
+            def _gen_live(m):
+                return jnp.any((m == 1) | (m == 2))
+
+            def _gen_body(st):
+                # some row prompts or decodes: mixed pass, or — once every
+                # live row decodes — the speculative pure-decode tail
+                return jax.lax.cond(
+                    jnp.any((st[4] == 0) | (st[4] == 1)),
+                    seq_pass, spec_tail, st)
+
+            if S == 1 and k == 1:
                 body = seq_pass
+            elif k == 1:
+                body = _gen_body
+            elif S == 1:
+                def body(state):
+                    return jax.lax.cond(_gen_live(state[4]),
+                                        seq_pass, fused_score_pass, state)
             else:
                 def body(state):
-                    return jax.lax.cond(
-                        jnp.any((state[4] == 0) | (state[4] == 1)),
-                        seq_pass, spec_tail, state)
+                    return jax.lax.cond(_gen_live(state[4]),
+                                        _gen_body, fused_score_pass, state)
 
             state = (start, cache, scores_buf, score_sum, mode0,
                      jnp.zeros((B,), jnp.int32),
@@ -944,7 +1105,7 @@ class StreamEngine:
                     resume_at, ctx_ids, ctx_len)
 
             cache, scores_buf, i2, sum2, triggered, z_hist, z_cnt = \
-                _trigger_loop(
+                trigger_loop_impl(
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
                     z_thr, z_hist, z_cnt, first_n, resume_at)

@@ -250,6 +250,155 @@ def test_fused_trigger_loop_resume_after_trigger(model):
     _assert_cache_equal(c1, c0, base.policy)
 
 
+def _drive_trigger_multi(eng, frames, prob, sumt, zt, first_n=2):
+    """Serving pattern: repeated score_until_trigger_multi invocations to
+    completion (each exits when any row triggers or hits its limit).
+    Returns (per-row {frame: scores}, per-row trigger-frame lists, cache,
+    (z_hist, z_cnt), final sums)."""
+    import jax
+
+    B, T = frames.shape[:2]
+    cache = eng.new_cache()
+    start = np.zeros(B, np.int32)
+    limit = np.full(B, T, np.int32)
+    ssum = np.zeros(B, np.float32)
+    zs = eng.new_z_state(6)
+    traces = [dict() for _ in range(B)]
+    events = [[] for _ in range(B)]
+    for _ in range(8 * T):
+        if not (start < limit).any():
+            break
+        cache, sb, i2, s2, trig, zh, zc = eng.score_until_trigger_multi(
+            cache, frames, start, limit, ssum, prob, sumt, HEADS,
+            z_threshold=zt, z_state=zs, first_n_frames=first_n)
+        zs = (zh, zc)
+        sbh, i2h, trigh, ssum = jax.device_get((sb, i2, trig, s2))
+        sbh = np.asarray(sbh)
+        i2h = np.asarray(i2h)
+        for b in range(B):
+            for t in range(int(start[b]), int(i2h[b])):
+                traces[b][t] = sbh[b, t].copy()
+            if np.asarray(trigh)[b]:
+                events[b].append(int(i2h[b]))
+        start = i2h.astype(np.int32)
+        ssum = np.asarray(ssum, np.float32)
+    return traces, events, cache, zs, ssum
+
+
+def test_fused_trigger_multi_matches_sequential(model):
+    """The BATCHED trigger loop at k=4 (engine._trigger_loop_fused — the
+    serving path, ref workload `/root/reference/test/inference.py:857-908`)
+    vs the per-frame loop, driven to completion through repeated
+    invocations: identical per-row trigger events, score traces, running
+    sums, z-state and cache. Rows carry distinct rules (prob / sum / z),
+    so triggers land mid-chunk and at chunk edges, and the z window
+    state must advance identically through fused chunks."""
+    params, cfg = model
+    policy = _policy("sink")
+    base = StreamEngine(params, cfg, policy, batch=B)
+    fused = StreamEngine(params, cfg, policy, batch=B, fused_score_frames=4)
+    T = 14
+    frames = _frames(T, cfg.llm.hidden_size, seed=11)
+
+    # place thresholds from a reference trace so each row actually fires
+    _, s_all = base.score_stream(base.new_cache(), frames)
+    se = np.asarray(s_all[..., 0] + s_all[..., 1], np.float64)
+    prob = np.array([float(np.quantile(se[0], 0.7)), np.inf, np.inf],
+                    np.float32)
+    sumt = np.array([np.inf, float(np.cumsum(se[1])[5]) - 1e-6, np.inf],
+                    np.float32)
+    zt = np.array([np.inf, np.inf, 0.8], np.float32)
+
+    t0, e0, c0, z0, s0 = _drive_trigger_multi(base, frames, prob, sumt, zt)
+    t1, e1, c1, z1, s1 = _drive_trigger_multi(fused, frames, prob, sumt, zt)
+
+    assert e1 == e0, (e1, e0)
+    assert any(e0), "fixture must exercise at least one trigger"
+    for b in range(B):
+        assert t1[b].keys() == t0[b].keys()
+        for t in t1[b]:
+            np.testing.assert_allclose(t1[b][t], t0[b][t],
+                                       rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(s1, s0, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(z1[0]), np.asarray(z0[0]),
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(z1[1]), np.asarray(z0[1]))
+    _assert_cache_equal(c1, c0, policy, atol=2e-2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("spec", [1, 4])
+def test_fused_serve_step_matches_sequential(model, spec):
+    """serve_step (the one-program serving iteration) with fused scoring
+    k=4 vs per-frame k=1, at both tail widths (sequential / speculative):
+    identical per-row score traces, trigger points and response tokens.
+    Exercises the mixed loop's 3-way body (fused_score_pass /
+    seq_pass / spec_tail)."""
+    import jax
+
+    params, cfg = model
+    policy = _policy("sink")
+    T = 12
+    frames = _frames(T, cfg.llm.hidden_size, seed=7)
+    probe = StreamEngine(params, cfg, policy, batch=B)
+    _, s_all = probe.score_stream(probe.new_cache(), frames)
+    se = np.asarray(s_all[..., 0] + s_all[..., 1], np.float64)
+    # row 0 fires on prob mid-stream; row 1 fires on sum; row 2 never
+    prob = np.array([float(np.quantile(se[0], 0.75)), np.inf, np.inf],
+                    np.float32)
+    sumt = np.array([np.inf, float(np.cumsum(se[1])[6]) - 1e-6, np.inf],
+                    np.float32)
+    gen_prompt = [9, 8, 7]
+
+    def drive(k):
+        eng = StreamEngine(params, cfg, policy, batch=B, max_new_tokens=5,
+                           spec_tokens=spec, fused_score_frames=k)
+        cache = eng.new_cache()
+        i = np.zeros(B, np.int32)
+        limit = np.full(B, T, np.int32)
+        ssum = np.zeros(B, np.float32)
+        counts = eng.new_rep_counts()
+        zs = eng.new_z_state()
+        traces = [dict() for _ in range(B)]
+        events = [[] for _ in range(B)]
+        resp = [[] for _ in range(B)]
+        for _ in range(8 * T):
+            if not (i < limit).any():
+                break
+            can_step = i < limit
+            (cache, sb, i2, s2, trig, out_ids, out_len, counts, _lt,
+             zh, zc) = eng.serve_step(
+                cache, [[] for _ in range(B)], can_step, frames, i, limit,
+                ssum, counts, prob, sumt, HEADS, gen_prompt,
+                do_generate=True, z_state=zs)
+            zs = (zh, zc)
+            (sbh, i2h, trigh, ssum, oi, ol) = jax.device_get(
+                (sb, i2, trig, s2, out_ids, out_len))
+            sbh, i2h = np.asarray(sbh), np.asarray(i2h)
+            for b in range(B):
+                for t in range(int(i[b]), int(i2h[b])):
+                    traces[b][t] = sbh[b, t].copy()
+                if np.asarray(trigh)[b]:
+                    events[b].append(int(i2h[b]))
+                    n = int(np.asarray(ol)[b])
+                    resp[b].append(list(np.asarray(oi)[b, :n]))
+            i = i2h.astype(np.int32)
+            ssum = np.asarray(ssum, np.float32)
+        return traces, events, resp, cache
+
+    t0, e0, r0, c0 = drive(1)
+    t1, e1, r1, c1 = drive(4)
+    assert e1 == e0, (e1, e0)
+    assert any(e0), "fixture must exercise at least one trigger+response"
+    assert r1 == r0, (r1, r0)
+    for b in range(B):
+        assert t1[b].keys() == t0[b].keys()
+        for t in t1[b]:
+            np.testing.assert_allclose(t1[b][t], t0[b][t],
+                                       rtol=3e-4, atol=3e-5)
+    _assert_cache_equal(c1, c0, policy, atol=2e-2)
+
+
 def test_fused_then_generate_matches(model):
     """After fused scoring, generation from the committed cache must equal
     generation after the per-frame scan (the cache is the full state)."""
