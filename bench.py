@@ -244,10 +244,14 @@ def run_bench(preset: str) -> dict:
     del fused_eng, cache_f
 
     # multi-stream serving: 8 concurrent streams share each weight pass
-    # (BASELINE config #5) — aggregate frames/sec across the batch
+    # (BASELINE config #5) — aggregate frames/sec across the batch.
+    # fused_score_frames=4 is the product default (InferConfig /
+    # MultiStreamScorer) since round 3's batched fused scoring; r2 and
+    # earlier rows measured the per-frame engine (BASELINE.md has both).
 
     B = 8
-    multi = _SE(engine.params, cfg, engine.policy, batch=B)
+    multi = _SE(engine.params, cfg, engine.policy, batch=B,
+                fused_score_frames=4)
     mb_frames = 16
     stacked = jnp.broadcast_to(embeds[None, :mb_frames],
                                (B, mb_frames, *embeds.shape[1:]))
@@ -270,7 +274,8 @@ def run_bench(preset: str) -> dict:
 
     _quant._FORCE_BACKEND = "w8a8"
     try:
-        multi8 = _SE(engine.params, cfg, engine.policy, batch=B)
+        multi8 = _SE(engine.params, cfg, engine.policy, batch=B,
+                     fused_score_frames=4)
         mcache8 = multi8.new_cache()
         _, ms8 = multi8.score_stream(mcache8, stacked)
         jax.device_get(ms8)
