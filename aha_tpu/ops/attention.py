@@ -92,10 +92,11 @@ def cached_attention(
 
     kv_scales: int8 KV cache mode — the per-(slot, head) scales fold into
     the score/prob tensors instead of dequantizing the whole cache: the
-    einsums stream the int8 buffers (cast only), halving attention DMA.
-    (Exception: the Pallas backend and the transient exact path above
-    dequantize K before their key rotation — the kernel does not take
-    scales; see _decode_attn_backend for why pallas is opt-in anyway.)"""
+    einsums (and the Pallas kernel, which takes the scales and applies
+    the same algebra in VMEM) stream the int8 buffers, halving attention
+    DMA. (Exception: the sink-policy transient exact path dequantizes K
+    before its O(W) key rotation — paid only while a fill transient
+    lasts.)"""
     B, S, NH, Dh = q.shape
     KVH = k_cache.shape[2]
     n_rep = NH // KVH
@@ -126,12 +127,9 @@ def cached_attention(
         # delta_k = key_pos_k - g_k + D makes the scored distance equal the
         # reference's q_pos - key_pos for every occupied slot (sinks get D,
         # steady ring slots get 0, transition ring slots their residual).
-        kc = k_cache
-        vc = v_cache
-        if kv_scales is not None:
-            ks_, vs_ = kv_scales
-            kc = (kc.astype(jnp.float32) * ks_[..., None]).astype(q.dtype)
-            vc = (vc.astype(jnp.float32) * vs_[..., None]).astype(q.dtype)
+        # int8 KV: the kernel streams the int8 buffers and folds the
+        # per-(slot, head) scales into score/prob columns in VMEM — same
+        # algebra as the jnp path below, same halved attention DMA.
         if sink_policy:
             delta_pos = jnp.where(plan.new_order >= 0,
                                   plan.new_key_pos - plan.new_order + D, 0)
@@ -141,7 +139,8 @@ def cached_attention(
         # the kernel masks via (order >= 0) & (order <= g) — the hf-mode
         # operands (ref_idx, q_pos) slot straight into that comparison
         return cached_decode_attention(
-            q_rot, kc, vc, d_cos, d_sin, mask_order, mask_g)
+            q_rot, k_cache, v_cache, d_cos, d_sin, mask_order, mask_g,
+            kv_scales)
 
     # GQA without materializing repeated K/V: group the query heads
     # [B, S, KVH, n_rep, Dh] against the shared [B, W+1, KVH, Dh]

@@ -43,8 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, order_ref, g_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, kvh: int, scale: float, half: int):
+def _kernel(q_ref, k_ref, v_ref, *refs,
+            kvh: int, scale: float, half: int, scaled: bool):
+    if scaled:
+        ks_ref, vs_ref, cos_ref, sin_ref, order_ref, g_ref = refs[:6]
+    else:
+        ks_ref = vs_ref = None
+        cos_ref, sin_ref, order_ref, g_ref = refs[:4]
+    o_ref, m_ref, l_ref, acc_ref = refs[-4:]
     w = pl.program_id(1)
     nw = pl.num_programs(1)
     Dh = q_ref.shape[-1]
@@ -68,14 +74,22 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, order_ref, g_ref, o_ref,
     # 128-aligned lane slice instead of a strided VMEM relayout
     kk = k_ref[0].reshape(bw, kvh * Dh)
     vv = v_ref[0].reshape(bw, kvh * Dh)
+    cdt = q_ref.dtype                       # compute dtype for the MXU dots
 
     for g in range(kvh):
         kg = kk[:, g * Dh:(g + 1) * Dh].astype(jnp.float32)  # [BW, Dh]
-        k_rot = (kg * cos + pltpu.roll(kg, half, 1) * sin).astype(q_ref.dtype)
+        k_rot = (kg * cos + pltpu.roll(kg, half, 1) * sin).astype(cdt)
         s = jax.lax.dot_general(
             q_ref[0, g], k_rot, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                            # [MP, BW]
+        if scaled:
+            # int8 KV: per-(slot, head) K scales fold into the score
+            # COLUMNS (scaling K rows == scaling s columns; the rotation
+            # above is per-slot-linear, so it commutes with the scale) —
+            # the cache itself streams int8, halving the K/V DMA exactly
+            # like the jnp path (ops/attention.cached_attention).
+            s = s * ks_ref[0, 0, 0:1, g * bw:(g + 1) * bw]   # [1, BW]
         s = jnp.where(valid, s, NEG_INF)
 
         # m/l scratch is lane-replicated [MP, Dh] so every intermediate
@@ -87,8 +101,13 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, order_ref, g_ref, o_ref,
         p = jnp.exp(s - m_new)
         p = jnp.where(safe, p, 0.0)
         l_new = l_ref[g][:, :1] * alpha + p.sum(axis=-1, keepdims=True)
+        if scaled:
+            # V scales fold into the probability columns (p @ diag(vs) @ V)
+            pv = p * vs_ref[0, 0, 0:1, g * bw:(g + 1) * bw]
+        else:
+            pv = p
         acc_ref[g] = acc_ref[g] * alpha + jnp.dot(
-            p.astype(v_ref.dtype), vv[:, g * Dh:(g + 1) * Dh],
+            pv.astype(cdt), vv[:, g * Dh:(g + 1) * Dh].astype(cdt),
             preferred_element_type=jnp.float32)
         m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
         l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
@@ -111,12 +130,17 @@ def _pick_block(n: int, target: int = 2048) -> int:
 @functools.partial(jax.jit, static_argnames=("block_w", "interpret"))
 def cached_decode_attention(
     q_rot: jnp.ndarray,    # [B, S, NH, Dh]  (already RoPE-rotated)
-    k_cache: jnp.ndarray,  # [B, Wp, KVH, Dh] (unrotated)
+    k_cache: jnp.ndarray,  # [B, Wp, KVH, Dh] (unrotated; may be int8)
     v_cache: jnp.ndarray,  # [B, Wp, KVH, Dh]
     k_cos: jnp.ndarray,    # [B, Wp, Dh] f32
     k_sin: jnp.ndarray,    # [B, Wp, Dh] f32 (unsigned; sign folded here)
     order: jnp.ndarray,    # [B, Wp] int32
     g: jnp.ndarray,        # [B, S] int32 query global indices
+    kv_scales: tuple | None = None,  # (k_scale, v_scale) [B, Wp, KVH] —
+    # int8 KV cache mode: the kernel streams the int8 buffers and folds
+    # the per-(slot, head) scales into the score / probability columns
+    # in VMEM (same algebra as the jnp path), so int8 KV keeps its
+    # halved attention DMA under this backend too
     *,
     block_w: int | None = None,
     interpret: bool | None = None,
@@ -159,9 +183,31 @@ def cached_decode_attention(
         order.reshape(B, nW, 1, bw), (B, nW, 8, bw))
     g_r = jnp.broadcast_to(g_rows[:, None, :], (B, 8, MP))
 
+    scaled = kv_scales is not None
+    extra_in, extra_specs = [], []
+    if scaled:
+        # per-(slot, head) scales laid out [B, nW, 8, KVH*bw]: head g's
+        # block-column scales are the lane slice [g*bw:(g+1)*bw] (the 8
+        # replicated sublanes satisfy the f32 (8, 128) tile rule). DMA
+        # cost: 8*KVH*bw f32 per block vs the bw*KVH*Dh bytes the int8 K
+        # tile saves — the halved cache stream survives the scales.
+        def _prep(x):
+            xr = x.reshape(B, nW, bw, KVH).transpose(0, 1, 3, 2)
+            xr = xr.reshape(B, nW, 1, KVH * bw).astype(jnp.float32)
+            return jnp.broadcast_to(xr, (B, nW, 8, KVH * bw))
+
+        extra_in = [_prep(kv_scales[0]), _prep(kv_scales[1])]
+        extra_specs = [
+            pl.BlockSpec((1, 1, 8, KVH * bw), lambda b, w: (b, w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, KVH * bw), lambda b, w: (b, w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     grid = (B, Wp // bw)
     out = pl.pallas_call(
-        functools.partial(_kernel, kvh=KVH, scale=scale, half=half),
+        functools.partial(_kernel, kvh=KVH, scale=scale, half=half,
+                          scaled=scaled),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, KVH, MP, Dh), lambda b, w: (b, 0, 0, 0),
@@ -170,6 +216,7 @@ def cached_decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw, KVH, Dh), lambda b, w: (b, w, 0, 0),
                          memory_space=pltpu.VMEM),
+            *extra_specs,
             pl.BlockSpec((1, bw, Dh), lambda b, w: (b, w, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw, Dh), lambda b, w: (b, w, 0),
@@ -191,7 +238,7 @@ def cached_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qg, k_cache, v_cache, cos_b, sin_signed, order_r, g_r)
+    )(qg, k_cache, v_cache, *extra_in, cos_b, sin_signed, order_r, g_r)
 
     out = out[:, :, :M].reshape(B, KVH, n_rep, S, Dh)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, NH, Dh)

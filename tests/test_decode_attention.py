@@ -105,6 +105,66 @@ def test_pallas_decode_attention_single_token():
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_decode_attention_int8_kv():
+    """int8 KV cache under the kernel: it streams the int8 buffers and
+    folds the per-(slot, head) scales into score/prob columns in VMEM
+    (previously it required a host-side dequant pass that negated int8
+    KV's halved attention DMA — ADVICE r2). Output must match (a) the
+    jnp int8 path and (b) the kernel fed the pre-dequantized cache."""
+    from aha_tpu.ops.kv_cache import quantize_kv
+
+    policy = CachePolicy("sliding", window=120, slot_pad=8)  # num_slots 128
+    rng = np.random.default_rng(3)
+    B, KVH, NH, Dh = 2, 2, 4, 128
+    cache = init_cache(policy, num_layers=1, batch=B, num_kv_heads=KVH,
+                       head_dim=Dh, dtype=jnp.float32)
+    # fill past the window so occupied slots + eviction are in play
+    S = 96
+    for vl in [(96, 80), (64, 96)]:
+        k_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, S, KVH, Dh)), jnp.float32)
+        plan = plan_update(cache, policy, jnp.asarray(vl, jnp.int32), S)
+        k_c, v_c, _, _ = write_layer(cache.k[0], cache.v[0], k_new, v_new,
+                                     plan, rope_theta=THETA)
+        cache = advance(cache, plan,
+                        cache.k.at[0].set(k_c), cache.v.at[0].set(v_c))
+
+    # quantize the whole (already-written, pre-rotated) cache per
+    # (slot, head) — the same convention write_layer uses in int8 KV mode
+    kq, ks = quantize_kv(k_c)
+    vq, vs = quantize_kv(v_c)
+
+    Sq = 8
+    q = jnp.asarray(rng.standard_normal((B, Sq, NH, Dh)), jnp.float32)
+    plan = plan_update(cache, policy, jnp.asarray((Sq, Sq), jnp.int32), Sq)
+    from aha_tpu.ops.kv_cache import reference_mask_operands
+
+    mask_order, mask_g = reference_mask_operands(plan, sink_slots=0)
+    w_cos, w_sin = rope_cos_sin(plan.write_pos, Dh, THETA)
+    q_rot = apply_rope(q.astype(jnp.float32), w_cos, w_sin).astype(q.dtype)
+    d_cos, d_sin = rope_cos_sin(jnp.zeros_like(plan.new_key_pos), Dh, THETA)
+
+    # NOTE: this scores q against the cache WITHOUT writing this chunk's
+    # keys (a read-only comparison of the three attention backends on
+    # identical operands; in-flight K/V handling is covered elsewhere)
+    out_int8 = cached_decode_attention(
+        q_rot, kq, vq, d_cos, d_sin, mask_order, mask_g, (ks, vs),
+        interpret=True)
+    deq_k = (kq.astype(jnp.float32) * ks[..., None])
+    deq_v = (vq.astype(jnp.float32) * vs[..., None])
+    out_deq = cached_decode_attention(
+        q_rot, deq_k, deq_v, d_cos, d_sin, mask_order, mask_g,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_deq),
+                               rtol=2e-5, atol=2e-5)
+
+    ref = attention.cached_attention(
+        q, kq, vq, plan, rope_theta=THETA, sink_policy=False,
+        evicting=True, kv_scales=(ks, vs))
+    np.testing.assert_allclose(np.asarray(out_int8), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_aligned_slots_policy():
     p = CachePolicy("sink", window=2048, num_sink=32).with_aligned_slots()
     assert p.num_slots % 128 == 0 and p.num_slots > 2048
