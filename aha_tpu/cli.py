@@ -64,13 +64,18 @@ def _build_session(args):
         lora, overrides, lora_scale = loader.load_adapter(
             args.lora_pretrained, cfg, dtype=jnp.float32)
         params = loader.apply_overrides(params, overrides)
+    q_vision = bool(getattr(args, "vision_int8", False))
     if getattr(args, "int4", False):
         # packed int4 (group-wise, fused Pallas unpack-matmul): the
         # HBM-constrained option — 4.2 GB of 7B weights; int8 is the
         # throughput recipe (BASELINE.md)
-        params = quant.quantize_params(params, bits=4)
+        params = quant.quantize_params(params, bits=4,
+                                       quantize_vision=q_vision)
     elif args.int8:
-        params = quant.quantize_params(params)
+        params = quant.quantize_params(params, quantize_vision=q_vision)
+    elif q_vision:
+        params = quant.quantize_params(params, quantize_vision=True,
+                                       keep_dense=("llm",))
     infer_cfg = InferConfig(
         frame_fps=args.frame_fps,
         frame_resolution=cfg.frame_resolution,
@@ -112,6 +117,12 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--int4", action="store_true",
                    help="packed int4 weights (fused Pallas kernel; smallest "
                         "HBM footprint, slower than --int8)")
+    p.add_argument("--vision_int8", action="store_true",
+                   help="also quantize the SigLIP tower (default dense). "
+                        "Pays under AHA_QUANT_MATMUL=w8a8: the tower is "
+                        "compute-bound, so the int8 MXU lifts encode 215 -> "
+                        "265 fps on the v5e-1 at ~2%% frame-embed error; "
+                        "weight-only ties dense (BASELINE.md round 3)")
     p.add_argument("--test_dataset", required=True,
                    choices=["tvsum", "tvsum_degraded", "hisum", "youcook2",
                             "magqa", "charades", "generic",
@@ -492,6 +503,8 @@ def cmd_demo(argv):
     p.add_argument("--llm_pretrained", default=None)
     p.add_argument("--tokenizer_pretrained", default=None)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--vision_int8", action="store_true",
+                   help="quantize the SigLIP tower too (see aha infer)")
     args = p.parse_args(argv)
     args.grounding_mode = True
     args.stream_end_prob_threshold = None
@@ -771,6 +784,8 @@ def cmd_serve(argv):
     p.add_argument("--lora_pretrained", default=None)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int4", action="store_true")
+    p.add_argument("--vision_int8", action="store_true",
+                   help="quantize the SigLIP tower too (see aha infer)")
     p.add_argument("--input", default="-", help="requests JSONL (- = stdin)")
     p.add_argument("--output", default="-", help="results JSONL (- = stdout)")
     p.add_argument("--batch", type=int, default=8, help="concurrent slots")

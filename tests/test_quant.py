@@ -45,6 +45,35 @@ def test_quantized_model_close_to_dense():
     assert cos > 0.98, cos
 
 
+def test_quantize_vision_tower():
+    """--vision_int8 wiring: quantize_vision=True quantizes the SigLIP
+    tower (default leaves it dense — it is compute-bound, quant.py
+    docstring); visual_embed stays close to dense, and the
+    keep_dense=('llm',) combination (vision-only quantization) leaves
+    the trunk untouched."""
+    cfg = aha_tiny(vocab_size=128)
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+
+    q_default = quant.quantize_params(params)
+    assert not isinstance(
+        q_default["vision"]["layers"]["fc1"]["kernel"], dict)
+
+    q_vis = quant.quantize_params(params, quantize_vision=True,
+                                  keep_dense=("llm",))
+    assert isinstance(q_vis["vision"]["layers"]["fc1"]["kernel"], dict)
+    assert not isinstance(q_vis["llm"]["layers"]["q_proj"]["kernel"], dict)
+
+    frames = jnp.asarray(
+        np.random.default_rng(2).integers(
+            0, 255, (3, cfg.frame_resolution, cfg.frame_resolution, 3),
+            dtype=np.uint8))
+    e_d = np.asarray(aha.visual_embed(params, cfg, frames), np.float64)
+    e_q = np.asarray(aha.visual_embed(q_vis, cfg, frames), np.float64)
+    a, b = e_d.ravel(), e_q.ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.98, cos
+
+
 def test_quantized_streaming_engine_runs():
     cfg = aha_tiny(vocab_size=128)
     params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
