@@ -329,6 +329,11 @@ def write_layer(
         v_new, vs = quantize_kv(v_new)
         k_scale = jax.vmap(scat)(k_scale, plan.slots, ks)
         v_scale = jax.vmap(scat)(v_scale, plan.slots, vs)
+    else:
+        # explicit cast: scatter with a wider value dtype is a FutureWarning
+        # (soon an error) under jax_numpy_dtype_promotion=standard
+        k_new = k_new.astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
     k_cache = jax.vmap(scat)(k_cache, plan.slots, k_new)
     v_cache = jax.vmap(scat)(v_cache, plan.slots, v_new)
     return k_cache, v_cache, k_scale, v_scale
