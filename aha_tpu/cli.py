@@ -65,6 +65,22 @@ def _build_session(args):
             args.lora_pretrained, cfg, dtype=jnp.float32)
         params = loader.apply_overrides(params, overrides)
     q_vision = bool(getattr(args, "vision_int8", False))
+    if getattr(args, "w8a8", False):
+        # serving mode: dynamic per-token int8 activations onto the int8
+        # MXU (ops/quant.qlinear_w8a8). Implies int8 weights (the backend
+        # only fires on quantized kernels) + the int8 vision tower (it is
+        # compute-bound, 215 -> 265 fps), and extends the fused scoring
+        # width to 8 — halved MXU cost moves the weight-stream crossover
+        # from k=4 to k=8 (255 vs 187 fps B=1 scan on v5e-1, BASELINE.md).
+        # ~1%% relative hidden-state error; benchmark-parity runs skip it.
+        if getattr(args, "int4", False):
+            raise SystemExit("--w8a8 and --int4 are mutually exclusive: the "
+                             "w8a8 backend bypasses the fused int4 kernel")
+        args.int8 = True
+        q_vision = True
+        if getattr(args, "fused_score_frames", 4) == 4:
+            args.fused_score_frames = 8
+        quant._FORCE_BACKEND = "w8a8"
     if getattr(args, "int4", False):
         # packed int4 (group-wise, fused Pallas unpack-matmul): the
         # HBM-constrained option — 4.2 GB of 7B weights; int8 is the
@@ -123,6 +139,13 @@ def _add_infer_flags(p: argparse.ArgumentParser):
                         "compute-bound, so the int8 MXU lifts encode 215 -> "
                         "265 fps on the v5e-1 at ~2%% frame-embed error; "
                         "weight-only ties dense (BASELINE.md round 3)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="serving mode: int8 weights + dynamic per-token "
+                        "int8 activations on the int8 MXU + int8 vision "
+                        "tower + fused width 8. Fastest single-chip recipe "
+                        "(255 fps B=1 scan / 265 fps encode on v5e-1) at "
+                        "~1%% hidden-state error — use the default exact "
+                        "modes for benchmark parity runs")
     p.add_argument("--test_dataset", required=True,
                    choices=["tvsum", "tvsum_degraded", "hisum", "youcook2",
                             "magqa", "charades", "generic",
@@ -505,6 +528,10 @@ def cmd_demo(argv):
     p.add_argument("--int8", action="store_true")
     p.add_argument("--vision_int8", action="store_true",
                    help="quantize the SigLIP tower too (see aha infer)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="serving mode: int8 weights + per-token int8 "
+                        "activations + int8 vision + fused width 8 "
+                        "(see aha infer --w8a8)")
     args = p.parse_args(argv)
     args.grounding_mode = True
     args.stream_end_prob_threshold = None
@@ -786,6 +813,13 @@ def cmd_serve(argv):
     p.add_argument("--int4", action="store_true")
     p.add_argument("--vision_int8", action="store_true",
                    help="quantize the SigLIP tower too (see aha infer)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="serving mode: int8 weights + per-token int8 "
+                        "activations + int8 vision + fused width 8 "
+                        "(see aha infer --w8a8)")
+    p.add_argument("--fused_score_frames", type=int, default=4,
+                   help="frames verified per decoder weight stream on the "
+                        "batched scoring paths (1 = per-frame)")
     p.add_argument("--input", default="-", help="requests JSONL (- = stdin)")
     p.add_argument("--output", default="-", help="results JSONL (- = stdout)")
     p.add_argument("--batch", type=int, default=8, help="concurrent slots")

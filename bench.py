@@ -243,6 +243,32 @@ def run_bench(preset: str) -> dict:
     scan_fused_fps, scanf_lo, scanf_hi = _stats(run_scan_fused)
     del fused_eng, cache_f
 
+    # fused scan under the W8A8 serving recipe: dynamic per-token int8
+    # activations halve the MXU cost of the verify pass, so the fused-width
+    # crossover moves from k=4 to k=8 (measured: 226 fps at k=4, 255 at k=8
+    # vs 187 weight-only — scripts/perf/ab_fused_scoring.py). Reported as a
+    # separate row like multi_stream_8x_w8a8 (W8A8 is the opt-in serving
+    # mode, ~1% hidden-state error; the exact-parity headline excludes it).
+    from aha_tpu.ops import quant as _q8
+
+    _q8._FORCE_BACKEND = "w8a8"
+    try:
+        fused8 = _SE(engine.params, cfg, engine.policy, fused_score_frames=8)
+        c8 = fused8.new_cache()
+        _, s8 = fused8.score_stream(c8, embeds[None])
+        jax.device_get(s8)
+        def run_scan_fused_w8a8():
+            c = fused8.new_cache()
+            t0 = time.perf_counter()
+            _, s = fused8.score_stream(c, embeds[None])
+            jax.device_get(s)
+            return BENCH_FRAMES / (time.perf_counter() - t0)
+
+        scan_fused_w8a8_fps, scanf8_lo, scanf8_hi = _stats(run_scan_fused_w8a8)
+        del fused8, c8
+    finally:
+        _q8._FORCE_BACKEND = None
+
     # multi-stream serving: 8 concurrent streams share each weight pass
     # (BASELINE config #5) — aggregate frames/sec across the batch.
     # fused_score_frames=4 is the product default (InferConfig /
@@ -444,6 +470,7 @@ def run_bench(preset: str) -> dict:
         "stepwise_fps": round(fps, 3),
         "scan_fps": round(scan_fps, 3),
         "scan_fused_fps": round(scan_fused_fps, 3),
+        "scan_fused_w8a8_fps": round(scan_fused_w8a8_fps, 3),
         "vision_encode_fps": round(vision_fps, 3),
         "p50_frame_latency_ms": round(p50_ms, 2),
         "decode_tokens_per_sec": round(decode_tps, 3),
@@ -469,6 +496,7 @@ def run_bench(preset: str) -> dict:
             "trigger_loop_fps": [round(trig_lo, 2), round(trig_hi, 2)],
             "scan_fps": [round(scan_lo, 2), round(scan_hi, 2)],
             "scan_fused_fps": [round(scanf_lo, 2), round(scanf_hi, 2)],
+            "scan_fused_w8a8_fps": [round(scanf8_lo, 2), round(scanf8_hi, 2)],
             "vision_encode_fps": [round(vis_lo, 2), round(vis_hi, 2)],
             "multi_stream_8x_aggregate_fps": [round(multi_lo, 2), round(multi_hi, 2)],
             "multi_stream_8x_w8a8_fps": [round(m8_lo, 2), round(m8_hi, 2)],

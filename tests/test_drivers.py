@@ -258,6 +258,51 @@ def test_cli_infer_live_demo_branch(video_dir, tmp_path):
     assert "telemetry" in data
 
 
+def test_cli_infer_w8a8_serving_mode(video_dir, tmp_path):
+    """--w8a8 (the single-chip serving recipe): int8 weights + per-token
+    int8 activations + int8 vision + fused width 8, end-to-end through
+    cmd_infer. The backend force is process-global, so restore it."""
+    from aha_tpu.cli import cmd_infer
+    from aha_tpu.ops import quant
+
+    out = tmp_path / "arl_w8a8.json"
+    ticks = tmp_path / "ticks.json"
+    ticks.write_text(json.dumps({"arl_scout": {"ticks": [1.0], "label": "t"}}))
+    try:
+        cmd_infer([
+            "--test_dataset", "arl_scout",
+            "--model_preset", "tiny",
+            "--w8a8",
+            "--input_dir", str(video_dir / "vidA.mp4"),
+            "--output_fname", str(out),
+            "--frame_fps", "1.0",
+            "--tick_table", str(ticks),
+        ])
+        assert quant._FORCE_BACKEND == "w8a8"
+    finally:
+        quant._FORCE_BACKEND = None
+    data = json.loads(out.read_text())
+    assert len(data["debug_data"]) == 3
+    assert all(np.isfinite(d["relevance_score"]) for d in data["debug_data"])
+
+
+def test_cli_w8a8_int4_mutually_exclusive(tmp_path):
+    from aha_tpu.cli import cmd_infer
+    from aha_tpu.ops import quant
+
+    try:
+        with pytest.raises(SystemExit):
+            cmd_infer([
+                "--test_dataset", "arl_scout",
+                "--model_preset", "tiny",
+                "--w8a8", "--int4",
+                "--input_dir", str(tmp_path),
+                "--output_fname", str(tmp_path / "x.json"),
+            ])
+    finally:
+        quant._FORCE_BACKEND = None
+
+
 @pytest.mark.slow
 def test_offline_baseline_driver(video_dir, tmp_path):
     """run_offline_baseline (ref test/inference.py:910-951): whole video +
