@@ -69,16 +69,20 @@ def _build_session(args):
         # serving mode: dynamic per-token int8 activations onto the int8
         # MXU (ops/quant.qlinear_w8a8). Implies int8 weights (the backend
         # only fires on quantized kernels) + the int8 vision tower (it is
-        # compute-bound, 215 -> 265 fps), and extends the fused scoring
-        # width to 8 — halved MXU cost moves the weight-stream crossover
-        # from k=4 to k=8 (255 vs 187 fps B=1 scan on v5e-1, BASELINE.md).
-        # ~1%% relative hidden-state error; benchmark-parity runs skip it.
+        # compute-bound, 215 -> 265 fps), and for SINGLE-stream sessions
+        # extends the fused scoring width to 8 — halved MXU cost moves the
+        # weight-stream crossover from k=4 to k=8 (255-261 vs 187 fps B=1
+        # scan on v5e-1). Batched serving keeps width 4: at B=8 the batch
+        # rows already feed the MXU and k=8 regresses (208 vs 221 fps
+        # aggregate — BASELINE.md round 3). ~1%% relative hidden-state
+        # error; benchmark-parity runs skip it.
         if getattr(args, "int4", False):
             raise SystemExit("--w8a8 and --int4 are mutually exclusive: the "
                              "w8a8 backend bypasses the fused int4 kernel")
         args.int8 = True
         q_vision = True
-        if getattr(args, "fused_score_frames", 4) == 4:
+        if (getattr(args, "fused_score_frames", 4) == 4
+                and getattr(args, "batch", 1) == 1):
             args.fused_score_frames = 8
         quant._FORCE_BACKEND = "w8a8"
     if getattr(args, "int4", False):
@@ -638,7 +642,7 @@ def cmd_train(argv):
                    help="ablation: detach hidden states before the score "
                         "heads (ref video_head_live_llava_qwen.py:44-47)")
     p.add_argument("--remat_policy", default="full",
-                   choices=["none", "full", "dots", "dots_no_batch"],
+                   choices=["none", "full", "half", "dots", "dots_no_batch"],
                    help="trunk activation remat: 'full' = lowest HBM "
                         "(ref gradient_checkpointing), 'dots' saves matmul "
                         "outputs for a faster backward when memory allows")
