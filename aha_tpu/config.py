@@ -271,7 +271,11 @@ class TrainConfig:
     # only the cheap elementwise/norm ops (faster when activations fit),
     # "none" saves everything. Replaces the reference's
     # gradient_checkpointing=True HF flag (ref train.py TrainingArguments).
-    remat_policy: str = "full"   # none | full | dots | dots_no_batch
+    # "half" checkpoints alternating layers (scan over 2-layer blocks,
+    # remat the first of each pair): half the backward recompute of
+    # "full" for ~L/2 layers of residual HBM — the middle rung where
+    # "dots" does not compile (BASELINE.md round 3).
+    remat_policy: str = "full"   # none | full | half | dots | dots_no_batch
 
     system_prompt: str = (
         "A multimodal AI assistant is helping users with some activities."

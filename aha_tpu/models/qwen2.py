@@ -279,6 +279,14 @@ def forward_hidden(
         wrap = functools.partial(
             jax.checkpoint,
             policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    elif remat == "half":
+        # checkpoint alternating layers: scan over 2-layer blocks, remat
+        # only the first of each pair — backward recomputes HALF the
+        # forward (useful/executed (2F+dW)/(2.5F+dW) ≈ .83 vs full's .67)
+        # for ~L/2 layers of saved residuals. The middle rung between
+        # 'full' and 'dots' where 'dots' fails to compile (BASELINE.md:
+        # the axon remote-compile stack rejects the 7B dots lowering).
+        wrap = "half"
     elif remat in (False, None, "none"):
         wrap = None
     else:
@@ -286,6 +294,9 @@ def forward_hidden(
 
     if pipe is not None:
         assert ring is None, "pipe and ring attention are mutually exclusive"
+        if wrap == "half":
+            raise ValueError("remat='half' pairs layers in the plain scan; "
+                             "use 'full'/'dots' with pipeline stages")
         from aha_tpu.parallel.pipeline import gpipe_scan_layers
 
         mesh_p, axis_p, n_micro = pipe
@@ -302,9 +313,25 @@ def forward_hidden(
                               extras, layer_fn_mb, n_micro, wrap=wrap)
     else:
         layer_fn = make_layer_fn(attn_mask, positions, rope_tables, pos)
-        if wrap is not None:
-            layer_fn = wrap(layer_fn)
-        x, _ = jax.lax.scan(layer_fn, x, (params["layers"], lora))
+        if wrap == "half":
+            L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+            if L % 2:
+                raise ValueError(f"remat='half' needs an even layer count "
+                                 f"(got {L})")
+            pair = lambda t: t.reshape(L // 2, 2, *t.shape[1:])
+            scanned = jax.tree.map(pair, (params["layers"], lora))
+            ck_layer = jax.checkpoint(layer_fn)
+
+            def block_fn(x, blk):
+                x, _ = ck_layer(x, jax.tree.map(lambda t: t[0], blk))
+                x, _ = layer_fn(x, jax.tree.map(lambda t: t[1], blk))
+                return x, None
+
+            x, _ = jax.lax.scan(block_fn, x, scanned)
+        else:
+            if wrap is not None:
+                layer_fn = wrap(layer_fn)
+            x, _ = jax.lax.scan(layer_fn, x, (params["layers"], lora))
     return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
 
 

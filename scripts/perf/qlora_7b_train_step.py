@@ -155,6 +155,7 @@ def hbm_gb():
 # (B, n_frames, remat_policy) — ordered cheap-compile-first; OOMs recorded
 SWEEP = [
     (1, 16, "full"),
+    (1, 16, "half"),
     (1, 16, "dots"),
     (2, 16, "full"),
     (4, 16, "full"),
@@ -194,6 +195,12 @@ def main():
         configs = [(1, 16, "full")]
     if bits == 4:
         configs = [(1, 16, "full"), (1, 32, "full")]
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:  # e.g. --only=1,16,full --only=1,16,half
+        configs = []
+        for spec in only:
+            b, f, pol = spec.split(",")
+            configs.append((int(b), int(f), pol))
     for B, n_frames, policy in configs:
         train_cfg = TrainConfig(learning_rate=1e-4, grad_accum_steps=1,
                                 warmup_ratio=0.0, remat_policy=policy)
@@ -233,7 +240,8 @@ def main():
         med = float(np.median(times))
         fl = analytic_flops(cfg, B, T, n_frames)
         useful = 2 * fl["fwd"] + fl["dW"]
-        hardware = useful + (fl["fwd"] if policy == "full" else 0.0)
+        recompute = {"full": 1.0, "half": 0.5}.get(policy, 0.0)
+        hardware = useful + recompute * fl["fwd"]
         results[key] = {
             "B": B, "T": T, "n_frames": n_frames, "remat": policy,
             "step_ms": round(med * 1000, 1),

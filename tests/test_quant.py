@@ -139,6 +139,23 @@ def test_w8a8_accuracy(monkeypatch):
     assert cos > 0.97, cos
 
 
+def test_w8a8_grouping_invariant():
+    """qlinear_w8a8 quantizes activations PER TOKEN (per row), so splitting
+    a batch of rows into any chunking produces bit-identical outputs — the
+    property that makes the fused k-frame verify pass (which quantizes
+    k*F rows at once where the per-frame loop quantizes F) numerically
+    equivalent to the sequential loop under the --w8a8 serving mode."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(24, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    q = quant.quantize_array(w, contract_axis=0)
+    whole = np.asarray(quant.qlinear_w8a8(x, q))
+    for split in (1, 4, 8):
+        parts = [np.asarray(quant.qlinear_w8a8(x[i:i + split], q))
+                 for i in range(0, x.shape[0], split)]
+        np.testing.assert_array_equal(np.concatenate(parts, axis=0), whole)
+
+
 @pytest.mark.slow
 def test_int4_roundtrip_and_accuracy():
     rng = np.random.default_rng(5)

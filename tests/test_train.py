@@ -516,7 +516,7 @@ def test_remat_policies_equivalent(tiny):
     rng = np.random.default_rng(3)
     batch_np = make_batch(cfg, tok, rng)
     results = {}
-    for policy in ("none", "full", "dots"):
+    for policy in ("none", "full", "half", "dots"):
         train_cfg = TrainConfig(learning_rate=1e-3, grad_accum_steps=1,
                                 warmup_ratio=0.0, remat_policy=policy)
         p = jax.tree_util.tree_map(jnp.array, params)
@@ -528,7 +528,7 @@ def test_remat_policies_equivalent(tiny):
         results[policy] = (float(parts.total),
                            np.asarray(state.tree["lora"]["q_proj"]["b"]))
     ref_loss, ref_b = results["none"]
-    for policy in ("full", "dots"):
+    for policy in ("full", "half", "dots"):
         loss, b = results[policy]
         np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
         np.testing.assert_allclose(b, ref_b, rtol=1e-5, atol=1e-7)
