@@ -241,7 +241,29 @@ def run_bench(preset: str) -> dict:
         return BENCH_FRAMES / (time.perf_counter() - t0)
 
     scan_fused_fps, scanf_lo, scanf_hi = _stats(run_scan_fused)
-    del fused_eng, cache_f
+
+    # the solo trigger loop at the PRODUCT default width
+    # (InferConfig.fused_score_frames=4): acceptance-gated frame
+    # speculation, exact trigger/score/cache parity with the per-frame
+    # loop (tests/test_fused_scoring.py::test_fused_trigger_loop_*).
+    # trigger_loop_fps above keeps the per-frame engine for round-to-round
+    # comparability; this row is what `aha infer` actually runs.
+    cache_tf = fused_eng.new_cache()
+    _, s, n, _, _ = fused_eng.score_until_trigger(
+        cache_tf, embeds, BENCH_FRAMES, 0.0, None, None,
+        ("informative_score", "relevance_score"))
+    jax.device_get(s)
+    def run_trigger_fused():
+        c = fused_eng.new_cache()
+        t0 = time.perf_counter()
+        _, s, n, _, _ = fused_eng.score_until_trigger(
+            c, embeds, BENCH_FRAMES, 0.0, None, None,
+            ("informative_score", "relevance_score"))
+        jax.device_get(s)
+        return int(n) / (time.perf_counter() - t0)
+
+    trigger_fused_fps, trigf_lo, trigf_hi = _stats(run_trigger_fused)
+    del fused_eng, cache_f, cache_tf
 
     # fused scan under the W8A8 serving recipe: dynamic per-token int8
     # activations halve the MXU cost of the verify pass, so the fused-width
@@ -460,13 +482,15 @@ def run_bench(preset: str) -> dict:
     # additionally measure the axon tunnel's dispatch latency, which varies
     # 3-4x between sessions (see spread + BASELINE.md) — when stepwise <<
     # scan the gap is tunnel latency, not chip throughput.
-    headline = max(fps, trigger_loop_fps, scan_fps, scan_fused_fps)
+    headline = max(fps, trigger_loop_fps, trigger_fused_fps, scan_fps,
+                   scan_fused_fps)
     return {
         "metric": f"streaming_scoring_fps[{preset}]",
         "value": round(headline, 3),
         "unit": "frames/sec",
         "vs_baseline": round(headline / BASELINE_FPS, 3),
         "trigger_loop_fps": round(trigger_loop_fps, 3),
+        "trigger_loop_fused_fps": round(trigger_fused_fps, 3),
         "stepwise_fps": round(fps, 3),
         "scan_fps": round(scan_fps, 3),
         "scan_fused_fps": round(scan_fused_fps, 3),
@@ -494,6 +518,7 @@ def run_bench(preset: str) -> dict:
         "spread": {
             "stepwise_fps": [round(fps_lo, 2), round(fps_hi, 2)],
             "trigger_loop_fps": [round(trig_lo, 2), round(trig_hi, 2)],
+            "trigger_loop_fused_fps": [round(trigf_lo, 2), round(trigf_hi, 2)],
             "scan_fps": [round(scan_lo, 2), round(scan_hi, 2)],
             "scan_fused_fps": [round(scanf_lo, 2), round(scanf_hi, 2)],
             "scan_fused_w8a8_fps": [round(scanf8_lo, 2), round(scanf8_hi, 2)],

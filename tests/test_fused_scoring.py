@@ -106,6 +106,31 @@ def test_fused_scores_match_per_frame_scan(model, kind, mask_mode):
     _assert_cache_equal(c1, c0, policy)
 
 
+def test_fused_scores_match_per_frame_scan_w8a8(model):
+    """Under the --w8a8 serving mode the fused pass quantizes k*F activation
+    rows per qlinear where the per-frame loop quantizes F; the per-token
+    activation scales make qlinear_w8a8 grouping-invariant
+    (test_quant.py::test_w8a8_grouping_invariant), so fused == per-frame up
+    to f32 reduction-order noise in the attention shapes."""
+    from aha_tpu.ops import quant
+
+    params, cfg = model
+    qparams = quant.quantize_params(params)
+    policy = _policy("sink")
+    old = quant._FORCE_BACKEND
+    quant._FORCE_BACKEND = "w8a8"
+    try:
+        base, fused = _engines(qparams, cfg, policy, k=4)
+        frames = _frames(13, cfg.llm.hidden_size)
+        c0, s0 = base.score_stream(base.new_cache(), frames)
+        c1, s1 = fused.score_stream(fused.new_cache(), frames)
+    finally:
+        quant._FORCE_BACKEND = old
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-4, atol=1e-5)
+    _assert_cache_equal(c1, c0, policy, atol=1e-4)
+
+
 def test_fused_scores_after_text_prefix(model):
     """A query prefix leaves cache.length not frame-aligned — the fused
     plans must compose from an arbitrary mid-stream state (the reference
