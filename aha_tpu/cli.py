@@ -536,6 +536,14 @@ def cmd_demo(argv):
                    help="serving mode: int8 weights + per-token int8 "
                         "activations + int8 vision + fused width 8 "
                         "(see aha infer --w8a8)")
+    p.add_argument("--motion_skip_threshold", type=float, default=None,
+                   help="skip scoring frames whose mean pixel change since "
+                        "the last scored frame is below this (0..1, e.g. "
+                        "0.02); their scores are held on the time grid. "
+                        "Opt-in, beyond-reference (media.motion_mask)")
+    p.add_argument("--motion_max_skip", type=int, default=8,
+                   help="always score at least every Nth frame under "
+                        "--motion_skip_threshold")
     args = p.parse_args(argv)
     args.grounding_mode = True
     args.stream_end_prob_threshold = None
@@ -559,6 +567,8 @@ def cmd_demo(argv):
         session, frames, args.query, args.frame_fps,
         output_dir=args.output_dir, gt_ticks=gt_ticks,
         monitor=telemetry.DeviceMonitor(),
+        motion_skip_threshold=args.motion_skip_threshold,
+        motion_max_skip=args.motion_max_skip,
     )
     print(json.dumps({k: v for k, v in result.items() if k != "debug_data"},
                      default=float))

@@ -211,6 +211,49 @@ def decode_video(
     return np.stack(frames), true_idx
 
 
+def motion_mask(
+    frames: np.ndarray,
+    threshold: float,
+    *,
+    max_skip: int = 8,
+) -> np.ndarray:
+    """[T, H, W, 3] uint8 -> bool [T]: which frames carry new content.
+
+    A frame is kept when its mean absolute pixel difference from the LAST
+    KEPT frame exceeds ``threshold`` (0..1 of full scale, i.e. 0.02 = 5.1
+    gray levels), or when ``max_skip`` frames have been held since the
+    last kept one (bounds drift on slow pans). Frame 0 is always kept.
+
+    This is the host-side analog of codec-signal frame selection for
+    streaming VLMs (see PAPERS.md): static stretches of a live stream
+    carry no new evidence, so the scoring loop can hold the previous
+    score instead of paying a decoder pass. Beyond-reference, opt-in —
+    the reference resamples uniformly (output_fps / 'auto',
+    test/inference.py:497-582); skipped frames never enter the KV, which
+    is the same semantic class as decoding at a lower fps.
+    """
+    T = frames.shape[0]
+    keep = np.zeros(T, bool)
+    if T == 0:
+        return keep
+    keep[0] = True
+    # uint8 -> int16 once; mean |diff| per frame against the running anchor
+    anchor = frames[0].astype(np.int16)
+    held = 0
+    lim = float(threshold) * 255.0
+    for t in range(1, T):
+        held += 1
+        if held >= max_skip:
+            keep[t] = True
+        else:
+            d = np.abs(frames[t].astype(np.int16) - anchor).mean()
+            keep[t] = d > lim
+        if keep[t]:
+            anchor = frames[t].astype(np.int16)
+            held = 0
+    return keep
+
+
 def load_frame_folder(
     frame_folder: str,
     *,

@@ -53,13 +53,41 @@ def infer_on_live_video(
     gt_ticks: list[float] | None = None,
     score_key: str = "relevance_score",
     monitor=None,
+    motion_skip_threshold: float | None = None,
+    motion_max_skip: int = 8,
 ) -> dict:
-    """Score the stream, detect ticks, optionally write plot + JSON."""
+    """Score the stream, detect ticks, optionally write plot + JSON.
+
+    motion_skip_threshold (opt-in, beyond-reference): frames whose mean
+    pixel change since the last scored frame stays under the threshold
+    are not scored — the previous frame's scores are HELD on the uniform
+    time grid (savgol/find_ticks semantics unchanged) and the skipped
+    frames never enter the KV (the same semantic class as decoding at a
+    lower fps; see data/media.motion_mask). `frames_scored` in the
+    result reports the achieved compression."""
     if monitor is not None:
         monitor.start()
     session.reset()
     session.set_fps(fps=fps)
-    debug = session.score_video(video_frames, query=query)
+    if motion_skip_threshold is not None:
+        from aha_tpu.data import media
+
+        keep = media.motion_mask(video_frames, motion_skip_threshold,
+                                 max_skip=motion_max_skip)
+        kept_idx = np.flatnonzero(keep)
+        debug_kept = session.score_video(video_frames[keep], query=query)
+        debug, ki = [], -1
+        for t in range(len(video_frames)):
+            if ki + 1 < len(kept_idx) and kept_idx[ki + 1] == t:
+                ki += 1
+            d = dict(debug_kept[ki])      # held frames copy the last scored
+            d["time"] = t / fps
+            d["scored"] = bool(keep[t])
+            debug.append(d)
+        frames_scored = int(keep.sum())
+    else:
+        debug = session.score_video(video_frames, query=query)
+        frames_scored = len(debug)
     scores = np.asarray([d[score_key] for d in debug])
     ticks = find_ticks(scores, fps)
     gt_spans = [
@@ -73,6 +101,7 @@ def infer_on_live_video(
         "gt_spans": [[float(s), float(e), str(lbl)] for s, e, lbl in gt_spans],
         "fps": fps,
         "query": query,
+        "frames_scored": frames_scored,
     }
     if monitor is not None:
         monitor.stop()

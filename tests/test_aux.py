@@ -80,6 +80,50 @@ def test_infer_on_live_video(tiny_session, tmp_path):
     assert (tmp_path / "live_scores.png").exists()
 
 
+def test_motion_mask_static_and_moving():
+    from aha_tpu.data import media
+
+    rng = np.random.default_rng(3)
+    moving = rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    static = np.zeros((10, 16, 16, 3), np.uint8)        # 10 identical frames
+    frames = np.concatenate([static, moving], axis=0)
+    keep = media.motion_mask(frames, 0.02, max_skip=4)
+    assert keep[0] and keep.dtype == bool and keep.shape == (14,)
+    # static run: only the max_skip heartbeat frames are kept
+    assert list(np.flatnonzero(keep[:10])) == [0, 4, 8]
+    # every random frame differs from its predecessor: all kept
+    assert keep[10:].all()
+    # threshold high enough: only heartbeats survive even in motion
+    keep_hi = media.motion_mask(frames, 1.0, max_skip=5)
+    assert list(np.flatnonzero(keep_hi)) == [0, 5, 10]
+    assert media.motion_mask(frames[:0], 0.02).shape == (0,)
+
+
+@pytest.mark.slow
+def test_infer_on_live_video_motion_skip(tiny_session):
+    """Score-and-hold: held frames copy the last scored frame's scores on
+    the uniform grid; frames_scored reports the compression."""
+    cfg = tiny_session.cfg
+    r = cfg.frame_resolution
+    rng = np.random.default_rng(1)
+    moving = rng.integers(0, 255, (6, r, r, 3), dtype=np.uint8)
+    frames = np.concatenate([np.repeat(moving[:1], 8, axis=0), moving], axis=0)
+    out = live_video.infer_on_live_video(
+        tiny_session, frames, "what is happening?", fps=2.0,
+        motion_skip_threshold=0.02, motion_max_skip=4,
+    )
+    dbg = out["debug_data"]
+    assert len(dbg) == 14
+    assert out["frames_scored"] == 8   # heartbeats {0,4} + moving {8..13}
+    assert [d["time"] for d in dbg] == [t / 2.0 for t in range(14)]
+    held = [d for d in dbg if not d["scored"]]
+    assert held, "static span must produce held frames"
+    for i, d in enumerate(dbg):
+        if not d["scored"]:
+            prev = next(p for p in reversed(dbg[:i]) if p["scored"])
+            assert d["relevance_score"] == prev["relevance_score"]
+
+
 def test_render_demo_video(tmp_path):
     pytest.importorskip("cv2")
     frames = np.random.default_rng(0).integers(0, 255, (12, 48, 64, 3), dtype=np.uint8)
