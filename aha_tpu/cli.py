@@ -762,7 +762,10 @@ def cmd_visualize(argv):
     p.add_argument("--func", required=True,
                    choices=["hisum_sota", "tvsum_sota", "pred_vs_gt"])
     p.add_argument("--pred_file", required=True)
-    p.add_argument("--gold_file", default=None, help="hisum: .h5; pred_vs_gt: json uuid->scores")
+    p.add_argument("--gold_file", default=None,
+                   help="hisum_sota: .h5; pred_vs_gt: json uuid->scores, "
+                        "TVSum annotation .tsv, or HiSum .h5 "
+                        "(ref visualize.py tvsum/hisum branches)")
     p.add_argument("--metrics_file", default=None, help="tvsum_sota: evaluate output json")
     p.add_argument("--params_file", default="outputs/grid_search_params.json")
     p.add_argument("--params_key", default=None)
@@ -790,13 +793,38 @@ def cmd_visualize(argv):
             metrics, os.path.join(args.output, "tvsum_results_comparison.png"))
         print(path)
     else:
-        with open(args.gold_file) as f:
-            gt = json.load(f)
+        gt = _load_gt_scores(args.gold_file, args.pred_file)
         paths = viz.visualize_benchmark(
             args.pred_file, args.params_file, args.params_key or "tvsum",
             lambda uuid: np.asarray(gt[uuid]) if uuid in gt else None,
             args.output, max_videos=args.max_show)
         print("\n".join(paths))
+
+
+def _load_gt_scores(gold_file: str, pred_file: str) -> dict:
+    """uuid -> per-frame GT scores from any of the reference's gold formats
+    (ref test/visualize.py:137-330): TVSum annotation TSV, HiSum h5 (keyed
+    by each prediction's h5_identifier), or a plain JSON uuid->scores map."""
+    ext = os.path.splitext(gold_file)[1].lower()
+    if ext == ".tsv":
+        from aha_tpu.eval import tvsum
+
+        return {uid: np.asarray(a["importance_scores"])
+                for uid, a in tvsum.load_annotations(gold_file).items()}
+    if ext in (".h5", ".hdf5"):
+        import h5py
+
+        with open(pred_file) as f:
+            preds = json.load(f)
+        out = {}
+        with h5py.File(gold_file, "r") as hdf:
+            for pr in preds:
+                h5_id = pr.get("h5_identifier")
+                if h5_id is not None and h5_id in hdf:
+                    out[pr["video_uuid"]] = np.asarray(hdf[h5_id]["gtscore"])
+        return out
+    with open(gold_file) as f:
+        return {k: np.asarray(v) for k, v in json.load(f).items()}
 
 
 def cmd_serve(argv):

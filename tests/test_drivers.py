@@ -493,6 +493,49 @@ def test_cli_visualize_hisum_sota(tmp_path):
     assert (out_dir / "hisum_results_comparison.png").exists()
 
 
+def test_cli_visualize_pred_vs_gt_gold_formats(tmp_path):
+    """pred_vs_gt accepts the reference's native gold formats (ref
+    test/visualize.py:137-330): TVSum annotation TSV and HiSum h5 (keyed by
+    h5_identifier), in addition to a plain JSON uuid->scores map."""
+    import h5py
+
+    from aha_tpu.cli import main
+
+    T = 24
+    debug = [dict(time=t, informative_score=0.5, relevance_score=0.4,
+                  uncertainty_score=0.1) for t in range(T)]
+    preds = [{"video_uuid": "vidA", "h5_identifier": "video_0",
+              "debug_data": debug}]
+    pred_file = tmp_path / "preds.json"
+    pred_file.write_text(json.dumps(preds))
+    params_file = tmp_path / "params.json"
+    params_file.write_text(json.dumps({"tvsum": {
+        "alpha": 1.0, "beta": 1.0, "epsilon": 0.0,
+        "uncertainty_threshold": 0.0}}))
+
+    # TVSum TSV gold: two annotators averaged, /5 normalized
+    tsv = tmp_path / "anno.tsv"
+    scores = ",".join(["3"] * T)
+    tsv.write_text(f"vidA\tGA\t{scores}\nvidA\tGA\t{scores}\n")
+    out_tsv = tmp_path / "figs_tsv"
+    rc = main(["visualize", "--func", "pred_vs_gt",
+               "--pred_file", str(pred_file), "--gold_file", str(tsv),
+               "--params_file", str(params_file), "--output", str(out_tsv)])
+    assert rc == 0 and (out_tsv / "vidA.png").exists()
+
+    # HiSum h5 gold: looked up via each prediction's h5_identifier
+    h5_path = tmp_path / "gold.h5"
+    with h5py.File(h5_path, "w") as hdf:
+        hdf.create_group("video_0").create_dataset(
+            "gtscore", data=np.linspace(0, 1, T))
+    out_h5 = tmp_path / "figs_h5"
+    rc = main(["visualize", "--func", "pred_vs_gt",
+               "--pred_file", str(pred_file), "--gold_file", str(h5_path),
+               "--params_file", str(params_file), "--params_key", "tvsum",
+               "--output", str(out_h5)])
+    assert rc == 0 and (out_h5 / "vidA.png").exists()
+
+
 @pytest.mark.slow
 def test_cli_serve_end_to_end(tmp_path):
     """`aha serve`: JSONL requests -> decoded videos -> continuous-batching
