@@ -761,7 +761,9 @@ def cmd_visualize(argv):
     p = argparse.ArgumentParser(prog="aha visualize")
     p.add_argument("--func", required=True,
                    choices=["hisum_sota", "tvsum_sota", "pred_vs_gt"])
-    p.add_argument("--pred_file", required=True)
+    p.add_argument("--pred_file", default=None,
+                   help="driver prediction json (required for hisum_sota / "
+                        "pred_vs_gt; tvsum_sota reads --metrics_file)")
     p.add_argument("--gold_file", default=None,
                    help="hisum_sota: .h5; pred_vs_gt: json uuid->scores, "
                         "TVSum annotation .tsv, or HiSum .h5 "
@@ -777,6 +779,10 @@ def cmd_visualize(argv):
 
     if args.func in ("hisum_sota", "pred_vs_gt") and not args.gold_file:
         p.error(f"--gold_file is required for --func {args.func}")
+    if args.func in ("hisum_sota", "pred_vs_gt") and not args.pred_file:
+        p.error(f"--pred_file is required for --func {args.func}")
+    if args.func == "tvsum_sota" and not (args.metrics_file or args.pred_file):
+        p.error("--metrics_file is required for --func tvsum_sota")
     os.makedirs(args.output, exist_ok=True)
     args.params_file = _resolve_params_file(args.params_file)
     if args.func == "hisum_sota":
@@ -793,24 +799,37 @@ def cmd_visualize(argv):
             metrics, os.path.join(args.output, "tvsum_results_comparison.png"))
         print(path)
     else:
-        gt = _load_gt_scores(args.gold_file, args.pred_file)
+        gt, gold_kind = _load_gt_scores(args.gold_file, args.pred_file)
+
+        def gt_for(pred):
+            g = gt.get(pred["video_uuid"])
+            if g is None:
+                return None
+            # per-video GT alignment: TVSum TSV gold is per-original-frame
+            # and must be indexed by true_frames_list; HiSum h5 gold pairs
+            # gtscore[i-1] with debug_data[i] (ref visualize.py tvsum/hisum
+            # branches; same rules as grid_search.py / cmd_evaluate).
+            return viz.align_gt_to_pred(pred, g, gold_kind)
+
         paths = viz.visualize_benchmark(
             args.pred_file, args.params_file, args.params_key or "tvsum",
-            lambda uuid: np.asarray(gt[uuid]) if uuid in gt else None,
-            args.output, max_videos=args.max_show)
+            gt_for, args.output, max_videos=args.max_show)
         print("\n".join(paths))
 
 
-def _load_gt_scores(gold_file: str, pred_file: str) -> dict:
-    """uuid -> per-frame GT scores from any of the reference's gold formats
-    (ref test/visualize.py:137-330): TVSum annotation TSV, HiSum h5 (keyed
-    by each prediction's h5_identifier), or a plain JSON uuid->scores map."""
+def _load_gt_scores(gold_file: str, pred_file: str) -> tuple[dict, str]:
+    """(uuid -> GT scores, gold_kind) from any of the reference's gold
+    formats (ref test/visualize.py:137-330): TVSum annotation TSV
+    (per-original-frame), HiSum h5 (keyed by each prediction's
+    h5_identifier), or a plain JSON uuid->scores map. gold_kind in
+    {"tvsum_tsv", "hisum_h5", "json"} tells the caller which per-video
+    alignment rule applies (drivers.visualize.align_gt_to_pred)."""
     ext = os.path.splitext(gold_file)[1].lower()
     if ext == ".tsv":
         from aha_tpu.eval import tvsum
 
         return {uid: np.asarray(a["importance_scores"])
-                for uid, a in tvsum.load_annotations(gold_file).items()}
+                for uid, a in tvsum.load_annotations(gold_file).items()}, "tvsum_tsv"
     if ext in (".h5", ".hdf5"):
         import h5py
 
@@ -822,9 +841,9 @@ def _load_gt_scores(gold_file: str, pred_file: str) -> dict:
                 h5_id = pr.get("h5_identifier")
                 if h5_id is not None and h5_id in hdf:
                     out[pr["video_uuid"]] = np.asarray(hdf[h5_id]["gtscore"])
-        return out
+        return out, "hisum_h5"
     with open(gold_file) as f:
-        return {k: np.asarray(v) for k, v in json.load(f).items()}
+        return {k: np.asarray(v) for k, v in json.load(f).items()}, "json"
 
 
 def cmd_serve(argv):

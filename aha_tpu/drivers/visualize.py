@@ -24,6 +24,33 @@ def _calibrated_scores(prediction: dict, params: dict) -> np.ndarray:
     )
 
 
+def align_gt_to_pred(prediction: dict, gt_scores: np.ndarray, gold_kind: str):
+    """Align a gold curve to one prediction's debug_data before plotting.
+
+    ``tvsum_tsv``: GT is per-ORIGINAL-frame while debug_data is sampled at
+    ~1 fps — index GT by the prediction's ``true_frames_list`` (the
+    reference tvsum visualize branch does ``vid_ground_truth[true_frame]``;
+    same indexing as eval/grid_search.py).
+    ``hisum_h5``: ``debug_data[i] <-> gtscore[i-1]`` starting at i=1 (the
+    alignment used by hisum_sota_figure and cli.cmd_evaluate) — the first
+    prediction entry has no gold partner, so pred_offset=1.
+    ``json``: assumed pre-aligned.
+
+    Returns ``(gt_aligned, pred_offset)``.
+    """
+    gt = np.asarray(gt_scores)
+    if gold_kind == "tvsum_tsv":
+        tfl = prediction.get("true_frames_list")
+        if tfl:
+            n = len(prediction.get("debug_data") or tfl)
+            idx = np.clip(np.asarray(tfl[:n], np.int64), 0, len(gt) - 1)
+            return gt[idx], 0
+        return gt, 0
+    if gold_kind == "hisum_h5":
+        return gt, 1
+    return gt, 0
+
+
 def plot_pred_vs_gt(
     prediction: dict,
     gt_scores: np.ndarray,
@@ -32,15 +59,18 @@ def plot_pred_vs_gt(
     *,
     title: str | None = None,
     extra_curves: dict[str, np.ndarray] | None = None,
+    pred_offset: int = 0,
 ):
     """One video: normalized prediction vs GT curve (+ optional SOTA
-    comparison curves, ref visualize.py SOTA overlays)."""
+    comparison curves, ref visualize.py SOTA overlays). ``pred_offset``
+    drops leading prediction entries that have no gold partner (the HiSum
+    ``debug_data[i] <-> gtscore[i-1]`` shift)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    pred = normalize_pred_list(_calibrated_scores(prediction, params))
+    pred = normalize_pred_list(_calibrated_scores(prediction, params))[pred_offset:]
     gt = np.asarray(gt_scores, np.float64)
     n = min(len(pred), len(gt))
     fig, ax = plt.subplots(figsize=(10, 3))
@@ -64,12 +94,15 @@ def visualize_benchmark(
     pred_file: str,
     params_file: str,
     params_key: str,
-    gt_lookup,              # video_uuid -> gt score array
+    gt_lookup,              # prediction dict -> gt array | (gt, pred_offset)
     output_dir: str,
     *,
     max_videos: int | None = None,
 ) -> list[str]:
-    """Batch plotting for a driver output JSON."""
+    """Batch plotting for a driver output JSON. ``gt_lookup`` receives the
+    whole prediction dict (so it can align per-video via true_frames_list —
+    see align_gt_to_pred) and returns either a gt array or a
+    ``(gt, pred_offset)`` pair."""
     with open(pred_file) as f:
         preds = json.load(f)
     with open(params_file) as f:
@@ -77,11 +110,14 @@ def visualize_benchmark(
     os.makedirs(output_dir, exist_ok=True)
     out = []
     for p in preds[:max_videos]:
-        gt = gt_lookup(p["video_uuid"])
+        gt = gt_lookup(p)
         if gt is None:
             continue
+        pred_offset = 0
+        if isinstance(gt, tuple):
+            gt, pred_offset = gt
         path = os.path.join(output_dir, f"{p['video_uuid']}.png")
-        out.append(plot_pred_vs_gt(p, gt, params, path))
+        out.append(plot_pred_vs_gt(p, gt, params, path, pred_offset=pred_offset))
     return out
 
 

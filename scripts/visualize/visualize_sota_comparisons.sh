@@ -17,7 +17,6 @@ python -m aha_tpu.cli visualize \
 if [[ -n "${TVSUM_METRICS:-}" ]]; then
   python -m aha_tpu.cli visualize \
     --func tvsum_sota \
-    --pred_file "$TVSUM_METRICS" \
     --metrics_file "$TVSUM_METRICS" \
     --output "${FIG_DIR:-$OUT/figures}"
 fi
