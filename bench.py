@@ -25,6 +25,43 @@ BASELINE_FPS = 30.0
 WARMUP_FRAMES = 8
 BENCH_FRAMES = 64
 
+# Stored healthy band for the axon-tunnel dispatch RTT (VERDICT r3 weak #4:
+# bench must self-flag degraded-tunnel captures instead of letting
+# cross-round comparisons read tunnel noise as regression). Healthy
+# sessions measure ~35-45 ms per 1-op dispatch round-trip; wedged/degraded
+# sessions measured 60-800+ ms (BASELINE.md round-2/3 tunnel notes, e.g.
+# stepwise_fps 29.6 vs its stable 43-44 right after a 2 h wedge).
+TUNNEL_RTT_HEALTHY_MS = float(os.environ.get("AHA_TUNNEL_HEALTHY_RTT_MS", 60.0))
+
+
+def probe_tunnel(n: int = 10) -> dict:
+    """Bare 1-op dispatch round-trip: the sentinel for tunnel health,
+    measured BEFORE (and re-checked after) the heavy metrics. On a real
+    TPU host this is sub-millisecond; over the axon tunnel it is the
+    per-dispatch RTT every dispatch-heavy metric pays."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.device_get(f(x))                      # compile outside the timing
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return {
+        "rtt_ms_p50": round(ts[n // 2], 2),
+        "rtt_ms_min": round(ts[0], 2),
+        "rtt_ms_max": round(ts[-1], 2),
+    }
+
+
+def tunnel_status(probe: dict) -> str:
+    return ("healthy" if probe["rtt_ms_p50"] <= TUNNEL_RTT_HEALTHY_MS
+            else "degraded")
+
 
 def build(preset: str):
     import jax.numpy as jnp
@@ -128,6 +165,15 @@ def _stats(fn, repeats: int = REPEATS):
 def run_bench(preset: str) -> dict:
     import jax
     import jax.numpy as jnp
+
+    # dispatch sentinel FIRST: a degraded tunnel must be flagged before it
+    # contaminates the capture (and re-checked after — wedges start mid-run)
+    probe_pre = probe_tunnel()
+    if tunnel_status(probe_pre) == "degraded":
+        print(f"bench: WARNING degraded tunnel at capture start "
+              f"(1-op RTT p50 {probe_pre['rtt_ms_p50']} ms > "
+              f"{TUNNEL_RTT_HEALTHY_MS} ms healthy band) — absolute numbers "
+              f"in this capture are conservative", file=sys.stderr)
 
     engine, cfg = build(preset)
     r = cfg.frame_resolution
@@ -484,11 +530,28 @@ def run_bench(preset: str) -> dict:
     # scan the gap is tunnel latency, not chip throughput.
     headline = max(fps, trigger_loop_fps, trigger_fused_fps, scan_fps,
                    scan_fused_fps)
+    probe_post = probe_tunnel()
+    if jax.default_backend() == "cpu":
+        status = "n/a-cpu"          # smoke / fallback: no tunnel in the loop
+    elif (tunnel_status(probe_pre) == "healthy"
+          and tunnel_status(probe_post) == "healthy"):
+        status = "healthy"
+    else:
+        status = "degraded"
+    if status == "degraded":
+        print("bench: WARNING tunnel degraded during this capture "
+              f"(1-op RTT p50 pre {probe_pre['rtt_ms_p50']} / post "
+              f"{probe_post['rtt_ms_p50']} ms vs {TUNNEL_RTT_HEALTHY_MS} ms "
+              f"band) — treat cross-round comparisons as lower bounds",
+              file=sys.stderr)
     return {
         "metric": f"streaming_scoring_fps[{preset}]",
         "value": round(headline, 3),
         "unit": "frames/sec",
         "vs_baseline": round(headline / BASELINE_FPS, 3),
+        "tunnel": status,
+        "tunnel_probe": {"pre": probe_pre, "post": probe_post,
+                         "healthy_band_ms": TUNNEL_RTT_HEALTHY_MS},
         "trigger_loop_fps": round(trigger_loop_fps, 3),
         "trigger_loop_fused_fps": round(trigger_fused_fps, 3),
         "stepwise_fps": round(fps, 3),
