@@ -69,6 +69,11 @@ class SiglipConfig:
     num_heads: int = 16
     layer_norm_eps: float = 1e-6
     arch: str = "siglip"  # "siglip" | "clip"
+    # SigLIP's learned MAP (attention-pool) probe head — HF
+    # `pooler_output`, consumed by the reference when frame_token_cls=True
+    # (`vision_live.py:28`). Param subtree "head" exists iff this is set;
+    # init_aha_params turns it on automatically for frame_token_cls.
+    use_head: bool = False
 
     @property
     def grid_size(self) -> int:

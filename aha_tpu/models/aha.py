@@ -53,7 +53,14 @@ def init_aha_params(cfg: AhaConfig, key: jax.Array, dtype=None) -> AhaParams:
 
         vision_params = clip.init_params(cfg.vision, kv, dtype)
     else:
-        vision_params = siglip.init_params(cfg.vision, kv, dtype)
+        vcfg = cfg.vision
+        if cfg.frame_token_cls and not vcfg.use_head:
+            # frame_token_cls takes CLS from the MAP probe head
+            # (pooler_output) — materialize its params
+            import dataclasses as _dc
+
+            vcfg = _dc.replace(vcfg, use_head=True)
+        vision_params = siglip.init_params(vcfg, kv, dtype)
     return {
         "vision": vision_params,
         "projector": {
@@ -112,15 +119,20 @@ def encode_vision_tokens(params: AhaParams, cfg: AhaConfig, frames: jnp.ndarray,
     else:
         pixels = siglip.preprocess_frames(frames, dtype)
         spatial = siglip.forward(params["vision"], cfg.vision, pixels)  # [N, P, Hv]
-        cls_tok = None
+        if cfg.frame_token_cls:
+            head = params["vision"].get("head")
+            if head is None:
+                raise ValueError(
+                    "frame_token_cls with the SigLIP tower needs the MAP "
+                    "probe head params (vision.use_head=True at init, or a "
+                    "checkpoint carrying vision_model.head.* — ref "
+                    "pooler_output, vision_live.py:28)")
+            cls_tok = siglip.attention_pool(head, cfg.vision, spatial)[:, None]
+        else:
+            cls_tok = None
     feats = pool_patch_tokens(spatial, cfg.vision.grid_size, cfg.frame_token_pooled,
                               cfg.pooling_mode)
     if cfg.frame_token_cls:
-        if cls_tok is None:
-            raise NotImplementedError(
-                "frame_token_cls with the SigLIP tower needs the attention-pool "
-                "probe head (ref pooler_output, vision_live.py:28); use arch='clip'"
-            )
         feats = jnp.concatenate([cls_tok, feats], axis=1)
     return feats
 

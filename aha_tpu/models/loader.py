@@ -125,6 +125,35 @@ def convert_siglip(sd: dict, cfg: SiglipConfig, prefix: str = "vision_model.", d
             "bias": _np(sd[p + "post_layernorm.bias"]),
         },
     }
+    if p + "head.probe" in sd:
+        # MAP probe head (pooler_output, used when frame_token_cls=True —
+        # ref vision_live.py:28). torch nn.MultiheadAttention packs q/k/v
+        # as in_proj_weight [3H, H]; split then transpose to [in, out].
+        w = _np(sd[p + "head.attention.in_proj_weight"])
+        b = _np(sd[p + "head.attention.in_proj_bias"])
+        H = w.shape[1]
+        out["head"] = {
+            "probe": _np(sd[p + "head.probe"]).reshape(1, H),
+            "q_proj": {"kernel": w[:H].T, "bias": b[:H]},
+            "k_proj": {"kernel": w[H:2 * H].T, "bias": b[H:2 * H]},
+            "v_proj": {"kernel": w[2 * H:].T, "bias": b[2 * H:]},
+            "out_proj": {
+                "kernel": _np(sd[p + "head.attention.out_proj.weight"]).T,
+                "bias": _np(sd[p + "head.attention.out_proj.bias"]),
+            },
+            "ln": {
+                "scale": _np(sd[p + "head.layernorm.weight"]),
+                "bias": _np(sd[p + "head.layernorm.bias"]),
+            },
+            "fc1": {
+                "kernel": _np(sd[p + "head.mlp.fc1.weight"]).T,
+                "bias": _np(sd[p + "head.mlp.fc1.bias"]),
+            },
+            "fc2": {
+                "kernel": _np(sd[p + "head.mlp.fc2.weight"]).T,
+                "bias": _np(sd[p + "head.mlp.fc2.bias"]),
+            },
+        }
     return _cast(out, dtype)
 
 

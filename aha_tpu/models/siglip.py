@@ -19,7 +19,7 @@ from aha_tpu.config import SiglipConfig
 
 
 def init_params(cfg: SiglipConfig, key: jax.Array, dtype=jnp.float32) -> dict:
-    ks = iter(jax.random.split(key, 8))
+    ks = iter(jax.random.split(key, 16))
 
     def dense(kk, shape):
         return (0.02 * jax.random.normal(kk, shape)).astype(dtype)
@@ -44,6 +44,19 @@ def init_params(cfg: SiglipConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         },
         "post_ln": {"scale": jnp.ones((H,), dtype), "bias": jnp.zeros((H,), dtype)},
     }
+    if cfg.use_head:
+        # MAP probe head (HF SiglipMultiheadAttentionPoolingHead): learned
+        # probe query + one MHA block + LN + gelu-tanh MLP -> pooler_output
+        params["head"] = {
+            "probe": dense(next(ks), (1, H)),
+            "q_proj": {"kernel": dense(next(ks), (H, H)), "bias": jnp.zeros((H,), dtype)},
+            "k_proj": {"kernel": dense(next(ks), (H, H)), "bias": jnp.zeros((H,), dtype)},
+            "v_proj": {"kernel": dense(next(ks), (H, H)), "bias": jnp.zeros((H,), dtype)},
+            "out_proj": {"kernel": dense(next(ks), (H, H)), "bias": jnp.zeros((H,), dtype)},
+            "ln": {"scale": jnp.ones((H,), dtype), "bias": jnp.zeros((H,), dtype)},
+            "fc1": {"kernel": dense(next(ks), (H, I)), "bias": jnp.zeros((I,), dtype)},
+            "fc2": {"kernel": dense(next(ks), (I, H)), "bias": jnp.zeros((H,), dtype)},
+        }
     return params
 
 
@@ -115,3 +128,33 @@ def forward(params: dict, cfg: SiglipConfig, pixels: jnp.ndarray) -> jnp.ndarray
 
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])
     return layer_norm(x, params["post_ln"], cfg.layer_norm_eps)
+
+
+def attention_pool(head: dict, cfg: SiglipConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """SigLIP MAP probe head: post-LN patch tokens [N, P, H] -> CLS [N, H].
+
+    The reference consumes this as `pooler_output` when
+    `frame_token_cls=True` (`vision_live.py:28`); HF implements it as
+    SiglipMultiheadAttentionPoolingHead (learned 1-token probe query
+    cross-attending over the patch tokens, then LN + residual gelu-tanh
+    MLP, returning the probe position). Parity:
+    tests/test_models.py::test_siglip_pooler_parity."""
+    N, P, H = tokens.shape
+    nh = cfg.num_heads
+    d = H // nh
+    probe = jnp.broadcast_to(head["probe"].astype(tokens.dtype), (N, 1, H))
+    q = _dense(probe, head["q_proj"]).reshape(N, 1, nh, d)
+    k = _dense(tokens, head["k_proj"]).reshape(N, P, nh, d)
+    v = _dense(tokens, head["v_proj"]).reshape(N, P, nh, d)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = jnp.einsum("bsnd,btnd->bnst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnst,btnd->bsnd", probs, v,
+                     preferred_element_type=jnp.float32).astype(tokens.dtype)
+    out = _dense(out.reshape(N, 1, H), head["out_proj"])
+    h = layer_norm(out, head["ln"], cfg.layer_norm_eps)
+    h = _dense(h, head["fc1"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(tokens.dtype)
+    h = out + _dense(h, head["fc2"])    # residual around LN+MLP (HF order)
+    return h[:, 0]

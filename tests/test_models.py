@@ -173,6 +173,60 @@ def test_siglip_feature_parity(hf_siglip):
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
 
 
+def test_siglip_pooler_parity(hf_siglip):
+    """MAP probe head (attention pool): our attention_pool over the post-LN
+    tokens must equal HF `pooler_output` — the CLS source the reference
+    uses with frame_token_cls=True (vision_live.py:28; VERDICT r3
+    missing #3)."""
+    params = loader.convert_siglip(hf_siglip.state_dict(), VTINY,
+                                   prefix="vision_model.")
+    assert "head" in params, "convert_siglip must pick up head.* weights"
+    rng = np.random.default_rng(1)
+    pix = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_siglip(pixel_values=torch.tensor(pix)).pooler_output.numpy()
+    tokens = siglip.forward(params, VTINY, jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    ours = np.asarray(siglip.attention_pool(params["head"], VTINY, tokens))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_frame_token_cls_siglip_path(hf_siglip):
+    """frame_token_cls=True with the SigLIP tower: CLS (pooler_output)
+    prepended to the pooled spatial tokens — torch-oracle composition of
+    the reference's `cat([cls_token, spatial_tokens], dim=1)`
+    (vision_live.py:17-31)."""
+    import torch.nn.functional as tF
+
+    params_v = loader.convert_siglip(hf_siglip.state_dict(), VTINY,
+                                     prefix="vision_model.")
+    cfg = C.aha_tiny(vocab_size=64).replace(
+        vision=VTINY, frame_resolution=VTINY.image_size,
+        frame_token_pooled=(1, 1), frame_token_cls=True, dtype="float32")
+    assert cfg.frame_num_tokens == 2
+    params = aha.init_aha_params(cfg, jax.random.PRNGKey(0))
+    params["vision"] = params_v
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    feats = np.asarray(aha.encode_vision_tokens(
+        params, cfg, jnp.asarray(frames), jnp.float32))
+    assert feats.shape == (2, 2, VTINY.hidden_size)
+
+    # torch oracle: normalize -> tower -> [pooler_output, avg-pooled grid]
+    pix = (frames.astype(np.float32) * (2.0 / 255.0) - 1.0).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        out = hf_siglip(pixel_values=torch.tensor(pix))
+        s = int(np.sqrt(out.last_hidden_state.shape[1]))
+        spatial = tF.adaptive_avg_pool2d(
+            out.last_hidden_state.reshape(2, s, s, -1).permute(0, 3, 1, 2),
+            (1, 1)).flatten(2, 3).permute(0, 2, 1)
+        ref = torch.cat([out.pooler_output[:, None], spatial], dim=1).numpy()
+    np.testing.assert_allclose(feats, ref, rtol=3e-4, atol=3e-4)
+
+    # init-side: frame_token_cls materializes the head subtree by itself
+    assert "head" in aha.init_aha_params(cfg, jax.random.PRNGKey(1))["vision"]
+
+
 # ---------------------------------------------------------------------------
 # CLIP tower variant (ref vision_live.py:34-64)
 # ---------------------------------------------------------------------------
