@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import collections
 import math
+import os
 import re
 
 import numpy as np
@@ -215,6 +216,8 @@ class Meteor:
     """compute_score(gts, res) surface matching the reference's Java wrapper
     (`/root/reference/test/dvc/metrics/meteor.py:15-44`)."""
 
+    backend = "lite"
+
     def compute_score(self, gts: dict, res: dict):
         assert sorted(gts.keys()) == sorted(res.keys())
         scores = []
@@ -222,3 +225,95 @@ class Meteor:
             scores.append(meteor_sentence(res[key][0], gts[key]))
         arr = np.asarray(scores)
         return float(arr.mean()) if len(arr) else 0.0, arr
+
+
+# ---------------------------------------------------------------------------
+# Java METEOR backend (optional): drives meteor-1.5.jar over the exact
+# stdio protocol of the reference wrapper, producing jar-identical numbers
+# wherever a JRE + jar exist. This environment has neither (the jar is
+# git-LFS-missing upstream too, .MISSING_LARGE_BLOBS), so the wrapper is
+# exercised by a mocked-subprocess unit test and METEOR-lite stays the
+# fallback.
+# ---------------------------------------------------------------------------
+
+
+def find_java_meteor():
+    """(java_bin, jar_path) when a JRE and meteor-1.5.jar are reachable,
+    else None. Jar: $AHA_METEOR_JAR or conventional locations; JRE:
+    $JRE_BIN_JAVA (the reference's env var, meteor.py:23-27) or PATH."""
+    import shutil
+
+    jar = os.environ.get("AHA_METEOR_JAR")
+    if not jar:
+        for cand in (
+            "metrics/meteor-1.5.jar",
+            os.path.join(os.path.dirname(__file__), "meteor-1.5.jar"),
+        ):
+            if os.path.exists(cand):
+                jar = cand
+                break
+    java = os.environ.get("JRE_BIN_JAVA") or shutil.which("java")
+    if jar and os.path.exists(jar) and java:
+        return java, jar
+    return None
+
+
+class JavaMeteor:
+    """Persistent meteor-1.5.jar subprocess, protocol byte-compatible with
+    the reference wrapper (`test/dvc/metrics/meteor.py:38-82`): one
+    'SCORE ||| ref1 ||| ... ||| hyp' line per segment (each answered with a
+    stat line), then one 'EVAL ||| stats...' line answered with per-segment
+    scores followed by the aggregate. ``popen`` injects a fake process for
+    unit tests (tests/test_captioning_metrics.py)."""
+
+    backend = "java"
+
+    def __init__(self, java_bin: str | None = None, jar: str | None = None,
+                 *, popen=None):
+        import subprocess
+        import threading
+
+        if popen is not None:
+            self.p = popen
+        else:
+            cmd = [java_bin, "-jar", "-Xmx2G", jar, "-", "-", "-stdio",
+                   "-l", "en", "-norm"]
+            self.p = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                      stdout=subprocess.PIPE)
+        self.lock = threading.Lock()
+
+    def compute_score(self, gts: dict, res: dict):
+        with self.lock:
+            assert sorted(gts.keys()) == sorted(res.keys())
+            ids = sorted(gts.keys())
+            stats = []
+            for i in ids:
+                assert len(res[i]) == 1
+                hyp = res[i][0].replace("|||", "").replace("  ", " ")
+                line = " ||| ".join(("SCORE", " ||| ".join(gts[i]), hyp))
+                self.p.stdin.write((line + "\n").encode())
+                self.p.stdin.flush()
+                stats.append(self.p.stdout.readline().decode().strip())
+            self.p.stdin.write(
+                ("EVAL ||| " + " ||| ".join(stats) + "\n").encode())
+            self.p.stdin.flush()
+            scores = [float(self.p.stdout.readline().decode()) for _ in ids]
+            final = float(self.p.stdout.readline().decode())
+        return final, np.asarray(scores)
+
+
+def build_meteor():
+    """METEOR backend factory. ``AHA_METEOR=java`` requires the jar
+    (raises if absent); ``=lite`` forces METEOR-lite; default ``auto``
+    uses the jar when a JRE + jar are present, METEOR-lite otherwise."""
+    mode = os.environ.get("AHA_METEOR", "auto").lower()
+    if mode == "lite":
+        return Meteor()
+    found = find_java_meteor()
+    if found is not None:
+        return JavaMeteor(*found)
+    if mode == "java":
+        raise RuntimeError(
+            "AHA_METEOR=java but no JRE + meteor-1.5.jar found "
+            "(set AHA_METEOR_JAR and/or JRE_BIN_JAVA)")
+    return Meteor()

@@ -19,7 +19,7 @@ import string
 
 import numpy as np
 
-from aha_tpu.eval.captioning import Cider, Meteor, PTBTokenizer
+from aha_tpu.eval.captioning import Cider, PTBTokenizer, build_meteor
 
 
 def random_string(n: int) -> str:
@@ -182,7 +182,7 @@ def evaluate_dense_captions(predicted_segments, gt_segments, predicted_captions,
                             gt_captions, splits, keys,
                             iou_thresholds=(0.3, 0.5, 0.7, 0.9), soda=True):
     """Aggregate detection + caption metrics across a corpus (ref :349-560)."""
-    scorers = {"CIDER": Cider(), "METEOR": Meteor()}
+    scorers = {"CIDER": Cider(), "METEOR": build_meteor()}
     tokenizer = PTBTokenizer()
     gts = {str(t): {} for t in iou_thresholds}
     preds = {str(t): {} for t in iou_thresholds}
@@ -238,7 +238,7 @@ def evaluate_dense_captions(predicted_segments, gt_segments, predicted_captions,
 
 def evaluate_para(predicted_captions, gt_captions) -> dict:
     """Paragraph-level corpus CIDEr + METEOR (ref :604-634)."""
-    scorers = {"CIDER": Cider(), "METEOR": Meteor()}
+    scorers = {"CIDER": Cider(), "METEOR": build_meteor()}
     all_gts, all_preds = {}, {}
     for i, (pred, gts) in enumerate(zip(predicted_captions, gt_captions)):
         all_preds[str(i)] = [" ".join(parse_sent(pred))]
@@ -287,13 +287,23 @@ def eval_with_files(pred_file: str, gt_file: str) -> dict:
         predicted_segments, gt_segments, predicted_captions, gt_captions,
         splits, keys, soda=True)
     metrics.update(evaluate_para(predicted_paras, [[g] for g in gt_paras]))
-    # surfaced in the output (not just the docstring): METEOR here is the
-    # pure-python METEOR-lite (exact+stem alignment, no WordNet synonym /
-    # paraphrase stages — the reference's meteor-1.5.jar is git-LFS-missing
-    # upstream too), so absolute METEOR values are not comparable to
-    # published Java-METEOR numbers.
-    metrics["METEOR_note"] = (
-        "METEOR-lite (exact+stem matcher, no WordNet synonyms/paraphrases); "
-        "not comparable to Java meteor-1.5.jar scores"
-    )
+    # surfaced in the output (not just the docstring): which METEOR backend
+    # ran. With a JRE + meteor-1.5.jar present (or AHA_METEOR=java), the
+    # subprocess backend produces jar-identical numbers; otherwise
+    # METEOR-lite (exact+stem alignment, no WordNet synonym / paraphrase
+    # stages — the reference's jar is git-LFS-missing upstream too) and
+    # absolute METEOR values are not comparable to published Java numbers.
+    import os as _os
+
+    from aha_tpu.eval.captioning import find_java_meteor as _fjm
+
+    if (_os.environ.get("AHA_METEOR", "auto").lower() != "lite"
+            and _fjm() is not None):
+        metrics["METEOR_note"] = "Java meteor-1.5.jar backend (paper-comparable)"
+    else:
+        metrics["METEOR_note"] = (
+            "METEOR-lite (exact+stem matcher, no WordNet synonyms/"
+            "paraphrases); not comparable to Java meteor-1.5.jar scores. "
+            "Set AHA_METEOR_JAR + a JRE for the jar backend."
+        )
     return metrics

@@ -43,9 +43,9 @@ metrics = eval_with_files(f"{out}/pred_dvc.json",
                           os.environ.get("YOUCOOK2_GOLD", "datasets/youcook2/val.json"))
 json.dump(metrics, open(f"{out}/metrics.json", "w"), indent=2)
 print(json.dumps(metrics, indent=2))
-print("NOTE: METEOR here is the pure-python METEOR-lite (exact-match +"
-      " stem-prefix alignment, no Java/WordNet) — close to but NOT"
-      " number-identical with the paper's Java METEOR; CIDEr and SODA"
-      " storytelling F1 are exact re-derivations. See"
-      " aha_tpu/eval/captioning.py docstring.")
+print("NOTE:", metrics.get("METEOR_note", ""))
+print("      (jar backend: put meteor-1.5.jar at $AHA_METEOR_JAR with a"
+      " JRE on PATH — jar-identical METEOR; otherwise METEOR-lite, close"
+      " to but NOT number-identical with the paper's Java METEOR. CIDEr"
+      " and SODA storytelling F1 are exact re-derivations either way.)")
 PY

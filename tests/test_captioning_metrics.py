@@ -92,6 +92,90 @@ def test_meteor_properties():
     assert arr.shape == (2,) and arr[0] > arr[1]
 
 
+class _FakeMeteorJar:
+    """Stands in for the meteor-1.5.jar -stdio process: answers each
+    'SCORE ||| refs... ||| hyp' line with a stat line, then answers the
+    'EVAL ||| stats...' line with one score per segment followed by the
+    aggregate (the reference wrapper's protocol,
+    test/dvc/metrics/meteor.py:38-82)."""
+
+    def __init__(self):
+        self.stdin = self
+        self.stdout = self
+        self._pending_stats = []
+        self._out_lines = []
+        self.score_lines = []
+
+    def write(self, data: bytes):
+        line = data.decode().rstrip("\n")
+        if line.startswith("SCORE ||| "):
+            self.score_lines.append(line)
+            parts = line.split(" ||| ")
+            hyp, refs = parts[-1], parts[1:-1]
+            # deterministic fake stat: fraction of hyp words in any ref
+            ref_words = set(w for r in refs for w in r.split())
+            hits = sum(w in ref_words for w in hyp.split())
+            self._pending_stats.append(f"{hits} {len(hyp.split())}")
+            self._out_lines.append(self._pending_stats[-1] + "\n")
+        elif line.startswith("EVAL ||| "):
+            stats = line[len("EVAL ||| "):].split(" ||| ")
+            assert stats == self._pending_stats, "EVAL must echo stats in order"
+            scores = [int(s.split()[0]) / max(int(s.split()[1]), 1)
+                      for s in stats]
+            for s in scores:
+                self._out_lines.append(f"{s}\n")
+            self._out_lines.append(f"{sum(scores) / len(scores)}\n")
+        else:  # pragma: no cover
+            raise AssertionError(f"protocol violation: {line!r}")
+
+    def flush(self):
+        pass
+
+    def readline(self):
+        return self._out_lines.pop(0).encode()
+
+
+def test_java_meteor_subprocess_protocol():
+    """JavaMeteor drives the jar's -stdio protocol exactly (mocked process
+    — no JRE here; with a real jar the numbers are jar-identical by
+    construction since the wrapper only relays lines)."""
+    from aha_tpu.eval.captioning import JavaMeteor
+
+    fake = _FakeMeteorJar()
+    m = JavaMeteor(popen=fake)
+    gts = {"b": ["the dog runs", "a dog runs"], "a": ["hello world"]}
+    res = {"b": ["the dog runs"], "a": ["hello there"]}
+    final, arr = m.compute_score(gts, res)
+    # ids processed in sorted order: 'a' then 'b'
+    assert fake.score_lines == [
+        "SCORE ||| hello world ||| hello there",
+        "SCORE ||| the dog runs ||| a dog runs ||| the dog runs",
+    ]
+    np.testing.assert_allclose(arr, [0.5, 1.0])
+    np.testing.assert_allclose(final, 0.75)
+    # ||| stripped from hypotheses before the protocol line (ref :74)
+    fake2 = _FakeMeteorJar()
+    JavaMeteor(popen=fake2).compute_score(
+        {"x": ["a b"]}, {"x": ["a ||| b"]})
+    assert "|||" not in fake2.score_lines[0].split(" ||| ")[-1]
+
+
+def test_build_meteor_fallback(monkeypatch):
+    """Backend factory: lite by default here (no JRE/jar), explicit java
+    mode errors with guidance, explicit lite always works."""
+    from aha_tpu.eval import captioning
+
+    monkeypatch.delenv("AHA_METEOR", raising=False)
+    monkeypatch.delenv("AHA_METEOR_JAR", raising=False)
+    assert captioning.build_meteor().backend == "lite"
+    monkeypatch.setenv("AHA_METEOR", "lite")
+    assert captioning.build_meteor().backend == "lite"
+    monkeypatch.setenv("AHA_METEOR", "java")
+    monkeypatch.setenv("AHA_METEOR_JAR", "/nonexistent/meteor-1.5.jar")
+    with pytest.raises(RuntimeError, match="AHA_METEOR=java"):
+        captioning.build_meteor()
+
+
 def test_ptb_tokenizer():
     assert ptb_tokenize_sentence("The man, quickly... ran!") == "the man quickly ran"
     assert ptb_tokenize_sentence("it's 50% off.") == "it's 50 % off"
