@@ -118,6 +118,7 @@ def _build_session(args):
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "auto"),
         kv_mask_mode=getattr(args, "kv_mask_mode", "hf"),
         spec_decode_tokens=getattr(args, "spec_decode_tokens", 4),
+        spec_decode_tokens_max=getattr(args, "spec_decode_tokens_max", 8),
         fused_score_frames=getattr(args, "fused_score_frames", 4),
     )
     return build_session(params, cfg, tokenizer, infer_cfg,
@@ -191,6 +192,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
                    help="speculative decoding: tokens verified per decoder "
                         "pass (1 = off). EXACT greedy parity either way; "
                         "rejected drafts are free on TPU (BASELINE.md)")
+    p.add_argument("--spec_decode_tokens_max", type=int, default=8,
+                   help="acceptance-adaptive speculation ceiling: the spec "
+                        "chunk widens to this while the on-device "
+                        "acceptance EMA is high, narrows back when it "
+                        "drops (<= spec_decode_tokens = fixed width)")
     p.add_argument("--fused_score_frames", type=int, default=4,
                    help="frames verified per decoder weight stream on the "
                         "scan scoring paths (1 = per-frame scan). EXACT "
@@ -912,6 +918,9 @@ def cmd_serve(argv):
     p.add_argument("--spec_decode_tokens", type=int, default=4,
                    help="speculative decoding: tokens verified per decoder "
                         "pass (1 = off); exact greedy parity either way")
+    p.add_argument("--spec_decode_tokens_max", type=int, default=8,
+                   help="acceptance-adaptive speculation ceiling (<= "
+                        "spec_decode_tokens = fixed width)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="shard the slot batch over this many devices")
     p.add_argument("--mesh_model", type=int, default=1,

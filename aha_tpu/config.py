@@ -350,6 +350,15 @@ class InferConfig:
     # pays up to 3.6x (S=4) / 6.1x (S=8) — expected value >= 0 on any
     # workload, and answers that quote stream context accept often.
     spec_decode_tokens: int = 4
+    # acceptance-adaptive speculation ceiling: when recent acceptance is
+    # high (on-device EMA of committed-fraction > 0.8) the spec chunk
+    # widens from spec_decode_tokens to this value, and narrows back when
+    # acceptance drops. The measured reject-cost table (S=8 -2%, S=4 free
+    # — BASELINE.md round 3) makes the gated switch >= fixed S=4 in
+    # expectation: S=8 only runs while the drafter is being accepted, where
+    # it is worth up to 6.1x. None/<=spec_decode_tokens = fixed width. Env
+    # override AHA_SPEC_MAX.
+    spec_decode_tokens_max: int | None = 8
     # "hf" (default): replicate the reference's transformers-4.49 mask
     # arithmetic, incl. its post-fill intra-chunk non-causality (see
     # CachePolicy.mask_mode); "strict": true causal order <= g

@@ -86,6 +86,20 @@ def _serve_overlap() -> bool:
     return os.environ.get("AHA_SERVE_OVERLAP", "1") not in ("0", "false")
 
 
+# Acceptance-adaptive speculation: a spec pass at width S commits 1..S
+# tokens per decoding row; the committed fraction feeds a batch-scalar EMA
+# (alpha below), and while the EMA exceeds the HI threshold the next pass
+# widens to spec_max (both widths live in the program behind a lax.cond).
+# 0.8 means "the S=4 chunk is committing >= 3.2 tokens/pass on average" —
+# at that rate the measured S=8 reject cost (-2%, BASELINE.md round 3)
+# is overwhelmed by its up-to-6.1x acceptance payoff; the EMA drops the
+# width back as soon as acceptance fades. Env overrides for sweeps.
+import os as _os_mod
+
+_SPEC_EMA_ALPHA = float(_os_mod.environ.get("AHA_SPEC_EMA_ALPHA", 0.25))
+_SPEC_EMA_HI = float(_os_mod.environ.get("AHA_SPEC_EMA_HI", 0.8))
+
+
 def _apply_repetition_penalty(logits: jnp.ndarray, counts: jnp.ndarray, penalty: float | None):
     """RepetitionPenaltyLogitsProcessor semantics over a per-vocab count mask
     (ref: modeling_live.py:66-82): penalized tokens are those generated before;
@@ -115,6 +129,7 @@ class StreamEngine:
         mesh=None,
         kv_dtype=None,
         spec_tokens: int | None = None,
+        spec_tokens_max: int | None = None,
         fused_score_frames: int | None = None,
     ):
         """mesh: optional jax.sharding.Mesh('data','model') — mesh-sharded
@@ -154,6 +169,31 @@ class StreamEngine:
         elif spec_tokens is None:
             spec_tokens = 1
         self.spec_tokens = max(int(spec_tokens), 1)
+        # acceptance-adaptive ceiling: spec passes widen to spec_max while
+        # the on-device acceptance EMA stays above _SPEC_EMA_HI (both
+        # widths compile into the program behind a lax.cond; outputs are
+        # byte-identical at any width — only speed changes). Raw-engine
+        # default: fixed width (tests build engines directly; compiling a
+        # second tail everywhere is pure CPU-test cost). The product
+        # surface sets InferConfig.spec_decode_tokens_max=8. A set
+        # AHA_SPEC_MAX always wins.
+        env_m = _os.environ.get("AHA_SPEC_MAX")
+        if env_m:
+            spec_tokens_max = int(env_m)
+        elif spec_tokens_max is None:
+            spec_tokens_max = self.spec_tokens
+        self.spec_max = max(int(spec_tokens_max), self.spec_tokens)
+        if self.spec_tokens <= 1:
+            self.spec_max = self.spec_tokens   # speculation off: no widening
+        # acceptance counters from the last speculative generate/serve call
+        # ([passes, committed_tokens, ema] f32, device array; fetch lazily)
+        self.last_spec_info = None
+        # serving-level acceptance EMA, threaded into every speculative
+        # call (python float until the first call, then a device scalar)
+        self._spec_ema = 0.0
+        # run-level [passes, committed] accumulator (device, lazy-fetched
+        # by A/Bs and bench via spec_acceptance())
+        self.spec_totals = None
         # fused frame scoring: score_stream verifies this many frames per
         # weight stream (one read-only spec pass + commit, bit-equal to the
         # per-frame scan — append_frames_fused docstring); 1 = the plain
@@ -713,7 +753,7 @@ class StreamEngine:
                         triggered0, scores_buf, prob_threshold, sum_threshold,
                         head_mask, gen_ids, gen_len, counts, z_thr, z_hist,
                         z_cnt, first_n, resume_at, ctx_ids=None,
-                        ctx_len=None):
+                        ctx_len=None, ema0=None):
             """Trigger scoring AND greedy generation in ONE while_loop: a
             row that triggers switches to decoding INLINE while the other
             rows keep scoring frames — batch rows are independent sessions
@@ -763,6 +803,7 @@ class StreamEngine:
             Pg = gen_ids.shape[1]
             W = max(F, Pg)
             S = self.spec_tokens
+            S_hi = self.spec_max
             C = 0 if ctx_ids is None else ctx_ids.shape[1]
             Mh = C + Pg + N + 1
             bidx = jnp.arange(B)
@@ -797,7 +838,7 @@ class StreamEngine:
             def seq_pass(state):
                 (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                  out_len, counts, triggered, resp_done, new_wait,
-                 zh, zc, hist, hist_len) = state
+                 zh, zc, hist, hist_len, ema, passes, acc) = state
 
                 # 3. one ragged mixed chunk: frames / gen prompt / one
                 # token. Two widths behind a cond: once every scoring row
@@ -915,69 +956,81 @@ class StreamEngine:
 
                 return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                         out_len, counts, triggered, resp_done, new_wait,
-                        zh, zc, hist, hist_len)
+                        zh, zc, hist, hist_len, ema, passes, acc)
 
-            def spec_tail(state):
-                """Pure-decode pass at width S: verify the carried token
-                plus S-1 n-gram drafts in ONE weight stream (the
+            def spec_tail_for(Sw):
+                """Pure-decode pass at width Sw: verify the carried token
+                plus Sw-1 n-gram drafts in ONE weight stream (the
                 generate_spec machinery re-based on the mixed loop's
                 written-but-unfed carry: `tok` is already in out_ids/hist/
                 counts, so feeding chunk position p tail-writes the NEXT
                 token t_{p+1} with exactly seq_pass's write/eos/budget
-                order). Entered only when no row scores or prompts."""
-                (i, cache, scores_buf, score_sum, mode, tok, out_ids,
-                 out_len, counts, triggered, resp_done, new_wait,
-                 zh, zc, hist, hist_len) = state
-                decoding = mode == 2
-                # the carry is already written, so the lookup anchors one
-                # position back (ngram_draft re-places it at hist_len - 1)
-                drafts = spec_decode.ngram_draft(
-                    hist, jnp.maximum(hist_len - 1, 0), tok, S - 1)
-                chunk = jnp.concatenate([tok[:, None], drafts], axis=1)
-                plan_valid = jnp.where(decoding, S, 0).astype(jnp.int32)
-                plans = spec_decode.plan_compose(cache, policy, plan_valid, S)
-                embeds = qwen2.embed_tokens(
-                    params["llm"], chunk, dtype=jnp.dtype(cfg.dtype))
-                hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
-                    params["llm"], cfg.llm, policy, cache, embeds, plans,
-                    lora=lora, lora_scale=lora_scale)
-                logits = qwen2.lm_logits(
-                    params["llm"], cfg.llm, hidden).astype(jnp.float32)
+                order). Entered only when no row scores or prompts.
+                Parametrized by width for the acceptance-adaptive switch
+                (S vs spec_max behind a lax.cond on the acceptance EMA —
+                outputs are width-independent, only speed changes)."""
+                def spec_tail(state):
+                    (i, cache, scores_buf, score_sum, mode, tok, out_ids,
+                     out_len, counts, triggered, resp_done, new_wait,
+                     zh, zc, hist, hist_len, ema, passes, acc) = state
+                    out_len0 = out_len
+                    decoding = mode == 2
+                    # the carry is already written, so the lookup anchors one
+                    # position back (ngram_draft re-places it at hist_len - 1)
+                    drafts = spec_decode.ngram_draft(
+                        hist, jnp.maximum(hist_len - 1, 0), tok, Sw - 1)
+                    chunk = jnp.concatenate([tok[:, None], drafts], axis=1)
+                    plan_valid = jnp.where(decoding, Sw, 0).astype(jnp.int32)
+                    plans = spec_decode.plan_compose(cache, policy,
+                                                     plan_valid, Sw)
+                    embeds = qwen2.embed_tokens(
+                        params["llm"], chunk, dtype=jnp.dtype(cfg.dtype))
+                    hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                        params["llm"], cfg.llm, policy, cache, embeds, plans,
+                        lora=lora, lora_scale=lora_scale)
+                    logits = qwen2.lm_logits(
+                        params["llm"], cfg.llm, hidden).astype(jnp.float32)
 
-                reach = decoding          # feed of chunk[:, p] would run
-                m_cache = jnp.zeros((B,), jnp.int32)
-                for p in range(S):
-                    m_cache = m_cache + reach.astype(jnp.int32)
-                    t_next = jnp.argmax(_apply_repetition_penalty(
-                        logits[:, p], counts, self.repetition_penalty),
-                        axis=-1).astype(jnp.int32)
-                    write = reach
-                    out_ids = out_ids.at[
-                        bidx, jnp.where(write, out_len, N)].set(
-                        t_next, mode="drop")
-                    hist = hist.at[
-                        bidx, jnp.where(write, hist_len, Mh)].set(
-                        t_next, mode="drop")
-                    out_len = out_len + write.astype(jnp.int32)
-                    hist_len = hist_len + write.astype(jnp.int32)
-                    is_eos = t_next == eos
-                    counts = counts.at[bidx, t_next].add(
-                        (write & ~is_eos).astype(jnp.int32))
-                    stop = write & (is_eos | (out_len >= N))
-                    resp_done = resp_done | stop
-                    mode = jnp.where(stop, 3, mode)
-                    tok = jnp.where(write, t_next, tok)
-                    if p + 1 < S:
-                        # draft p+1 is fed next iff it IS the token the
-                        # sequential loop just produced and nothing stopped
-                        reach = write & ~stop & (chunk[:, p + 1] == t_next)
+                    reach = decoding          # feed of chunk[:, p] would run
+                    m_cache = jnp.zeros((B,), jnp.int32)
+                    for p in range(Sw):
+                        m_cache = m_cache + reach.astype(jnp.int32)
+                        t_next = jnp.argmax(_apply_repetition_penalty(
+                            logits[:, p], counts, self.repetition_penalty),
+                            axis=-1).astype(jnp.int32)
+                        write = reach
+                        out_ids = out_ids.at[
+                            bidx, jnp.where(write, out_len, N)].set(
+                            t_next, mode="drop")
+                        hist = hist.at[
+                            bidx, jnp.where(write, hist_len, Mh)].set(
+                            t_next, mode="drop")
+                        out_len = out_len + write.astype(jnp.int32)
+                        hist_len = hist_len + write.astype(jnp.int32)
+                        is_eos = t_next == eos
+                        counts = counts.at[bidx, t_next].add(
+                            (write & ~is_eos).astype(jnp.int32))
+                        stop = write & (is_eos | (out_len >= N))
+                        resp_done = resp_done | stop
+                        mode = jnp.where(stop, 3, mode)
+                        tok = jnp.where(write, t_next, tok)
+                        if p + 1 < Sw:
+                            # draft p+1 is fed next iff it IS the token the
+                            # sequential loop just produced and nothing stopped
+                            reach = write & ~stop & (chunk[:, p + 1] == t_next)
 
-                cache = spec_decode.commit_slots(
-                    cache, plans, infl_k, infl_v, m_cache, policy.junk)
-                cache = spec_decode.select_meta(cache, plans, m_cache)
-                return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
-                        out_len, counts, triggered, resp_done, new_wait,
-                        zh, zc, hist, hist_len)
+                    cache = spec_decode.commit_slots(
+                        cache, plans, infl_k, infl_v, m_cache, policy.junk)
+                    cache = spec_decode.select_meta(cache, plans, m_cache)
+                    committed = jnp.sum(out_len - out_len0)
+                    n_act = jnp.maximum(jnp.sum(decoding.astype(jnp.int32)), 1)
+                    frac = committed.astype(jnp.float32) / (Sw * n_act)
+                    ema = (1.0 - _SPEC_EMA_ALPHA) * ema + _SPEC_EMA_ALPHA * frac
+                    return (i, cache, scores_buf, score_sum, mode, tok,
+                            out_ids, out_len, counts, triggered, resp_done,
+                            new_wait, zh, zc, hist, hist_len, ema,
+                            passes + 1, acc + committed)
+                return spec_tail
 
             k = self.fused_frames
 
@@ -990,7 +1043,7 @@ class StreamEngine:
                 pass; limit -> wait + ask for host attention)."""
                 (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                  out_len, counts, triggered, resp_done, new_wait,
-                 zh, zc, hist, hist_len) = state
+                 zh, zc, hist, hist_len, ema, passes, acc) = state
                 act = mode == 0
                 jk = jnp.arange(k, dtype=jnp.int32)
                 cache, s, A, fire, score_sum, zh, zc = _fused_frames_pass(
@@ -1010,17 +1063,28 @@ class StreamEngine:
                 mode = jnp.where(lim_hit, 3, mode)
                 return (i, cache, scores_buf, score_sum, mode, tok, out_ids,
                         out_len, counts, triggered, resp_done, new_wait,
-                        zh, zc, hist, hist_len)
+                        zh, zc, hist, hist_len, ema, passes, acc)
 
             def _gen_live(m):
                 return jnp.any((m == 1) | (m == 2))
+
+            if S > 1 and S_hi > S:
+                tail_lo, tail_hi = spec_tail_for(S), spec_tail_for(S_hi)
+
+                def spec_dispatch(st):
+                    # acceptance-adaptive width: EMA (state[16]) gates the
+                    # wide tail; both widths are compiled, outputs identical
+                    return jax.lax.cond(st[16] > _SPEC_EMA_HI,
+                                        tail_hi, tail_lo, st)
+            elif S > 1:
+                spec_dispatch = spec_tail_for(S)
 
             def _gen_body(st):
                 # some row prompts or decodes: mixed pass, or — once every
                 # live row decodes — the speculative pure-decode tail
                 return jax.lax.cond(
                     jnp.any((st[4] == 0) | (st[4] == 1)),
-                    seq_pass, spec_tail, st)
+                    seq_pass, spec_dispatch, st)
 
             if S == 1 and k == 1:
                 body = seq_pass
@@ -1039,19 +1103,28 @@ class StreamEngine:
                      jnp.zeros((B,), jnp.int32),
                      jnp.zeros((B, N), jnp.int32), jnp.zeros((B,), jnp.int32),
                      counts, triggered0, jnp.zeros((B,), bool),
-                     jnp.zeros((B,), bool), z_hist, z_cnt, hist0, hlen0)
+                     jnp.zeros((B,), bool), z_hist, z_cnt, hist0, hlen0,
+                     (jnp.float32(0.0) if ema0 is None
+                      else jnp.asarray(ema0, jnp.float32)),
+                     jnp.int32(0), jnp.int32(0))
             (i, cache, scores_buf, score_sum, mode, tok, out_ids, out_len,
              counts, triggered, resp_done, _nw, z_hist, z_cnt,
-             _hist, _hlen) = jax.lax.while_loop(cond, body, state)
+             _hist, _hlen, ema, passes, acc) = jax.lax.while_loop(
+                cond, body, state)
             last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
+            # spec_info [3] f32: passes, committed tokens, acceptance EMA
+            # (the EMA is serving state — the host wrapper threads it into
+            # the next call so adaptation persists across response rounds)
             return (cache, scores_buf, i, score_sum, triggered, out_ids,
-                    out_len, counts, last_tok, z_hist, z_cnt)
+                    out_len, counts, last_tok, z_hist, z_cnt,
+                    jnp.stack([passes.astype(jnp.float32),
+                               acc.astype(jnp.float32), ema]))
 
         def serve_step(params, cache, ids, id_len, can_step, frames, start,
                        limit, score_sum, counts, prob_threshold,
                        sum_threshold, head_mask, gen_ids, gen_len,
                        ctx_ids, ctx_len, do_generate, z_thr, z_hist, z_cnt,
-                       first_n, resume_at):
+                       first_n, resume_at, spec_ema):
             """One serving-loop iteration as ONE program (the multi-stream
             QA hot path): fused [role-prefix + frame] step with its trigger
             rule evaluated on device, the batched trigger loop, and greedy
@@ -1102,7 +1175,7 @@ class StreamEngine:
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
                     gen_ids, gen_len, counts, z_thr, z_hist, z_cnt, first_n,
-                    resume_at, ctx_ids, ctx_len)
+                    resume_at, ctx_ids, ctx_len, spec_ema)
 
             cache, scores_buf, i2, sum2, triggered, z_hist, z_cnt = \
                 trigger_loop_impl(
@@ -1116,25 +1189,33 @@ class StreamEngine:
                 if self.spec_tokens > 1:
                     return generate_spec(params, c, gen_ids, gen_len, cnt,
                                          active=triggered, ctx_ids=ctx_ids,
-                                         ctx_len=ctx_len)
-                return generate(params, c, gen_ids, gen_len, cnt,
-                                active=triggered)
+                                         ctx_len=ctx_len, ema0=spec_ema)
+                return (*generate(params, c, gen_ids, gen_len, cnt,
+                                  active=triggered),
+                        jnp.stack([jnp.float32(0), jnp.float32(0),
+                                   jnp.asarray(spec_ema, jnp.float32)]))
 
             def skip_branch(op):
                 c, cnt = op
+                # ema passes through untouched: a trigger-free iteration
+                # must not reset the serving-level acceptance state
                 return (c, jnp.zeros((B, N), jnp.int32),
                         jnp.zeros((B,), jnp.int32), cnt,
-                        jnp.zeros((B,), jnp.int32))
+                        jnp.zeros((B,), jnp.int32),
+                        jnp.stack([jnp.float32(0), jnp.float32(0),
+                                   jnp.asarray(spec_ema, jnp.float32)]))
 
             if do_generate:      # AHA_SERVE_OVERLAP=0: freeze-then-generate
-                cache, out_ids, out_len, counts2, last_tok = jax.lax.cond(
+                (cache, out_ids, out_len, counts2, last_tok,
+                 spec_info) = jax.lax.cond(
                     jnp.any(triggered), gen_branch, skip_branch,
                     (cache, counts))
             else:
-                cache, out_ids, out_len, counts2, last_tok = skip_branch(
-                    (cache, counts))
+                (cache, out_ids, out_len, counts2, last_tok,
+                 spec_info) = skip_branch((cache, counts))
             return (cache, scores_buf, i2, sum2, triggered,
-                    out_ids, out_len, counts2, last_tok, z_hist, z_cnt)
+                    out_ids, out_len, counts2, last_tok, z_hist, z_cnt,
+                    spec_info)
 
         def generate(params, cache, prompt_ids, valid_len, counts, active=None):
             """Greedy decode (ref fast_greedy_generate). Returns
@@ -1196,7 +1277,8 @@ class StreamEngine:
             return cache, out_ids, out_len, counts, last_tok
 
         def generate_spec(params, cache, prompt_ids, valid_len, counts,
-                          active=None, ctx_ids=None, ctx_len=None):
+                          active=None, ctx_ids=None, ctx_len=None,
+                          ema0=None):
             """Speculative greedy decode: EXACT output parity with
             `generate` (the reference's strictly sequential loop), but each
             weight stream verifies S = self.spec_tokens candidate tokens —
@@ -1221,7 +1303,8 @@ class StreamEngine:
             this is where real-checkpoint acceptance comes from. Pure
             draft source: never fed to the model, cannot change output.
             """
-            S = self.spec_tokens
+            S_lo = self.spec_tokens
+            S_hi = self.spec_max
             eos = cfg.eos_token_id
             N = self.max_new_tokens
             B = prompt_ids.shape[0]
@@ -1245,65 +1328,92 @@ class StreamEngine:
                 ctx_ids, ctx_len, prompt_ids, valid_len, N + 1)
 
             def cond(state):
-                _, _, _, out_len, done, _, _, _ = state
+                out_len, done = state[3], state[4]
                 return jnp.any(~done & (out_len < N))
 
-            def body(state):
-                tok, cache, out_ids, out_len, done, counts, hist, hist_len = state
-                drafts = spec_decode.ngram_draft(hist, hist_len, tok, S - 1)
-                chunk = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B, S]
-                plan_valid = jnp.where(~done & (out_len < N), S, 0).astype(jnp.int32)
-                plans = spec_decode.plan_compose(cache, policy, plan_valid, S)
-                embeds = qwen2.embed_tokens(
-                    params["llm"], chunk, dtype=jnp.dtype(cfg.dtype))
-                hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
-                    params["llm"], cfg.llm, policy, cache, embeds, plans,
-                    lora=lora, lora_scale=lora_scale)
-                logits = qwen2.lm_logits(
-                    params["llm"], cfg.llm, hidden).astype(jnp.float32)  # [B, S, V]
+            def body_for(S):
+                def body(state):
+                    (tok, cache, out_ids, out_len, done, counts, hist,
+                     hist_len, ema, passes, acc) = state
+                    out_len0 = out_len
+                    drafts = spec_decode.ngram_draft(hist, hist_len, tok, S - 1)
+                    chunk = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B, S]
+                    rows = ~done & (out_len < N)
+                    plan_valid = jnp.where(rows, S, 0).astype(jnp.int32)
+                    plans = spec_decode.plan_compose(cache, policy, plan_valid, S)
+                    embeds = qwen2.embed_tokens(
+                        params["llm"], chunk, dtype=jnp.dtype(cfg.dtype))
+                    hidden, infl_k, infl_v = qwen2.decode_chunk_spec(
+                        params["llm"], cfg.llm, policy, cache, embeds, plans,
+                        lora=lora, lora_scale=lora_scale)
+                    logits = qwen2.lm_logits(
+                        params["llm"], cfg.llm, hidden).astype(jnp.float32)  # [B, S, V]
 
-                # replay the sequential loop's bookkeeping position by
-                # position (S is small and static — this unrolls at trace
-                # time into [B]-sized ops, no extra device passes)
-                reach = ~done & (out_len < N)   # position p reached + writable
-                m_cache = jnp.zeros((B,), jnp.int32)
-                carry = tok
-                for p in range(S):
-                    tok_p = chunk[:, p]
-                    write = reach
-                    out_ids = out_ids.at[
-                        bidx, jnp.where(write, out_len, N)].set(tok_p, mode="drop")
-                    hist = hist.at[
-                        bidx, jnp.where(write, hist_len, M)].set(tok_p, mode="drop")
-                    out_len = out_len + write
-                    hist_len = hist_len + write
-                    is_eos = tok_p == eos
-                    counts = counts.at[bidx, tok_p].add(
-                        (write & ~is_eos).astype(jnp.int32))
-                    done = done | (write & is_eos)
-                    # the decoder step for tok_p ran speculatively; it COUNTS
-                    # iff the sequential loop would have run it
-                    processed = write & ~is_eos & (out_len < N)
-                    m_cache = m_cache + processed
-                    t_next = jnp.argmax(_apply_repetition_penalty(
-                        logits[:, p], counts, self.repetition_penalty),
-                        axis=-1).astype(jnp.int32)
-                    carry = jnp.where(processed, t_next, carry)
-                    if p + 1 < S:
-                        # draft p+1 is accepted iff it IS the sequential token
-                        reach = processed & (chunk[:, p + 1] == t_next)
+                    # replay the sequential loop's bookkeeping position by
+                    # position (S is small and static — this unrolls at trace
+                    # time into [B]-sized ops, no extra device passes)
+                    reach = rows                    # position p reached + writable
+                    m_cache = jnp.zeros((B,), jnp.int32)
+                    carry = tok
+                    for p in range(S):
+                        tok_p = chunk[:, p]
+                        write = reach
+                        out_ids = out_ids.at[
+                            bidx, jnp.where(write, out_len, N)].set(tok_p, mode="drop")
+                        hist = hist.at[
+                            bidx, jnp.where(write, hist_len, M)].set(tok_p, mode="drop")
+                        out_len = out_len + write
+                        hist_len = hist_len + write
+                        is_eos = tok_p == eos
+                        counts = counts.at[bidx, tok_p].add(
+                            (write & ~is_eos).astype(jnp.int32))
+                        done = done | (write & is_eos)
+                        # the decoder step for tok_p ran speculatively; it COUNTS
+                        # iff the sequential loop would have run it
+                        processed = write & ~is_eos & (out_len < N)
+                        m_cache = m_cache + processed
+                        t_next = jnp.argmax(_apply_repetition_penalty(
+                            logits[:, p], counts, self.repetition_penalty),
+                            axis=-1).astype(jnp.int32)
+                        carry = jnp.where(processed, t_next, carry)
+                        if p + 1 < S:
+                            # draft p+1 is accepted iff it IS the sequential token
+                            reach = processed & (chunk[:, p + 1] == t_next)
 
-                cache = spec_decode.commit_slots(
-                    cache, plans, infl_k, infl_v, m_cache, policy.junk)
-                cache = spec_decode.select_meta(cache, plans, m_cache)
-                return (carry, cache, out_ids, out_len, done, counts,
-                        hist, hist_len)
+                    cache = spec_decode.commit_slots(
+                        cache, plans, infl_k, infl_v, m_cache, policy.junk)
+                    cache = spec_decode.select_meta(cache, plans, m_cache)
+                    # acceptance EMA + counters (speed-only state: outputs
+                    # are width-independent by the exactness contract)
+                    committed = jnp.sum(out_len - out_len0)
+                    n_act = jnp.maximum(jnp.sum(rows.astype(jnp.int32)), 1)
+                    frac = committed.astype(jnp.float32) / (S * n_act)
+                    ema = (1.0 - _SPEC_EMA_ALPHA) * ema + _SPEC_EMA_ALPHA * frac
+                    return (carry, cache, out_ids, out_len, done, counts,
+                            hist, hist_len, ema, passes + 1, acc + committed)
+                return body
 
-            state = (tok, cache, out_ids, out_len, done, counts, hist, hist_len)
-            _, cache, out_ids, out_len, _, counts, _, _ = jax.lax.while_loop(
-                cond, body, state)
+            if S_hi > S_lo:
+                body_lo, body_hi = body_for(S_lo), body_for(S_hi)
+
+                def body(state):
+                    return jax.lax.cond(state[8] > _SPEC_EMA_HI,
+                                        body_hi, body_lo, state)
+            else:
+                body = body_for(S_lo)
+
+            state = (tok, cache, out_ids, out_len, done, counts, hist,
+                     hist_len,
+                     (jnp.float32(0.0) if ema0 is None
+                      else jnp.asarray(ema0, jnp.float32)),
+                     jnp.int32(0), jnp.int32(0))
+            (_, cache, out_ids, out_len, _, counts, _, _, ema, passes,
+             acc) = jax.lax.while_loop(cond, body, state)
             last_tok = out_ids[jnp.arange(B), jnp.maximum(out_len - 1, 0)]
-            return cache, out_ids, out_len, counts, last_tok
+            # spec_info [3] f32: passes, committed tokens, acceptance EMA
+            spec_info = jnp.stack([passes.astype(jnp.float32),
+                                   acc.astype(jnp.float32), ema])
+            return cache, out_ids, out_len, counts, last_tok, spec_info
 
         # the cache argument is donated on the per-chunk hot paths: the ring
         # buffer updates in place instead of being copied every frame.
@@ -1448,9 +1558,39 @@ class StreamEngine:
         ids, lens = self.pad_ids(ids_list)
         if self._generate_spec is not None:
             ctx_ids, ctx_len = ctx if ctx is not None else (None, None)
-            return self._generate_spec(self.params, cache, ids, lens, counts,
-                                       active, ctx_ids, ctx_len)
+            out = self._generate_spec(self.params, cache, ids, lens, counts,
+                                      active, ctx_ids, ctx_len,
+                                      jnp.asarray(self._spec_ema, jnp.float32))
+            *res, spec_info = out
+            # [passes, committed, ema]: counters for A/Bs; the EMA threads
+            # into the next call so width adaptation persists across
+            # responses (device scalar — no host sync on the hot path)
+            self._absorb_spec_info(spec_info)
+            return tuple(res)
         return self._generate(self.params, cache, ids, lens, counts, active)
+
+    def _absorb_spec_info(self, spec_info):
+        self.last_spec_info = spec_info
+        self._spec_ema = spec_info[2]
+        self.spec_totals = (spec_info[:2] if self.spec_totals is None
+                            else self.spec_totals + spec_info[:2])
+
+    def spec_acceptance(self) -> dict:
+        """Host-fetched run-level speculation counters: verify passes,
+        committed tokens, tokens/pass, and the current acceptance EMA.
+        Call at measurement boundaries only (forces a device sync)."""
+        if self.spec_totals is None:
+            return {"passes": 0, "committed": 0, "tokens_per_pass": 0.0,
+                    "ema": 0.0}
+        passes, committed = (float(x) for x in np.asarray(
+            jax.device_get(self.spec_totals)))
+        return {"passes": int(passes), "committed": int(committed),
+                "tokens_per_pass": round(committed / max(passes, 1.0), 3),
+                "ema": round(float(jax.device_get(
+                    jnp.asarray(self._spec_ema, jnp.float32))), 4)}
+
+    def reset_spec_totals(self):
+        self.spec_totals = None
 
     def new_z_state(self, window: int = 20):
         """(z_hist [B, window], z_cnt [B]) for the z-score stopping rule —
@@ -1519,7 +1659,7 @@ class StreamEngine:
         ], jnp.float32)
         inf = jnp.float32(jnp.inf)
         z_hist, z_cnt = z_state if z_state is not None else self.new_z_state()
-        return self._serve_step(
+        out = self._serve_step(
             self.params, cache, ids, lens, jnp.asarray(can_step, bool),
             frames, jnp.asarray(start, jnp.int32),
             jnp.asarray(limit, jnp.int32),
@@ -1533,7 +1673,14 @@ class StreamEngine:
             jnp.int32(first_n_frames),
             (jnp.zeros((B,), jnp.int32) if resume_at is None
              else jnp.asarray(resume_at, jnp.int32)),
+            jnp.asarray(self._spec_ema, jnp.float32),
         )
+        *res, spec_info = out
+        # [passes, committed, ema] from this iteration's generation; the
+        # EMA is serving state and threads into the next call (device
+        # scalar, no host sync) — callers keep the historical 11-tuple
+        self._absorb_spec_info(spec_info)
+        return tuple(res)
 
     def encode_frames(self, frames: np.ndarray | jnp.ndarray) -> jnp.ndarray:
         """Pre-encode [N, H, W, 3] pixel frames to [N, F, H_llm] in fixed-size

@@ -191,6 +191,7 @@ class MultiStreamSession:
             lora=lora, lora_scale=lora_scale, mesh=mesh,
             kv_dtype=jnp.int8 if infer_cfg.kv_cache_dtype == "int8" else None,
             spec_tokens=infer_cfg.spec_decode_tokens,
+            spec_tokens_max=infer_cfg.spec_decode_tokens_max,
             fused_score_frames=infer_cfg.fused_score_frames,
         )
         # per-row trigger thresholds (the reference runs one process per

@@ -437,7 +437,11 @@ def run_bench(preset: str) -> dict:
         return n_frames / (time.perf_counter() - t0)
 
     run_multi_qa_ragged()            # warmup (first ragged-shape compile)
+    qa.engine.reset_spec_totals()
     qa_ragged_fps, qar_lo, qar_hi = _stats(run_multi_qa_ragged, repeats=3)
+    # speculation acceptance over the ragged QA repeats (adaptive S=4->8
+    # product default): verify passes, committed tokens, tokens/pass, EMA
+    qa_spec = qa.engine.spec_acceptance()
 
     # phase decomposition of the same workload (one instrumented pass;
     # phase-end syncs add overhead, so the split explains multi_stream_qa
@@ -570,6 +574,7 @@ def run_bench(preset: str) -> dict:
         # tokens emitted across all triggered rows / wall-clock of the
         # generation phase (instrumented pass, includes its host syncs)
         "multi_stream_qa_ragged_fps": round(qa_ragged_fps, 3),
+        "spec_acceptance": qa_spec,
         "batched_decode_tok_s": round(
             qa_split.get("tokens_generated", 0)
             / max(qa_split.get("gen_s", 0.0), 1e-9), 1),

@@ -19,6 +19,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 # monkeypatch.
 os.environ.pop("AHA_SPEC_DECODE", None)
 os.environ.pop("AHA_FUSED_SCORE", None)
+# Acceptance-adaptive widening (spec_decode_tokens_max=8, the product
+# default) compiles a SECOND spec tail into every product-path engine —
+# measured >3x wall on the engine-heavy CPU test files. Tests pin the
+# ceiling to the base width; the adaptive path has its own dedicated
+# coverage (test_spec_generate adaptive tests, which monkeypatch-delete
+# this var before building their engines).
+os.environ["AHA_SPEC_MAX"] = "0"   # 0 -> clamps to spec_tokens (no widening)
 
 import jax
 

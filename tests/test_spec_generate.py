@@ -44,11 +44,14 @@ def _policy(kind):
 
 
 def _run(params, cfg, kind, *, S, N, prompt_rows, prefill_rows=None,
-         penalty=None, eos=None, active=None, kv=None):
+         penalty=None, eos=None, active=None, kv=None, S_max=None,
+         engine_out=None):
     c = cfg if eos is None else dataclasses.replace(cfg, eos_token_id=eos)
     eng = StreamEngine(params, c, _policy(kind), batch=len(prompt_rows),
                        max_new_tokens=N, repetition_penalty=penalty,
-                       spec_tokens=S, kv_dtype=kv)
+                       spec_tokens=S, kv_dtype=kv, spec_tokens_max=S_max)
+    if engine_out is not None:
+        engine_out.append(eng)
     cache = eng.new_cache()
     if prefill_rows is not None:
         cache, _ = eng.append_ids(cache, prefill_rows)
@@ -173,7 +176,45 @@ def test_spec_generate_full_acceptance(tiny_model):
     assert (a[1] == 20).all() and (a[0] == a[0][:, :1]).all()
 
 
-def _serve_once(params, cfg, *, S, eos, N=10):
+def test_adaptive_spec_matches_fixed_and_widens(tiny_model, monkeypatch):
+    """Acceptance-adaptive width (spec_tokens=4, spec_tokens_max=8): output
+    parity with the sequential loop is width-independent by construction;
+    on a full-acceptance workload (zeroed lm_head) the acceptance EMA must
+    actually switch the tail to S=8, measurable as fewer verify passes
+    than fixed S=4 (VERDICT r3 next #1a)."""
+    from scripts.perf.perf_utils import zero_lm_head
+
+    monkeypatch.delenv("AHA_SPEC_MAX", raising=False)  # conftest pins it
+    params, cfg = tiny_model
+    z = zero_lm_head(params)
+    kw = dict(N=60, prompt_rows=PROMPTS, prefill_rows=PREFILL)
+    engines = []
+    a = _run(z, cfg, "sink", S=4, S_max=8, engine_out=engines, **kw)
+    b = _run(z, cfg, "sink", S=1, **kw)
+    _assert_pair_equal(a, b, "sink")
+    adaptive_passes = float(np.asarray(engines[0].last_spec_info)[0])
+    engines2 = []
+    _run(z, cfg, "sink", S=4, engine_out=engines2, **kw)
+    fixed4_passes = float(np.asarray(engines2[0].last_spec_info)[0])
+    # widening must save passes once acceptance saturates
+    assert adaptive_passes < fixed4_passes, (adaptive_passes, fixed4_passes)
+    # committed-token counters equal total emitted tokens
+    assert float(np.asarray(engines[0].last_spec_info)[1]) == float(
+        a[1].sum())
+
+    # reject-heavy workload (random weights): adaptive must still match,
+    # and the EMA must keep the tail narrow (passes == fixed-S4 passes)
+    engines3, engines4 = [], []
+    kw2 = dict(N=18, prompt_rows=PROMPTS, prefill_rows=PREFILL)
+    r_a = _run(params, cfg, "sink", S=4, S_max=8, engine_out=engines3, **kw2)
+    r_b = _run(params, cfg, "sink", S=1, **kw2)
+    _assert_pair_equal(r_a, r_b, "sink")
+    _run(params, cfg, "sink", S=4, engine_out=engines4, **kw2)
+    assert float(np.asarray(engines3[0].last_spec_info)[0]) == float(
+        np.asarray(engines4[0].last_spec_info)[0])
+
+
+def _serve_once(params, cfg, *, S, eos, N=10, S_max=None):
     """One fused serve_step round: both rows trigger on frame 0 (threshold
     -inf), generate through the mixed loop (spec tail at S > 1), return
     host-fetched outputs."""
@@ -183,7 +224,8 @@ def _serve_once(params, cfg, *, S, eos, N=10):
 
     c = dc.replace(cfg, eos_token_id=eos)
     eng = StreamEngine(params, c, _policy("sink"), batch=2,
-                       max_new_tokens=N, spec_tokens=S)
+                       max_new_tokens=N, spec_tokens=S,
+                       spec_tokens_max=S_max)
     rng = np.random.default_rng(3)
     F, H = c.frame_num_tokens, c.llm.hidden_size
     frames = jnp.asarray(0.05 * rng.standard_normal((2, 3, F, H)),
@@ -240,6 +282,10 @@ def test_serve_step_spec_oracle_full_acceptance(tiny_model, monkeypatch):
 
     monkeypatch.setattr(sd, "ngram_draft", oracle)
     _assert_serve_equal(_serve_once(params, cfg, S=4, eos=0), base)
+    # acceptance-adaptive serving tail: oracle acceptance pushes the EMA
+    # over the wide threshold mid-response — outputs must still bit-match
+    monkeypatch.delenv("AHA_SPEC_MAX", raising=False)  # conftest pins it
+    _assert_serve_equal(_serve_once(params, cfg, S=4, S_max=8, eos=0), base)
 
     # eos mid-chunk: terminate at the 6th emitted token of row 0 (an
     # accepted position > 0 in some verify chunk under the oracle)
