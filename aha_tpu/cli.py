@@ -120,6 +120,7 @@ def _build_session(args):
         spec_decode_tokens=getattr(args, "spec_decode_tokens", 4),
         spec_decode_tokens_max=getattr(args, "spec_decode_tokens_max", 8),
         fused_score_frames=getattr(args, "fused_score_frames", 4),
+        retire_defer=getattr(args, "retire_defer", 1),
     )
     return build_session(params, cfg, tokenizer, infer_cfg,
                          lora=lora, lora_scale=lora_scale)
@@ -921,6 +922,11 @@ def cmd_serve(argv):
     p.add_argument("--spec_decode_tokens_max", type=int, default=8,
                    help="acceptance-adaptive speculation ceiling (<= "
                         "spec_decode_tokens = fixed width)")
+    p.add_argument("--retire_defer", type=int, default=1,
+                   help="batched retirement: keep serving on device until "
+                        "this many streams finish before returning to the "
+                        "host (1 = refill slots immediately; higher = fewer "
+                        "host round-trips, idle finished slots meanwhile)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="shard the slot batch over this many devices")
     p.add_argument("--mesh_model", type=int, default=1,

@@ -363,6 +363,13 @@ class InferConfig:
     # arithmetic, incl. its post-fill intra-chunk non-causality (see
     # CachePolicy.mask_mode); "strict": true causal order <= g
     kv_mask_mode: str = "hf"
+    # batched retirement (continuous batching): the serving loop exits to
+    # the host once this many rows have finished their frames (1 = exit
+    # per retirement, the immediate-refill default). Higher values trade
+    # idle slot time on finished rows for fewer host round-trips on
+    # retirement-heavy ragged workloads; per-row outputs are identical
+    # (scheduling only). A/B: scripts/perf/ab_batched_retirement.py.
+    retire_defer: int = 1
     # fused frame scoring: frames verified per decoder weight stream on the
     # scan scoring paths (score_video / MultiStreamScorer — tvsum/hisum/
     # grounding, no generation). 1 = the plain per-frame scan. EXACT score

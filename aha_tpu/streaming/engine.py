@@ -753,7 +753,7 @@ class StreamEngine:
                         triggered0, scores_buf, prob_threshold, sum_threshold,
                         head_mask, gen_ids, gen_len, counts, z_thr, z_hist,
                         z_cnt, first_n, resume_at, ctx_ids=None,
-                        ctx_len=None, ema0=None):
+                        ctx_len=None, ema0=None, retire_defer=None):
             """Trigger scoring AND greedy generation in ONE while_loop: a
             row that triggers switches to decoding INLINE while the other
             rows keep scoring frames — batch rows are independent sessions
@@ -828,11 +828,23 @@ class StreamEngine:
                 hist0 = jnp.zeros((B, 1), jnp.int32)
                 hlen0 = jnp.zeros((B,), jnp.int32)
 
+            # batched retirement (VERDICT r3 next #8): a row that hits its
+            # frame limit normally asks for host attention immediately (one
+            # host RTT per retirement — slots refill at once). retire_defer
+            # = m keeps the loop on device until >= m rows wait, trading
+            # idle slot time on the waiting rows for fewer dispatches on
+            # retirement-heavy ragged workloads. 1 (default) = historical
+            # behavior; responses always exit (their text must reach the
+            # host before the row's next frame — reference semantics).
+            rd = (jnp.int32(1) if retire_defer is None
+                  else jnp.asarray(retire_defer, jnp.int32))
+
             def cond(state):
                 mode, resp_done, new_wait = state[4], state[10], state[11]
                 live = mode != 3
                 gen_live = (mode == 1) | (mode == 2)
-                need_host = jnp.any(resp_done) | jnp.any(new_wait)
+                nw = jnp.sum(new_wait.astype(jnp.int32))
+                need_host = jnp.any(resp_done) | (nw >= rd)
                 return jnp.any(live) & ~(need_host & ~jnp.any(gen_live))
 
             def seq_pass(state):
@@ -1022,9 +1034,12 @@ class StreamEngine:
                     cache = spec_decode.commit_slots(
                         cache, plans, infl_k, infl_v, m_cache, policy.junk)
                     cache = spec_decode.select_meta(cache, plans, m_cache)
+                    # EMA normalized by ACHIEVABLE tokens (budget-capped
+                    # rows cannot commit full width — see generate_spec)
                     committed = jnp.sum(out_len - out_len0)
-                    n_act = jnp.maximum(jnp.sum(decoding.astype(jnp.int32)), 1)
-                    frac = committed.astype(jnp.float32) / (Sw * n_act)
+                    achievable = jnp.maximum(jnp.sum(jnp.where(
+                        decoding, jnp.minimum(Sw, N - out_len0), 0)), 1)
+                    frac = committed.astype(jnp.float32) / achievable
                     ema = (1.0 - _SPEC_EMA_ALPHA) * ema + _SPEC_EMA_ALPHA * frac
                     return (i, cache, scores_buf, score_sum, mode, tok,
                             out_ids, out_len, counts, triggered, resp_done,
@@ -1124,7 +1139,7 @@ class StreamEngine:
                        limit, score_sum, counts, prob_threshold,
                        sum_threshold, head_mask, gen_ids, gen_len,
                        ctx_ids, ctx_len, do_generate, z_thr, z_hist, z_cnt,
-                       first_n, resume_at, spec_ema):
+                       first_n, resume_at, spec_ema, retire_defer):
             """One serving-loop iteration as ONE program (the multi-stream
             QA hot path): fused [role-prefix + frame] step with its trigger
             rule evaluated on device, the batched trigger loop, and greedy
@@ -1175,7 +1190,7 @@ class StreamEngine:
                     params, cache, frames, i1, limit, new_sum, fused_trig,
                     scores_buf, prob_threshold, sum_threshold, head_mask,
                     gen_ids, gen_len, counts, z_thr, z_hist, z_cnt, first_n,
-                    resume_at, ctx_ids, ctx_len, spec_ema)
+                    resume_at, ctx_ids, ctx_len, spec_ema, retire_defer)
 
             cache, scores_buf, i2, sum2, triggered, z_hist, z_cnt = \
                 trigger_loop_impl(
@@ -1384,10 +1399,16 @@ class StreamEngine:
                         cache, plans, infl_k, infl_v, m_cache, policy.junk)
                     cache = spec_decode.select_meta(cache, plans, m_cache)
                     # acceptance EMA + counters (speed-only state: outputs
-                    # are width-independent by the exactness contract)
+                    # are width-independent by the exactness contract).
+                    # Normalize by ACHIEVABLE tokens — a row whose budget
+                    # ends mid-chunk cannot commit full width, and counting
+                    # that as rejection under-reads acceptance (measured:
+                    # the full-acceptance ceiling read EMA 0.67 at S=8 and
+                    # kept dropping the adaptive tail out of wide passes)
                     committed = jnp.sum(out_len - out_len0)
-                    n_act = jnp.maximum(jnp.sum(rows.astype(jnp.int32)), 1)
-                    frac = committed.astype(jnp.float32) / (S * n_act)
+                    achievable = jnp.maximum(jnp.sum(jnp.where(
+                        rows, jnp.minimum(S, N - out_len0), 0)), 1)
+                    frac = committed.astype(jnp.float32) / achievable
                     ema = (1.0 - _SPEC_EMA_ALPHA) * ema + _SPEC_EMA_ALPHA * frac
                     return (carry, cache, out_ids, out_len, done, counts,
                             hist, hist_len, ema, passes + 1, acc + committed)
@@ -1637,7 +1658,7 @@ class StreamEngine:
                    score_heads: tuple[str, ...],
                    gen_prompt: list[int], *, do_generate: bool = True,
                    z_threshold=None, z_state=None, first_n_frames: int = 0,
-                   resume_at=None, ctx=None):
+                   resume_at=None, ctx=None, retire_defer: int = 1):
         """One fused serving iteration (see serve_step in _build).
         prefix_rows: per-row role-transition prefix ids ([] = plain frame).
         frames: [B, T, F, H]. Thresholds may be scalars or per-row [B]
@@ -1674,6 +1695,7 @@ class StreamEngine:
             (jnp.zeros((B,), jnp.int32) if resume_at is None
              else jnp.asarray(resume_at, jnp.int32)),
             jnp.asarray(self._spec_ema, jnp.float32),
+            jnp.asarray(max(int(retire_defer), 1), jnp.int32),
         )
         *res, spec_info = out
         # [passes, committed, ema] from this iteration's generation; the

@@ -206,6 +206,10 @@ class MultiStreamSession:
                              float(infer_cfg.stream_end_score_sum_threshold))
         self._default_z = (np.inf if infer_cfg.threshold_z is None
                            else float(infer_cfg.threshold_z))
+        # batched retirement: exit the device loop to the host only once
+        # this many rows wait (InferConfig.retire_defer; clamped to batch)
+        self.retire_defer = min(max(int(getattr(infer_cfg, "retire_defer", 1)
+                                        or 1), 1), batch)
         tok = tokenizer
         self._start_ids = tok.apply_chat_template(
             [{"role": "system", "content": infer_cfg.system_prompt}])
@@ -562,7 +566,8 @@ class MultiStreamSession:
                     tuple(a.score_heads), self._gen_prompt_ids,
                     do_generate=do_gen, z_threshold=z_thr,
                     z_state=(z_hist, z_cnt), first_n_frames=first_n,
-                    resume_at=resume_at, ctx=(ctx_ids, ctx_len))
+                    resume_at=resume_at, ctx=(ctx_ids, ctx_len),
+                    retire_defer=self.retire_defer)
                 (i_new, triggered, s_host, new_sum, out_ids, out_len,
                  last_tok) = jax.device_get(
                     (i_dev, trig_dev, scores_dev, sum_dev, out_ids,

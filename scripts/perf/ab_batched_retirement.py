@@ -1,0 +1,99 @@
+"""A/B: batched retirement in the continuous-batching server.
+
+VERDICT r3 next #8: `continuous_batching_16rag_fps` trails the lockstep
+aggregate because the serving loop exits to the host on EVERY retirement
+(slots refill immediately — one dispatch RTT per retired stream).
+`retire_defer=m` keeps the loop on device until m rows have finished,
+trading idle time on the finished slots for fewer host round-trips. This
+harness sweeps m over the bench's ragged workload (16 streams of uneven
+length over 8 slots, triggers disabled, device-resident embeds).
+
+Run ON THE CHIP (one TPU process at a time):
+    python scripts/perf/ab_batched_retirement.py [--b 8] [--tiny]
+Prints one JSON line per m with agg fps and iteration counts.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def run(params, cfg, m: int, B: int, frames_total: int) -> dict:
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from aha_tpu.config import InferConfig
+    from aha_tpu.streaming.multi import MultiStreamServer
+    from aha_tpu.tokenization import build_stream_tokenizer
+
+    tok = build_stream_tokenizer(frame_num_tokens=cfg.frame_num_tokens,
+                                 vocab_size=cfg.llm.vocab_size)
+    icfg = InferConfig(stream_end_score_sum_threshold=1e9, frame_fps=1.0,
+                       kv_cache_policy="sink", kv_window=2048,
+                       num_sink_tokens=32, max_new_tokens=8, retire_defer=m)
+    srv = MultiStreamServer(params, cfg, tok, icfg, batch=B,
+                            max_frames=frames_total)
+    srv.engine.encode_frames = lambda v: v
+    H, F = cfg.llm.hidden_size, cfg.frame_num_tokens
+    emb = jnp.asarray(
+        0.05 * np.random.default_rng(0).standard_normal((frames_total, F, H)),
+        jnp.dtype(cfg.dtype))
+    lens = np.random.default_rng(7).integers(
+        frames_total // 4, frames_total + 1, 16)
+    lens[B - 1] = lens[-1] = frames_total      # pin the compile shape
+    conv = [{"role": "user", "content": "q?", "time": 0.0}]
+    items = [(j, emb[:int(n)], conv) for j, n in enumerate(lens)]
+    total = int(lens.sum())
+
+    srv.run_items(list(items), fps=1.0)        # warmup/compile
+    best = None
+    for _ in range(3):
+        stats: dict = {}
+        t0 = time.perf_counter()
+        # instrumented pass would change the schedule; count iterations by
+        # a cheap wrapper instead
+        n_iter = [0]
+        orig = srv.engine.serve_step
+
+        def counting(*a, **k):
+            n_iter[0] += 1
+            return orig(*a, **k)
+
+        srv.engine.serve_step = counting
+        out = srv.run_items(list(items), fps=1.0)
+        srv.engine.serve_step = orig
+        dt = time.perf_counter() - t0
+        assert len(out) == 16
+        r = dict(retire_defer=m, agg_fps=round(total / dt, 2),
+                 wall_s=round(dt, 3), serve_step_calls=n_iter[0])
+        if best is None or r["agg_fps"] > best["agg_fps"]:
+            best = r
+    return best
+
+
+def main():
+    B = int(sys.argv[sys.argv.index("--b") + 1]) if "--b" in sys.argv else 8
+    preset = "tiny" if "--tiny" in sys.argv else "7b-int8"
+    frames_total = 16 if preset == "tiny" else 64
+    if preset == "tiny":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import bench
+
+    engine, cfg = bench.build(preset)
+    params = engine.params
+    del engine
+    for m in (1, 2, 4):
+        print(json.dumps(run(params, cfg, m, B, frames_total)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

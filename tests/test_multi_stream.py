@@ -655,6 +655,60 @@ def test_server_fuzz_ragged_schedule_matches_solo(model, seed):
     assert checked_responses >= 3, "schedule must exercise generation"
 
 
+def test_batched_retirement_matches_immediate(model):
+    """retire_defer > 1 (batched retirement): the device loop stays live
+    until m rows finish, but per-row outputs are pure scheduling-invariant
+    — identical responses, trigger times, and traces vs the immediate-
+    refill default (VERDICT r3 next #8)."""
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(21)
+    r = cfg.frame_resolution
+    lengths = [7, 3, 10, 5, 4]
+    videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8)
+              for n in lengths]
+    conversations = [
+        [{"role": "user", "content": "what is happening?", "time": 0}],
+        [],
+        [{"role": "user", "content": "find the dog", "time": 2.0}],
+        [{"role": "user", "content": "summarize", "time": 1.0}],
+        [],
+    ]
+    items = [(f"s{j}", videos[j], conversations[j]) for j in range(5)]
+
+    def run(m):
+        icfg = InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            stream_end_prob_threshold=0.55,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=6, retire_defer=m,
+        )
+        srv = MultiStreamServer(params, cfg, tok, icfg, batch=2,
+                                max_frames=max(lengths))
+        return srv.run_items(list(items), fps=1.0)
+
+    base = run(1)
+    for m in (2, 4):
+        got = run(m)
+        assert set(got) == set(base)
+        for k in base:
+            b_resp = [t for t in base[k]["responses"]
+                      if t["role"] == "assistant"]
+            g_resp = [t for t in got[k]["responses"]
+                      if t["role"] == "assistant"]
+            assert len(b_resp) == len(g_resp), (m, k)
+            for x, y in zip(b_resp, g_resp):
+                assert x["content"] == y["content"] and x["time"] == y["time"]
+            assert len(base[k]["debug_data"]) == len(got[k]["debug_data"])
+            for x, y in zip(base[k]["debug_data"], got[k]["debug_data"]):
+                assert x["time"] == y["time"]
+                for f in ("informative_score", "relevance_score",
+                          "uncertainty_score"):
+                    np.testing.assert_allclose(x[f], y[f],
+                                               rtol=3e-4, atol=3e-5)
+
+
 def test_instrumented_stats_path_matches_production(model):
     """The instrumented serving branch (run_items with stats=) is a second
     implementation of the trigger/score/generate iteration kept for phase
