@@ -78,21 +78,52 @@ def record_aha(checkpoint: str) -> dict:
     cfg = C.aha_7b().replace(dtype="bfloat16")
     params, cfg, tok = aha.build_model_and_tokenizer(
         cfg, tokenizer_pretrained=checkpoint, weights_path=checkpoint)
-    icfg = InferConfig(grounding_mode=True, frame_fps=1.0,
-                       kv_cache_policy="sink", kv_window=2048,
-                       num_sink_tokens=32)
-    sess = build_session(params, cfg, tok, icfg)
     frames = fixed_frames()
-    rows = sess.score_video(frames, query=CONVO[0]["content"])
+
+    def score_trace(width: int):
+        icfg = InferConfig(grounding_mode=True, frame_fps=1.0,
+                           kv_cache_policy="sink", kv_window=2048,
+                           num_sink_tokens=32, fused_score_frames=width,
+                           spec_decode_tokens=1)
+        sess = build_session(params, cfg, tok, icfg)
+        rows = sess.score_video(frames, query=CONVO[0]["content"])
+        return np.asarray(
+            [[r["informative_score"], r["relevance_score"],
+              r["uncertainty_score"]] for r in rows], np.float32)
+
+    def gen_trace(S: int, S_max: int):
+        """Generation responses with the given speculative width — the
+        spec path must reproduce the sequential loop byte-for-byte on
+        real weights (the offline exactness tests only cover random
+        tiny weights). Trigger on every frame: each response round runs
+        the drafting machinery on real-model output."""
+        icfg = InferConfig(frame_fps=1.0, kv_cache_policy="sink",
+                           kv_window=2048, num_sink_tokens=32,
+                           stream_end_prob_threshold=-1e9,
+                           max_new_tokens=48, spec_decode_tokens=S,
+                           spec_decode_tokens_max=S_max)
+        sess = build_session(params, cfg, tok, icfg)
+        sess.input_video_stream(frames)
+        sess.input_query_stream([dict(CONVO[0])])
+        turns = sess.inference()
+        return np.asarray([t["content"] for t in turns
+                           if t["role"] == "assistant"])
+
     ids = tok.apply_chat_template(
         [{"role": "system", "content": SYSTEM},
          {"role": "stream", "num_frames": N_FRAMES}])
     return {
         "frames": frames,
         "ids": np.asarray(ids, np.int32),
-        "scores": np.asarray(
-            [[r["informative_score"], r["relevance_score"], r["uncertainty_score"]]
-             for r in rows], np.float32),
+        # per-frame comparability path + the fused product width (VERDICT
+        # r3 next #3: the fixture must cover what `aha infer` actually
+        # runs, not just the legacy per-frame loop)
+        "scores": score_trace(1),
+        "scores_fused4": score_trace(4),
+        # sequential vs speculative (adaptive S=4->8) generation: real-
+        # weight acceptance rates also fall out of this recording
+        "gen_texts_seq": gen_trace(1, 1),
+        "gen_texts_spec": gen_trace(4, 8),
         "source": np.asarray("aha_tpu"),
     }
 

@@ -46,3 +46,40 @@ def test_golden_score_parity():
     # bf16 forward + different accumulation orders: per-frame scores agree
     # to ~1e-2 absolute (scores live in [0, 1] / exp(logvar))
     np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=5e-2)
+
+    # fused product width (what `aha infer` runs): same tolerance vs the
+    # recorded fused trace, and vs the per-frame recording (fusion is
+    # exact on CPU; on-chip differences are bf16 reduction-order noise)
+    if "scores_fused4" in rec:
+        icfg4 = InferConfig(grounding_mode=True, frame_fps=1.0,
+                            kv_cache_policy="sink", kv_window=2048,
+                            num_sink_tokens=32, fused_score_frames=4)
+        rows4 = build_session(params, cfg, tok, icfg4).score_video(
+            rec["frames"], query="What is happening in this video?")
+        ours4 = np.asarray(
+            [[r["informative_score"], r["relevance_score"],
+              r["uncertainty_score"]] for r in rows4], np.float32)
+        np.testing.assert_allclose(ours4, rec["scores_fused4"],
+                                   atol=2e-2, rtol=5e-2)
+        np.testing.assert_allclose(ours4, ref, atol=2e-2, rtol=5e-2)
+
+    # speculative decoding on real weights: S=4(->8 adaptive) responses
+    # must equal the recorded sequential responses EXACTLY (the drafter
+    # can only change speed; this is the real-weights version of the
+    # tests/test_spec_generate.py exactness contract)
+    if "gen_texts_seq" in rec:
+        gcfg = InferConfig(frame_fps=1.0, kv_cache_policy="sink",
+                           kv_window=2048, num_sink_tokens=32,
+                           stream_end_prob_threshold=-1e9,
+                           max_new_tokens=48, spec_decode_tokens=4,
+                           spec_decode_tokens_max=8)
+        sess_g = build_session(params, cfg, tok, gcfg)
+        sess_g.input_video_stream(rec["frames"])
+        sess_g.input_query_stream(
+            [{"role": "user", "content": "What is happening in this video?",
+              "time": 0}])
+        turns = sess_g.inference()
+        ours_texts = [t["content"] for t in turns if t["role"] == "assistant"]
+        assert ours_texts == list(rec["gen_texts_seq"]), (
+            "speculative generation diverged from the recorded sequential "
+            "responses on real weights")
