@@ -87,17 +87,21 @@ def _serve_overlap() -> bool:
 
 
 # Acceptance-adaptive speculation: a spec pass at width S commits 1..S
-# tokens per decoding row; the committed fraction feeds a batch-scalar EMA
-# (alpha below), and while the EMA exceeds the HI threshold the next pass
-# widens to spec_max (both widths live in the program behind a lax.cond).
-# 0.8 means "the S=4 chunk is committing >= 3.2 tokens/pass on average" —
-# at that rate the measured S=8 reject cost (-2%, BASELINE.md round 3)
-# is overwhelmed by its up-to-6.1x acceptance payoff; the EMA drops the
-# width back as soon as acceptance fades. Env overrides for sweeps.
+# tokens per decoding row; the committed fraction (normalized by the
+# pass's ACHIEVABLE tokens) feeds a batch-scalar EMA, and while the EMA
+# exceeds the HI threshold the next pass widens to spec_max (both widths
+# live in the program behind a lax.cond); the width drops back as soon
+# as acceptance fades. Defaults tuned on the v5e-1 7B int8 worst-case QA
+# A/B (scripts/perf/ab_spec_adaptive.py, BASELINE.md round 4): HI=0.7 +
+# alpha=0.35 enter the wide tail fast enough to capture 96% of fixed
+# S=8's full-acceptance ceiling (24.95 vs 25.92 agg fps; 0.8/0.25 left
+# 8% on the table) while a 33%-acceptance workload reads EMA ~0.62 and
+# stays safely narrow (12.42 — the best arm there too). Env overrides
+# for sweeps.
 import os as _os_mod
 
-_SPEC_EMA_ALPHA = float(_os_mod.environ.get("AHA_SPEC_EMA_ALPHA", 0.25))
-_SPEC_EMA_HI = float(_os_mod.environ.get("AHA_SPEC_EMA_HI", 0.8))
+_SPEC_EMA_ALPHA = float(_os_mod.environ.get("AHA_SPEC_EMA_ALPHA", 0.35))
+_SPEC_EMA_HI = float(_os_mod.environ.get("AHA_SPEC_EMA_HI", 0.7))
 
 
 def _apply_repetition_penalty(logits: jnp.ndarray, counts: jnp.ndarray, penalty: float | None):
