@@ -164,13 +164,35 @@ def make_train_step(cfg: AhaConfig, train_cfg: TrainConfig, tx, labels, lora_sca
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, *, keep: int = 5) -> str:
+def save_checkpoint(ckpt_dir: str, state: TrainState, *, keep: int = 5,
+                    labels: dict | None = None) -> str:
+    """With ``labels`` (the trainable-leaf partition from
+    init_train_state): save only the TRAINED leaves + optimizer state +
+    step — the frozen trunk is the base model, reproduced at resume time
+    by the same build path that produced it (cmd_train reloads the base
+    checkpoint and re-quantizes). Besides matching QLoRA resume
+    semantics, this is what makes 7B resume fit one 16 GB chip: a
+    full-tree restore must hold the live trunk AND its restored copy
+    (2 x 8.2 GiB — measured OOM on the round-4 on-chip e2e run).
+    ``labels=None`` keeps the legacy full-tree format (full fine-tunes)."""
     import orbax.checkpoint as ocp
 
     step = int(state.step)
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, {"tree": state.tree, "opt_state": state.opt_state, "step": step})
+    if os.path.isdir(path):
+        # this step is already on disk — the end-of-run save collides with
+        # the in-loop save whenever total_steps % save_steps == 0 (orbax
+        # refuses to overwrite; found by the 7B on-chip e2e run, round 4)
+        return path
+    if labels is None:
+        payload = {"tree": state.tree, "opt_state": state.opt_state,
+                   "step": step}
+    else:
+        trained = jax.tree_util.tree_map(
+            lambda x, l: x if l == "train" else None, state.tree, labels)
+        payload = {"trained": trained, "opt_state": state.opt_state,
+                   "step": step}
+    ocp.PyTreeCheckpointer().save(path, payload)
     _prune_checkpoints(ckpt_dir, keep)
     return path
 
@@ -182,13 +204,38 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
-def restore_checkpoint(path: str, state: TrainState) -> TrainState:
-    """Restore into the structure of `state` (shapes/shardings preserved)."""
+def restore_checkpoint(path: str, state: TrainState,
+                       labels: dict | None = None) -> TrainState:
+    """Restore into the structure of `state` (shapes/shardings preserved).
+
+    With ``labels``: trained-only checkpoints (see save_checkpoint) —
+    restored trained leaves are merged over the live tree, the frozen
+    trunk is kept as-is (it is the base model the caller just rebuilt),
+    so restore allocates ~1.5 GiB instead of a second full trunk. Falls
+    back to the legacy full-tree format when the checkpoint predates the
+    split."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    if labels is not None:
+        trained_t = jax.tree_util.tree_map(
+            lambda x, l: x if l == "train" else None, state.tree, labels)
+        target = {"trained": trained_t, "opt_state": state.opt_state,
+                  "step": int(state.step)}
+        try:
+            restored = ckptr.restore(path, item=target)
+        except Exception:
+            restored = None            # legacy full-tree checkpoint
+        if restored is not None:
+            it = iter(jax.tree_util.tree_leaves(restored["trained"]))
+            merged = jax.tree_util.tree_map(
+                lambda x, l: next(it) if l == "train" else x,
+                state.tree, labels)
+            return TrainState(tree=merged, opt_state=restored["opt_state"],
+                              step=jnp.int32(restored["step"]))
     target = {"tree": state.tree, "opt_state": state.opt_state, "step": int(state.step)}
-    restored = ckptr.restore(os.path.abspath(path), item=target)
+    restored = ckptr.restore(path, item=target)
     return TrainState(
         tree=restored["tree"], opt_state=restored["opt_state"],
         step=jnp.int32(restored["step"]),
@@ -294,7 +341,8 @@ def train(
         step=state.step,
     )
     if train_cfg.resume_from_checkpoint:
-        state = restore_checkpoint(train_cfg.resume_from_checkpoint, state)
+        state = restore_checkpoint(train_cfg.resume_from_checkpoint, state,
+                                   labels)
 
     step_fn = make_train_step(cfg, train_cfg, tx, labels, scale, device_mesh=m)
     logger = MetricLogger(train_cfg.output_dir, use_wandb=use_wandb)
@@ -311,8 +359,10 @@ def train(
         if step % (log_every or train_cfg.logging_steps) == 0:
             logger.log(step, jax.device_get(parts))
         if train_cfg.save_steps and step % train_cfg.save_steps == 0:
-            save_checkpoint(ckpt_dir, state, keep=train_cfg.save_total_limit)
-    save_checkpoint(ckpt_dir, state, keep=train_cfg.save_total_limit)
+            save_checkpoint(ckpt_dir, state, keep=train_cfg.save_total_limit,
+                            labels=labels)
+    save_checkpoint(ckpt_dir, state, keep=train_cfg.save_total_limit,
+                    labels=labels)
     export_adapter(os.path.join(train_cfg.output_dir, "adapter"), state, labels)
     logger.close()
     return state

@@ -151,13 +151,21 @@ def main():
     step_ms = round(float(np.median(gaps)) * 1e3, 1) if len(gaps) else -1.0
 
     ckpt_dir = out_dir / "checkpoints"
-    # explicit checkpoint round-trip timings at 7B scale
+    # explicit checkpoint round-trip timings at 7B scale. Trained-only
+    # format (labels=): a full-tree restore would hold the live 8.2 GiB
+    # trunk AND its restored copy — measured OOM on the 16 GB chip.
+    from aha_tpu.train import lora as lora_lib
+
+    labels = lora_lib.trainable_labels(
+        state.tree["model"], state.tree.get("lora"),
+        train_cfg.lora.finetune_modules)
     t0 = time.time()
-    path = save_checkpoint(str(ckpt_dir) + "_timed", state, keep=1)
+    path = save_checkpoint(str(ckpt_dir) + "_timed", state, keep=1,
+                           labels=labels)
     save_s = round(time.time() - t0, 2)
     ckpt_gib = dir_gib(path)
     t0 = time.time()
-    state2 = restore_checkpoint(path, state)
+    state2 = restore_checkpoint(path, state, labels)
     restore_s = round(time.time() - t0, 2)
     assert int(state2.step) == int(state.step)
 

@@ -412,6 +412,28 @@ def test_checkpoint_roundtrip(tiny, tmp_path):
         np.asarray(restored.tree["lora"]["q_proj"]["b"]),
         np.asarray(state.tree["lora"]["q_proj"]["b"]),
     )
+    # the end-of-run save collides with an in-loop save at the same step
+    # whenever total_steps % save_steps == 0 (orbax refuses to overwrite —
+    # found by the round-4 on-chip 7B e2e run); must be a no-op, not a raise
+    assert save_checkpoint(str(tmp_path / "ckpt"), state) == path
+
+    # trained-only format (labels=): restores trained leaves + opt + step,
+    # keeps the frozen trunk from the live tree (7B resume memory fix —
+    # a full-tree restore holds two trunks and OOMs a 16 GB chip)
+    path_t = save_checkpoint(str(tmp_path / "ckpt_t"), state, labels=labels)
+    fresh2, *_ = init_train_state(cfg, train_cfg, params, total_steps=5)
+    restored_t = restore_checkpoint(path_t, fresh2, labels)
+    assert int(restored_t.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(restored_t.tree["lora"]["q_proj"]["b"]),
+        np.asarray(state.tree["lora"]["q_proj"]["b"]))
+    # frozen leaves come from the live tree, not the checkpoint
+    q_frozen = fresh2.tree["model"]["llm"]["layers"]["q_proj"]["kernel"]
+    assert restored_t.tree["model"]["llm"]["layers"]["q_proj"]["kernel"] is q_frozen
+    # trained non-lora leaves (e.g. lm_head / projector) restored too
+    np.testing.assert_allclose(
+        np.asarray(restored_t.tree["model"]["projector"]["fc1"]["kernel"]),
+        np.asarray(state.tree["model"]["projector"]["fc1"]["kernel"]))
 
 
 def test_lora_dropout_and_target_patterns():
