@@ -46,12 +46,18 @@ def init_train_state(
     seed: int = 0,
     use_lora: bool = True,
     lora_init: dict | None = None,
+    abstract_opt: bool = False,
 ):
     """Returns (state, tx, labels, lora_scale).
 
     lora_init: start the adapters from an existing tree (fine-tune
     continuation from a published adapter — ref README continuation flow,
-    modeling_live.py:149-151) instead of fresh init."""
+    modeling_live.py:149-151) instead of fresh init.
+
+    abstract_opt: build the optimizer state as ShapeDtypeStructs instead
+    of device buffers — for resume, where restore_checkpoint fills it from
+    disk. Materializing ~4.5 GiB of AdamW moments only to overwrite them
+    is what pushed the 7B resume over a 16 GB chip (round-4 on-chip run)."""
     lora_tree = None
     scale = 0.0
     if use_lora:
@@ -65,7 +71,10 @@ def init_train_state(
         tree["lora"] = lora_tree
     labels = lora_lib.trainable_labels(params, lora_tree, train_cfg.lora.finetune_modules)
     tx = build_optimizer(train_cfg, total_steps, labels)
-    opt_state = tx.init(tree)
+    if abstract_opt:
+        opt_state = jax.eval_shape(tx.init, tree)
+    else:
+        opt_state = tx.init(tree)
     state = TrainState(tree=tree, opt_state=opt_state, step=jnp.int32(0))
     return state, tx, labels, scale
 
@@ -219,8 +228,13 @@ def restore_checkpoint(path: str, state: TrainState,
     ckptr = ocp.PyTreeCheckpointer()
     path = os.path.abspath(path)
     if labels is not None:
+        # trained leaves restore into ABSTRACT targets: their live values
+        # are discarded by the merge anyway, and a concrete template costs
+        # a second copy of every buffer during restore (the 7B OOM)
         trained_t = jax.tree_util.tree_map(
-            lambda x, l: x if l == "train" else None, state.tree, labels)
+            lambda x, l: (jax.ShapeDtypeStruct(x.shape, x.dtype)
+                          if l == "train" else None),
+            state.tree, labels)
         target = {"trained": trained_t, "opt_state": state.opt_state,
                   "step": int(state.step)}
         try:
@@ -332,6 +346,9 @@ def train(
     state, tx, labels, scale = init_train_state(
         cfg, train_cfg, params, total_steps=total_steps, seed=train_cfg.seed,
         use_lora=use_lora, lora_init=lora_init,
+        # resume fills the optimizer state from disk — don't materialize
+        # 4.5 GiB of AdamW moments only to overwrite them (7B OOM fix)
+        abstract_opt=bool(train_cfg.resume_from_checkpoint),
     )
     state = TrainState(
         tree=mesh_lib.apply_named_sharding(state.tree, m),
