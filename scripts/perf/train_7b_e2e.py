@@ -167,7 +167,13 @@ def main():
     t0 = time.time()
     state2 = restore_checkpoint(path, state, labels)
     restore_s = round(time.time() - t0, 2)
-    assert int(state2.step) == int(state.step)
+    step_now = int(state.step)
+    assert int(state2.step) == step_now
+    # free everything except the model tree before the resume run: holding
+    # state + state2 + the resume restore is 3 copies of the trained
+    # leaves AND the optimizer moments — over a 16 GB chip's budget
+    model_tree = state.tree["model"]
+    del state, state2, labels
 
     # resume: continue from the latest in-loop checkpoint; the loss curve
     # must pick up where it left off (same step ids, finite decreasing-ish
@@ -181,7 +187,7 @@ def main():
         resume_from_checkpoint=resume_from)
     # seed init from the live model tree (restore overwrites every leaf;
     # re-materializing 8 GiB of random params would be pure waste)
-    state3 = train(cfg, resume_cfg, state.tree["model"],
+    state3 = train(cfg, resume_cfg, model_tree,
                    batches(), total_steps=steps + 3)
     metrics2 = [json.loads(l) for l in
                 open(out_dir2 / "metrics.jsonl").read().splitlines()]
