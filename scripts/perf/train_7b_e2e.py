@@ -88,6 +88,8 @@ def main():
     steps = (int(sys.argv[sys.argv.index("--steps") + 1])
              if "--steps" in sys.argv else 20)
     tiny = "--tiny" in sys.argv
+    resume_work = (sys.argv[sys.argv.index("--resume_phase") + 1]
+                   if "--resume_phase" in sys.argv else None)
     if tiny:
         import jax
 
@@ -109,6 +111,34 @@ def main():
                                  vocab_size=cfg.llm.vocab_size)
     cfg = cfg.replace(v_placeholder_id=tok.v_placeholder_id,
                       eos_token_id=tok.eos_token_id)
+
+    if resume_work is not None:
+        # child process: cold resume against an existing workdir (see the
+        # parent's resume section). Rebuild the base, restore trained
+        # leaves + optimizer + step, run 3 more steps.
+        import dataclasses
+
+        work = pathlib.Path(resume_work)
+        rd = build_mixture_from_config(
+            str(work / "mixture.json"), tok,
+            system_prompt=TrainConfig().system_prompt,
+            frame_size=cfg.frame_resolution)
+        params = random_qlora_params(cfg, bits=8)
+        resume_cfg = TrainConfig(
+            output_dir=str(work / "resume_out"), learning_rate=1e-4,
+            batch_size=1, grad_accum_steps=1, seed=0, remat_policy="full",
+            save_steps=10, save_total_limit=3, logging_steps=1,
+            resume_from_checkpoint=latest_checkpoint(
+                str(work / "train_out" / "checkpoints")))
+        t0 = time.time()
+        state = train(cfg, resume_cfg, params, batch_iterator(
+            rd, tok, batch_size=1, v_placeholder_id=cfg.v_placeholder_id,
+            frame_num_tokens=cfg.frame_num_tokens, seed=0, prefetch=2,
+            num_workers=2, shard_across_hosts=False),
+            total_steps=steps + 3)
+        print(json.dumps({"resume_wall_s": round(time.time() - t0, 1),
+                          "resumed_to_step": int(state.step)}), flush=True)
+        return
 
     work = pathlib.Path(tempfile.mkdtemp(prefix="train7b_"))
     cfg_file = build_fixture(work)
@@ -169,30 +199,27 @@ def main():
     restore_s = round(time.time() - t0, 2)
     step_now = int(state.step)
     assert int(state2.step) == step_now
-    # free everything except the model tree before the resume run: holding
-    # state + state2 + the resume restore is 3 copies of the trained
-    # leaves AND the optimizer moments — over a 16 GB chip's budget
-    model_tree = state.tree["model"]
     del state, state2, labels
 
-    # resume: continue from the latest in-loop checkpoint; the loss curve
-    # must pick up where it left off (same step ids, finite decreasing-ish
-    # losses — random data bounds how monotone it can be)
-    import dataclasses
-
-    resume_from = latest_checkpoint(str(ckpt_dir))
+    # resume: continue from the latest in-loop checkpoint IN A FRESH
+    # PROCESS (the realistic cold-resume shape — and this process's device
+    # heap still holds run-1 remnants the 16 GB chip can't spare). The
+    # child rebuilds the base (random_qlora_params stands in for the base
+    # checkpoint reload) and restores trained leaves + optimizer + step.
+    child = [sys.executable, os.path.abspath(__file__),
+             "--resume_phase", str(work), "--steps", str(steps)]
+    if tiny:
+        child.append("--tiny")
+    r = subprocess.run(child, capture_output=True, text=True, timeout=3600)
+    if r.returncode != 0:
+        print(r.stdout[-2000:], file=sys.stderr)
+        print(r.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"resume phase failed rc={r.returncode}")
     out_dir2 = work / "resume_out"
-    resume_cfg = dataclasses.replace(
-        train_cfg, output_dir=str(out_dir2),
-        resume_from_checkpoint=resume_from)
-    # seed init from the live model tree (restore overwrites every leaf;
-    # re-materializing 8 GiB of random params would be pure waste)
-    state3 = train(cfg, resume_cfg, model_tree,
-                   batches(), total_steps=steps + 3)
     metrics2 = [json.loads(l) for l in
                 open(out_dir2 / "metrics.jsonl").read().splitlines()]
     resumed_steps = [m["step"] for m in metrics2]
-    assert int(state3.step) == steps + 3
+    assert max(resumed_steps) == steps + 3
     assert min(resumed_steps) > steps - train_cfg.save_steps, resumed_steps
 
     adapter_gib = dir_gib(out_dir / "adapter")
