@@ -112,6 +112,8 @@ def main():
     cfg = cfg.replace(v_placeholder_id=tok.v_placeholder_id,
                       eos_token_id=tok.eos_token_id)
 
+    phase1_work = (sys.argv[sys.argv.index("--phase1") + 1]
+                   if "--phase1" in sys.argv else None)
     if resume_work is not None:
         # child process: cold resume against an existing workdir (see the
         # parent's resume section). Rebuild the base, restore trained
@@ -140,7 +142,8 @@ def main():
                           "resumed_to_step": int(state.step)}), flush=True)
         return
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="train7b_"))
+    assert phase1_work is not None
+    work = pathlib.Path(phase1_work)
     cfg_file = build_fixture(work)
     out_dir = work / "train_out"
     train_cfg = TrainConfig(
@@ -201,45 +204,67 @@ def main():
     assert int(state2.step) == step_now
     del state, state2, labels
 
-    # resume: continue from the latest in-loop checkpoint IN A FRESH
-    # PROCESS (the realistic cold-resume shape — and this process's device
-    # heap still holds run-1 remnants the 16 GB chip can't spare). The
-    # child rebuilds the base (random_qlora_params stands in for the base
-    # checkpoint reload) and restores trained leaves + optimizer + step.
-    child = [sys.executable, os.path.abspath(__file__),
-             "--resume_phase", str(work), "--steps", str(steps)]
-    if tiny:
-        child.append("--tiny")
-    r = subprocess.run(child, capture_output=True, text=True, timeout=3600)
-    if r.returncode != 0:
-        print(r.stdout[-2000:], file=sys.stderr)
-        print(r.stderr[-4000:], file=sys.stderr)
-        raise SystemExit(f"resume phase failed rc={r.returncode}")
-    out_dir2 = work / "resume_out"
-    metrics2 = [json.loads(l) for l in
-                open(out_dir2 / "metrics.jsonl").read().splitlines()]
-    resumed_steps = [m["step"] for m in metrics2]
-    assert max(resumed_steps) == steps + 3
-    assert min(resumed_steps) > steps - train_cfg.save_steps, resumed_steps
-
     adapter_gib = dir_gib(out_dir / "adapter")
-    summary = {
+    partial = {
         "preset": "tiny" if tiny else "7b-int8-qlora",
         "steps": steps,
         "train_wall_s": round(train_wall, 1),
         "warm_step_ms": step_ms,
         "loss_first": round(losses[0], 4), "loss_last": round(losses[-1], 4),
         "losses": [round(x, 3) for x in losses],
-        "resume_losses": [round(m["train/total_loss"], 3) for m in metrics2],
         "ckpt_save_s": save_s, "ckpt_restore_s": restore_s,
         "ckpt_gib": ckpt_gib, "adapter_gib": adapter_gib,
         "peak_hbm_gib": hbm_gb(),
     }
-    print(json.dumps(summary), flush=True)
+    print(json.dumps(partial), flush=True)
     assert losses[-1] < losses[0], "loss must decrease over the run"
+
+
+def orchestrate(steps: int, tiny: bool):
+    """Run both phases as subprocesses: each phase gets a clean device
+    heap (two 7B phases sharing one 16 GB chip OOM — measured: the
+    parent's live trunk + optimizer next to the child's restore), and the
+    resume phase exercises the realistic cold-resume shape (fresh process
+    rebuilding the base, restoring trained leaves + optimizer + step)."""
+    work = pathlib.Path(tempfile.mkdtemp(prefix="train7b_"))
+
+    def run_child(flag):
+        cmd = [sys.executable, os.path.abspath(__file__), flag, str(work),
+               "--steps", str(steps)]
+        if tiny:
+            cmd.append("--tiny")
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=4800)
+        sys.stderr.write(r.stderr[-2000:])
+        if r.returncode != 0:
+            print(r.stdout[-2000:], file=sys.stderr)
+            raise SystemExit(f"{flag} failed rc={r.returncode}")
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        raise SystemExit(f"{flag}: no JSON summary line in stdout")
+
+    p1 = run_child("--phase1")
+    p2 = run_child("--resume_phase")
+    metrics2 = [json.loads(l) for l in
+                open(work / "resume_out" / "metrics.jsonl").read().splitlines()]
+    resumed_steps = [m["step"] for m in metrics2]
+    assert max(resumed_steps) == steps + 3, resumed_steps
+    assert min(resumed_steps) > steps - 10, resumed_steps
+    summary = {**p1,
+               "resume_losses": [round(m["train/total_loss"], 3)
+                                 for m in metrics2],
+               "resume_wall_s": p2.get("resume_wall_s"),
+               "resumed_to_step": p2.get("resumed_to_step")}
+    print(json.dumps(summary), flush=True)
     shutil.rmtree(work, ignore_errors=True)
     print("DONE", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase1" in sys.argv or "--resume_phase" in sys.argv:
+        main()
+    else:
+        orchestrate(
+            (int(sys.argv[sys.argv.index("--steps") + 1])
+             if "--steps" in sys.argv else 20),
+            "--tiny" in sys.argv)
