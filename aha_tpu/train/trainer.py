@@ -350,6 +350,13 @@ def train(
         # 4.5 GiB of AdamW moments only to overwrite them (7B OOM fix)
         abstract_opt=bool(train_cfg.resume_from_checkpoint),
     )
+    # drop the name: state.tree["model"] is the same object, and on resume
+    # the restore merge replaces the trained leaves — a lingering `params`
+    # binding would pin the pre-restore lm_head/projector copies (~1.25
+    # GiB at 7B) through the first step's peak. Callers that want the
+    # resume path to actually free them must not keep their own reference
+    # either (scripts/perf/train_7b_e2e.py pops from a holder list).
+    del params
     state = TrainState(
         tree=mesh_lib.apply_named_sharding(state.tree, m),
         opt_state=jax.tree_util.tree_map(

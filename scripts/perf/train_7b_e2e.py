@@ -125,7 +125,9 @@ def main():
             str(work / "mixture.json"), tok,
             system_prompt=TrainConfig().system_prompt,
             frame_size=cfg.frame_resolution)
-        params = random_qlora_params(cfg, bits=8)
+        # holder-pop so no binding in THIS frame pins the pre-restore
+        # trained leaves through the first step (see trainer.train)
+        params_holder = [random_qlora_params(cfg, bits=8)]
         resume_cfg = TrainConfig(
             output_dir=str(work / "resume_out"), learning_rate=1e-4,
             batch_size=1, grad_accum_steps=1, seed=0, remat_policy="full",
@@ -133,7 +135,7 @@ def main():
             resume_from_checkpoint=latest_checkpoint(
                 str(work / "train_out" / "checkpoints")))
         t0 = time.time()
-        state = train(cfg, resume_cfg, params, batch_iterator(
+        state = train(cfg, resume_cfg, params_holder.pop(), batch_iterator(
             rd, tok, batch_size=1, v_placeholder_id=cfg.v_placeholder_id,
             frame_num_tokens=cfg.frame_num_tokens, seed=0, prefetch=2,
             num_workers=2, shard_across_hosts=False),
