@@ -307,10 +307,6 @@ class MultiStreamSession:
         prob_thr = np.full(B, self._default_prob, np.float64)
         sum_thr = np.full(B, self._default_sum, np.float64)
         z_thr = np.full(B, self._default_z, np.float64)
-        if stats is not None and np.isfinite(self._default_z):
-            raise NotImplementedError(
-                "instrumented profiling (stats=) of threshold_z workloads "
-                "is not supported; use the production path")
         T = np.zeros(B, np.int64)
         i = np.zeros(B, np.int64)
         score_sum = np.zeros(B, np.float64)
@@ -462,11 +458,6 @@ class MultiStreamSession:
                         # equivalence: a reference process has exactly the
                         # rules it was launched with — never the server
                         # default OR'd in). Unspecified/None = disabled.
-                        if stats is not None and opts.get(
-                                "threshold_z") is not None:
-                            raise NotImplementedError(
-                                "instrumented profiling (stats=) of "
-                                "threshold_z workloads is not supported")
                         prob_thr[b] = np.inf
                         sum_thr[b] = np.inf
                         z_thr[b] = np.inf
@@ -611,6 +602,18 @@ class MultiStreamSession:
                     cache, p_rows, fe, active=jnp.asarray(can_step))
                 s_host0 = np.asarray(jax.device_get(s), np.float64)
                 heads = a.score_heads
+                # z-rule host mirror: the frame this fused step scores must
+                # still enter every row's z window (engine.z_step pushes for
+                # ALL active rows, firing or not), or the device loop below
+                # would run on a stale window. Only materialize the state
+                # when some row actually runs the rule — the fetch costs a
+                # sync this honest-attribution path can afford, but non-z
+                # workloads keep their exact previous timing.
+                use_z = bool(np.isfinite(z_thr).any())
+                if use_z:
+                    zh_np, zc_np = jax.device_get((z_hist, z_cnt))
+                    zh_np = np.array(zh_np, np.float32)
+                    zc_np = np.array(zc_np, np.int32)
                 for b in range(B):
                     if not can_step[b]:
                         continue
@@ -625,6 +628,26 @@ class MultiStreamSession:
                         score_sum[b] = 0.0
                     if ok and stream_end > prob_thr[b]:
                         fused_triggered[b] = True
+                    if use_z:
+                        # same arithmetic as engine.z_step, in f32: push the
+                        # head-masked score, then z over the last min(n, L)
+                        # entries with the 1e-6 std floor
+                        se32 = np.float32(stream_end)
+                        zh_np[b, :-1] = zh_np[b, 1:]
+                        zh_np[b, -1] = se32
+                        zc_np[b] += 1
+                        Lz = zh_np.shape[1]
+                        n = min(int(zc_np[b]), Lz)
+                        w = zh_np[b, Lz - n:]
+                        nf = np.float32(max(n, 1))
+                        mean = np.float32(w.sum(dtype=np.float32) / nf)
+                        var = np.float32(
+                            ((w - mean) ** 2).sum(dtype=np.float32) / nf)
+                        z = (se32 - mean) / max(np.float32(np.sqrt(var)),
+                                                np.float32(1e-6))
+                        if (ok and int(zc_np[b]) >= max(first_n, 2)
+                                and n >= 2 and z > z_thr[b]):
+                            fused_triggered[b] = True
                     debug[b].append(dict(
                         time=int(i[b]) / fps,
                         informative_score=float(s_host0[b, 0]),
@@ -634,6 +657,9 @@ class MultiStreamSession:
                     i[b] += 1
                     last_role[b] = "stream"
                     _count("frames_scored")
+                if use_z:
+                    z_hist = jnp.asarray(zh_np)
+                    z_cnt = jnp.asarray(zc_np)
                 # triggered rows stop here this round (their generation runs
                 # below); everyone else continues in the on-device loop
                 limit = np.where(fused_triggered, i, limit)

@@ -775,3 +775,65 @@ def test_instrumented_stats_path_matches_production(model):
     assert stats.get("tokens_generated", 0) > 0
     for phase in ("admit_s", "text_s", "score_s", "gen_s", "host_s"):
         assert stats.get(phase, 0.0) >= 0.0
+
+
+def test_instrumented_stats_path_threshold_z_matches_production(model):
+    """threshold_z through the instrumented branch: the fused first step's
+    frame must enter the z window host-side with engine.z_step's exact
+    arithmetic (window push for every active row, f32 mean/var, 1e-6 std
+    floor), or the device loop continues on a stale window and the phase
+    split attributes a different trigger sequence. Covers both the server
+    default z rule and a per-request override."""
+    from aha_tpu.streaming.multi import MultiStreamServer
+
+    params, cfg, tok = model
+    rng = np.random.default_rng(23)
+    r = cfg.frame_resolution
+    lengths = [9, 6, 8]
+    videos = [rng.integers(0, 255, (n, r, r, 3), dtype=np.uint8)
+              for n in lengths]
+    conversations = [
+        [{"role": "user", "content": "what changed?", "time": 0}],
+        [{"role": "user", "content": "watch for motion", "time": 1.0}],
+        [],
+    ]
+    items = [(f"s{j}", videos[j], conversations[j]) for j in range(3)]
+    # one stream overrides to a different z rule at request level
+    items[2] = (*items[2], {"threshold_z": 0.5})
+
+    def icfg():
+        return InferConfig(
+            frame_fps=1.0, frame_resolution=cfg.frame_resolution,
+            threshold_z=0.8, first_n_frames_no_generate=3,
+            running_list_length=5,
+            kv_cache_policy="sink", kv_window=64, num_sink_tokens=4,
+            max_new_tokens=4,
+        )
+
+    def run(stats):
+        server = MultiStreamServer(params, cfg, tok, icfg(), batch=2,
+                                   max_frames=max(lengths))
+        return server.run_items(list(items), fps=1.0, stats=stats)
+
+    prod = run(None)
+    stats = {}
+    instr = run(stats)
+
+    assert set(prod) == set(instr)
+    any_response = False
+    for k in prod:
+        p_resp = [t for t in prod[k]["responses"] if t["role"] == "assistant"]
+        i_resp = [t for t in instr[k]["responses"] if t["role"] == "assistant"]
+        assert len(p_resp) == len(i_resp), (k, p_resp, i_resp)
+        any_response |= bool(p_resp)
+        for x, y in zip(p_resp, i_resp):
+            assert x["content"] == y["content"], (k, x, y)
+            assert x["time"] == y["time"], (k, x, y)
+        assert len(prod[k]["debug_data"]) == len(instr[k]["debug_data"]), k
+        for x, y in zip(prod[k]["debug_data"], instr[k]["debug_data"]):
+            assert x["time"] == y["time"]
+            for f in ("informative_score", "relevance_score",
+                      "uncertainty_score"):
+                np.testing.assert_allclose(x[f], y[f], rtol=3e-4, atol=3e-5)
+    assert any_response, "fixture must exercise a z trigger"
+    assert stats["iterations"] > 0 and stats["frames_scored"] == sum(lengths)
