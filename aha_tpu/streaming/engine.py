@@ -39,6 +39,32 @@ from aha_tpu.ops.kv_cache import (CachePolicy, KVCache, init_cache,
 ID_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
+def z_step_host(zh: np.ndarray, zc: np.ndarray, b: int, score,
+                z_thr, first_n) -> bool:
+    """Numpy mirror of the traced ``z_step`` for host-checked fused steps
+    (the multi-stream instrumented branch, the solo chunked loop's prefix
+    frames): push ``score`` into row ``b``'s window IN PLACE and return
+    whether the z rule fires. Same arithmetic as the device rule — f32
+    window, mean/var over the last min(count, L) entries, 1e-6 std floor,
+    fire once max(first_n, 2) frames have been pushed and the window
+    holds >= 2. The push happens unconditionally (z_thr=inf only disables
+    firing, never the window update); callers AND the result with their
+    own eligibility gate."""
+    se32 = np.float32(score)
+    zh[b, :-1] = zh[b, 1:]
+    zh[b, -1] = se32
+    zc[b] += 1
+    L = zh.shape[1]
+    n = min(int(zc[b]), L)
+    w = zh[b, L - n:]
+    nf = np.float32(max(n, 1))
+    mean = np.float32(w.sum(dtype=np.float32) / nf)
+    var = np.float32(((w - mean) ** 2).sum(dtype=np.float32) / nf)
+    z = (se32 - mean) / max(np.float32(np.sqrt(var)), np.float32(1e-6))
+    return (int(zc[b]) >= max(int(first_n), 2) and n >= 2
+            and float(z) > float(z_thr))
+
+
 def _bucket(n: int, buckets=ID_BUCKETS) -> int:
     i = bisect_left(buckets, n)
     if i == len(buckets):

@@ -41,7 +41,7 @@ import numpy as np
 
 from aha_tpu.config import AhaConfig, InferConfig
 from aha_tpu.ops.kv_cache import CachePolicy
-from aha_tpu.streaming.engine import StreamEngine
+from aha_tpu.streaming.engine import StreamEngine, z_step_host
 from aha_tpu.tokenization import StreamTokenizer
 
 
@@ -629,24 +629,9 @@ class MultiStreamSession:
                     if ok and stream_end > prob_thr[b]:
                         fused_triggered[b] = True
                     if use_z:
-                        # same arithmetic as engine.z_step, in f32: push the
-                        # head-masked score, then z over the last min(n, L)
-                        # entries with the 1e-6 std floor
-                        se32 = np.float32(stream_end)
-                        zh_np[b, :-1] = zh_np[b, 1:]
-                        zh_np[b, -1] = se32
-                        zc_np[b] += 1
-                        Lz = zh_np.shape[1]
-                        n = min(int(zc_np[b]), Lz)
-                        w = zh_np[b, Lz - n:]
-                        nf = np.float32(max(n, 1))
-                        mean = np.float32(w.sum(dtype=np.float32) / nf)
-                        var = np.float32(
-                            ((w - mean) ** 2).sum(dtype=np.float32) / nf)
-                        z = (se32 - mean) / max(np.float32(np.sqrt(var)),
-                                                np.float32(1e-6))
-                        if (ok and int(zc_np[b]) >= max(first_n, 2)
-                                and n >= 2 and z > z_thr[b]):
+                        fire = z_step_host(zh_np, zc_np, b, stream_end,
+                                           z_thr[b], first_n)
+                        if ok and fire:
                             fused_triggered[b] = True
                     debug[b].append(dict(
                         time=int(i[b]) / fps,

@@ -93,6 +93,8 @@ class StreamSession:
         self.init_vision_time = False
         self.num_frames_no_reply = 0
         self.stream_end_prob_list: list[float] = []
+        # device-side z window for the chunked loop (lazy; engine batch=1)
+        self._z_state = None
         self.stream_end_score_sum = 0.0
         self.last_response_frame: int | None = None
         self.consecutive_n_frames = 0
@@ -290,11 +292,14 @@ class StreamSession:
         land in ``self.debug_data_list``.
 
         chunked=True (default) evaluates the trigger ON DEVICE and scores
-        whole runs of frames per dispatch (`engine.score_until_trigger`) —
-        identical outputs to the stepwise loop, one host round-trip per
-        response instead of per frame. The z-score rule needs the host-side
-        running-list statistics, so threshold_z always runs stepwise."""
-        if chunked and self.threshold_z is None:
+        whole runs of frames per dispatch — identical outputs to the
+        stepwise loop, one host round-trip per response instead of per
+        frame. Prob/sum rules run through `engine.score_until_trigger`;
+        threshold_z routes through the B=1 batched loop
+        (`engine.score_until_trigger_multi`), whose z_step keeps the
+        running-list window on device. chunked=False remains the
+        per-frame comparability path."""
+        if chunked:
             return self._inference_chunked()
         return self._inference_stepwise()
 
@@ -331,6 +336,33 @@ class StreamSession:
         if self.last_role == "assistant" and not self.remove_assistant_turns:
             return self._pending_last_ids + self._added_stream_prompt_ids
         return []
+
+    def _z_dev(self):
+        """Device z window for the chunked loop (lazy): ([1, L] hist,
+        [1] count), L = the session's running-list length — the same
+        state the multi-stream server threads through its trigger
+        programs."""
+        if self._z_state is None:
+            self._z_state = self.engine.new_z_state(
+                window=max(int(self.running_list_length or 20), 2))
+        return self._z_state
+
+    def _pad_chunk(self, embeds):
+        """Pad a [T, F, H] chunk to a frame bucket (fused-aligned) so
+        chunks of different lengths share one compiled multi-loop
+        program (mirror of engine.score_until_trigger's bucketing)."""
+        from aha_tpu.streaming.engine import _bucket
+
+        T = embeds.shape[0]
+        Tp = _bucket(max(T, 1),
+                     (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096))
+        ff = getattr(self.engine, "fused_frames", 1)
+        if ff > 1 and Tp % ff:
+            Tp += ff - Tp % ff
+        if Tp > T:
+            pad = jnp.zeros((Tp - T, *embeds.shape[1:]), embeds.dtype)
+            embeds = jnp.concatenate([embeds, pad], axis=0)
+        return embeds
 
     def _inference_chunked(self) -> list[dict]:
         import jax.numpy as jnp
@@ -391,7 +423,23 @@ class StreamSession:
                             and stream_end > self.stream_end_prob_threshold
                             and eligible):
                         triggered = True
-                else:
+                    if self.threshold_z is not None:
+                        # keep the device z window current for this
+                        # host-checked frame (engine.z_step_host — the
+                        # push happens whether or not the rule fires)
+                        from aha_tpu.streaming.engine import z_step_host
+
+                        zh, zc = self._z_dev()
+                        zh_np = np.array(jax.device_get(zh), np.float32)
+                        zc_np = np.array(jax.device_get(zc), np.int32)
+                        fire = z_step_host(
+                            zh_np, zc_np, 0, stream_end, self.threshold_z,
+                            int(self.first_n_frames_no_generate or 0))
+                        if eligible and fire:
+                            triggered = True
+                        self._z_state = (jnp.asarray(zh_np),
+                                         jnp.asarray(zc_np))
+                elif self.threshold_z is None:
                     resume_local = 0
                     if (self.response_min_interval_frames is not None
                             and self.last_response_frame is not None):
@@ -411,6 +459,41 @@ class StreamSession:
                     triggered = bool(triggered)
                     s_host = np.asarray(jax.device_get(scores[:n]), np.float64)
                     self.stream_end_score_sum = float(new_sum)
+                else:
+                    # z-rule run: the B=1 batched trigger loop keeps the
+                    # running-list window on device (engine.z_step — the
+                    # same program the multi-stream server runs), so solo
+                    # threshold_z sessions score at fused chunk speed
+                    # instead of one sync per frame. start=k scores the
+                    # remainder of the chunk in place; scores come back at
+                    # absolute chunk positions.
+                    resume_abs = 0
+                    if (self.response_min_interval_frames is not None
+                            and self.last_response_frame is not None):
+                        resume_abs = (k + self.last_response_frame
+                                      + self.response_min_interval_frames
+                                      - self.frame_idx)
+                    emb_p = self._pad_chunk(embeds)
+                    (self.cache, scores, i_next, new_sum, trig,
+                     zh, zc) = self.engine.score_until_trigger_multi(
+                        self.cache, emb_p[None], [k], [len(chunk)],
+                        [self.stream_end_score_sum],
+                        self.stream_end_prob_threshold,
+                        self.stream_end_score_sum_threshold,
+                        tuple(self.score_heads),
+                        z_threshold=[self.threshold_z],
+                        z_state=self._z_dev(),
+                        first_n_frames=max(
+                            int(self.first_n_frames_no_generate or 0), 0),
+                        resume_at=[max(int(resume_abs), 0)],
+                    )
+                    self._z_state = (zh, zc)
+                    i_host, trig_h, s_all, sum_h = jax.device_get(
+                        (i_next, trig, scores, new_sum))
+                    n = int(np.asarray(i_host)[0]) - k
+                    triggered = bool(np.asarray(trig_h)[0])
+                    s_host = np.asarray(s_all, np.float64)[0, k:k + n]
+                    self.stream_end_score_sum = float(np.asarray(sum_h)[0])
                 self.last_role = "stream"
                 self.frame_idx += n
                 self.num_frames_no_reply += n

@@ -296,6 +296,43 @@ def test_chunked_inference_sum_threshold(tiny_model):
         [d["relevance_score"] for d in b.debug_data_list], rtol=2e-4, atol=2e-5)
 
 
+def test_chunked_inference_threshold_z_matches_stepwise(tiny_model):
+    """threshold_z now runs on device in the chunked loop (the B=1
+    batched trigger program + engine.z_step_host for prefix frames); it
+    must reproduce the stepwise host rule exactly — same trigger frames,
+    same responses, same score traces — including across the response
+    boundary where the window spans a host-checked prefix frame."""
+    params, cfg, tokenizer = tiny_model
+    frames = frames_for(cfg, 12, seed=13)
+    kw = dict(stream_end_prob_threshold=None,
+              stream_end_score_sum_threshold=None,
+              threshold_z=0.8, first_n_frames_no_generate=3,
+              running_list_length=5, max_new_tokens=4)
+    q = [{"role": "user", "content": "q", "time": 0}]
+
+    a = make_session(tiny_model, **kw)
+    a.input_video_stream(frames)
+    a.input_query_stream(list(q))
+    ra = a.inference(chunked=False)
+
+    b = make_session(tiny_model, **kw)
+    b.input_video_stream(frames)
+    b.input_query_stream(list(q))
+    rb = b.inference(chunked=True)
+
+    assert len(a.debug_data_list) == len(b.debug_data_list) == 12
+    for x, y in zip(a.debug_data_list, b.debug_data_list):
+        assert x["time"] == y["time"]
+        for k in ("informative_score", "relevance_score",
+                  "uncertainty_score"):
+            np.testing.assert_allclose(x[k], y[k], rtol=2e-4, atol=2e-5)
+    assert [(r["role"], r["time"]) for r in ra] == \
+        [(r["role"], r["time"]) for r in rb]
+    assert [r["content"] for r in ra] == [r["content"] for r in rb]
+    assert any(r["role"] == "assistant" for r in ra), \
+        "fixture must exercise a z trigger"
+
+
 def test_threshold_z_decision_rule():
     """The z-score stopping rule (InferConfig.threshold_z): fires when the
     current stream-end score exceeds mean + z*std of the running list, only
