@@ -398,6 +398,17 @@ class InferConfig:
             )
         if self.threshold_z is not None and self.first_n_frames_no_generate is None:
             raise ValueError("first_n_frames_no_generate required with threshold_z")
+        if self.threshold_z is not None and not (
+                isinstance(self.running_list_length, int)
+                and self.running_list_length >= 2):
+            # one window semantics for every path: the stepwise host rule,
+            # the solo chunked device loop and the multi-stream server all
+            # keep a bounded running-list window of this length. None/0
+            # (= unbounded history) would silently diverge between the
+            # stepwise and on-device implementations.
+            raise ValueError(
+                "threshold_z requires running_list_length >= 2 (a bounded "
+                f"z-score window), got {self.running_list_length!r}")
         if self.kv_cache_policy not in ("sink", "sliding", "static", "none"):
             raise ValueError(f"unknown kv_cache_policy {self.kv_cache_policy}")
         if self.kv_mask_mode not in ("hf", "strict"):

@@ -273,14 +273,25 @@ class StreamSession:
         loop never evaluates it — this implements the rule those knobs
         describe: fire when the current score is more than threshold_z
         standard deviations above the running-list mean, once
-        first_n_frames_no_generate frames have been scored."""
+        first_n_frames_no_generate frames have been scored.
+
+        The window statistics are computed in FLOAT32, matching the device
+        rule (`engine.z_step`) and its numpy mirror (`engine.z_step_host`)
+        term-for-term: f32 scores, mean/var over the truncated window, 1e-6
+        std floor. All three implementations therefore agree bit-for-bit up
+        to XLA's f32 reduction order — near-threshold decisions carry an f32
+        tolerance, not an f64 one (parity:
+        tests/test_streaming.py::test_chunked_inference_threshold_z_matches_stepwise)."""
         hist = self.stream_end_prob_list  # includes the current score
         if self.frame_idx < max(self.first_n_frames_no_generate, 2) or len(hist) < 2:
             return False
-        mean = sum(hist) / len(hist)
-        var = sum((x - mean) ** 2 for x in hist) / len(hist)
-        z = (stream_end_score - mean) / max(var ** 0.5, 1e-6)
-        return z > self.threshold_z
+        w = np.asarray(hist, np.float32)
+        nf = np.float32(len(w))
+        mean = np.float32(w.sum(dtype=np.float32) / nf)
+        var = np.float32(((w - mean) ** 2).sum(dtype=np.float32) / nf)
+        z = (np.float32(stream_end_score) - mean) / max(
+            np.float32(np.sqrt(var)), np.float32(1e-6))
+        return float(z) > float(self.threshold_z)
 
     # ------------------------------------------------------------------
     # Main loops

@@ -56,9 +56,17 @@ def run(params, cfg, arm: str, chunked: bool, z_thr: float, T: int) -> dict:
         0.05 * np.random.default_rng(0).standard_normal((T, F, H)),
         jnp.dtype(cfg.dtype))
 
+    # ONE session per arm: jitted engine functions are per-instance, so a
+    # fresh build_session inside the timed loop would pay full retrace +
+    # XLA compile every repetition (there is no persistent compilation
+    # cache on this path) and the reported fps would measure the compiler,
+    # not scoring. reset() + re-push per rep instead — the pattern
+    # ab_fused_trigger.py uses; only the warmup call compiles.
+    sess = build_session(params, cfg, tok, icfg)
+    sess.engine.encode_frames = lambda v: v       # pre-encoded embeds
+
     def go():
-        sess = build_session(params, cfg, tok, icfg)
-        sess.engine.encode_frames = lambda v: v   # pre-encoded embeds
+        sess.reset()
         sess.input_video_stream(emb)
         sess.input_query_stream(
             [{"role": "user", "content": "watch the stream", "time": 0.0}])
