@@ -401,6 +401,17 @@ class MultiStreamSession:
                     if on_result is not None:
                         on_result(key[b], results[key[b]])
 
+        # per-response latency: serving-iteration start (post-admission) ->
+        # response text decoded on the host. The trigger fires ON DEVICE
+        # mid-program and nothing is host-observable before the dispatch
+        # returns, so this is the honest user-facing trigger->text quantity
+        # (an upper bound on "time since the triggering frame": it includes
+        # the pre-trigger frames the same dispatch scored). retire_defer>1
+        # lengthens iterations — its throughput gain is priced in exactly
+        # here (scripts/perf/ab_batched_retirement.py's latency column).
+        resp_lat: list[float] = []
+        self.last_response_latency_s = resp_lat
+
         while True:
             _count("iterations")
             _t0 = _time.perf_counter() if stats is not None else 0.0
@@ -489,6 +500,7 @@ class MultiStreamSession:
                     break
                 _time.sleep(0.005)   # idle poll: feeder momentarily empty
                 continue
+            iter_t0 = _time.perf_counter()   # response-latency anchor
 
             _t0 = _time.perf_counter() if stats is not None else 0.0
             # 1. queries due now (per-row ragged chunk; [] rows are no-ops)
@@ -587,6 +599,8 @@ class MultiStreamSession:
                         out_ids, out_len, last_tok = jax.device_get(
                             (out_ids, out_len, last_tok))
                     absorb_responses(triggered, out_ids, out_len, last_tok)
+                    lat = _time.perf_counter() - iter_t0
+                    resp_lat.extend([lat] * int(triggered.sum()))
                 retire()
                 continue
 
@@ -696,11 +710,34 @@ class MultiStreamSession:
                 _count("tokens_generated", int(out_len[triggered].sum()))
                 _tick("gen_s", _t0)
                 absorb_responses(triggered, out_ids, out_len, last_tok)
+                lat = _time.perf_counter() - iter_t0
+                resp_lat.extend([lat] * int(triggered.sum()))
 
             # 5. retire finished streams (slot frees for the next admit)
             retire()
 
+        if stats is not None and resp_lat:
+            ls = self.latency_stats()
+            stats["response_lat_p50_ms"] = ls["p50_ms"]
+            stats["response_lat_p99_ms"] = ls["p99_ms"]
+            stats["n_responses"] = ls["n_responses"]
         return results
+
+    def latency_stats(self) -> dict:
+        """Per-response trigger->text-on-host latency of the LAST
+        run/run_items call: p50/p99/mean ms over all responses (see the
+        resp_lat comment in run_items for the exact definition). Empty
+        run or no responses -> {"n_responses": 0}."""
+        lat = np.asarray(getattr(self, "last_response_latency_s", ()) or (),
+                         np.float64)
+        if lat.size == 0:
+            return {"n_responses": 0}
+        return {
+            "n_responses": int(lat.size),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+            "mean_ms": round(float(lat.mean()) * 1e3, 2),
+        }
 
 
 class MultiStreamServer(MultiStreamSession):

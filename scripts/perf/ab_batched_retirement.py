@@ -35,9 +35,16 @@ def run(params, cfg, m: int, B: int, frames_total: int) -> dict:
 
     tok = build_stream_tokenizer(frame_num_tokens=cfg.frame_num_tokens,
                                  vocab_size=cfg.llm.vocab_size)
-    icfg = InferConfig(stream_end_score_sum_threshold=1e9, frame_fps=1.0,
-                       kv_cache_policy="sink", kv_window=2048,
-                       num_sink_tokens=32, max_new_tokens=8, retire_defer=m)
+    # 0.55 fires on nearly every frame with random bench weights — the
+    # latency column needs responses in flight to price retire_defer's
+    # per-response cost (the r4 sweep ran triggers-disabled and could
+    # only see the throughput side)
+    fire = "--fire" in sys.argv
+    icfg = InferConfig(
+        stream_end_prob_threshold=0.55 if fire else None,
+        stream_end_score_sum_threshold=None if fire else 1e9,
+        frame_fps=1.0, kv_cache_policy="sink", kv_window=2048,
+        num_sink_tokens=32, max_new_tokens=8, retire_defer=m)
     srv = MultiStreamServer(params, cfg, tok, icfg, batch=B,
                             max_frames=frames_total)
     srv.engine.encode_frames = lambda v: v
@@ -71,8 +78,12 @@ def run(params, cfg, m: int, B: int, frames_total: int) -> dict:
         srv.engine.serve_step = orig
         dt = time.perf_counter() - t0
         assert len(out) == 16
+        lat = srv.latency_stats()   # per-response trigger->text (multi.py)
         r = dict(retire_defer=m, agg_fps=round(total / dt, 2),
-                 wall_s=round(dt, 3), serve_step_calls=n_iter[0])
+                 wall_s=round(dt, 3), serve_step_calls=n_iter[0],
+                 resp_lat_p50_ms=lat.get("p50_ms"),
+                 resp_lat_p99_ms=lat.get("p99_ms"),
+                 n_responses=lat.get("n_responses", 0))
         if best is None or r["agg_fps"] > best["agg_fps"]:
             best = r
     return best
