@@ -39,6 +39,30 @@ def _resolve_params_file(path: str) -> str:
     return path
 
 
+def _adopt_checkpoint_config(cfg, weights_path):
+    """Adopt structural fields from a checkpoint dir's config.json
+    (REAL_WEIGHTS runbook §1 requires the file). vocab_size MUST follow
+    the checkpoint's embed table: id-indexed buffers (repetition counts,
+    lm_head argmax) are sized by cfg.llm.vocab_size and jax clips
+    out-of-range indices silently instead of erroring."""
+    import dataclasses
+    import json
+
+    if not weights_path or not os.path.isdir(weights_path):
+        return cfg
+    cj = os.path.join(weights_path, "config.json")
+    if not os.path.exists(cj):
+        return cfg
+    with open(cj) as f:
+        hf = json.load(f)
+    v = hf.get("vocab_size")
+    if v and int(v) != cfg.llm.vocab_size:
+        print(f"[aha] adopting vocab_size={v} from {cj} "
+              f"(preset had {cfg.llm.vocab_size})", file=sys.stderr)
+        cfg = cfg.replace(llm=dataclasses.replace(cfg.llm, vocab_size=int(v)))
+    return cfg
+
+
 def _build_session(args):
     import jax.numpy as jnp
 
@@ -48,12 +72,34 @@ def _build_session(args):
     from aha_tpu.streaming.session import build_session
 
     cfg = aha_tiny() if args.model_preset == "tiny" else aha_7b()
-    params, cfg, tokenizer = aha.build_model_and_tokenizer(
-        cfg,
-        tokenizer_pretrained=args.tokenizer_pretrained,
-        weights_path=args.llm_pretrained,
-        dtype=jnp.dtype(cfg.dtype),
-    )
+    cfg = _adopt_checkpoint_config(cfg, args.llm_pretrained)
+    synthetic = bool(getattr(args, "synthetic_weights", False))
+    if synthetic:
+        # on-chip product rehearsal without a checkpoint: seeded leaf-wise
+        # materialization in the FINAL dtype (a full-precision 7B cannot
+        # fit one 16 GB chip even transiently, so quantize-after-init is
+        # not an option). Same leaves as bench._random_params — scores are
+        # meaningless, throughput/latency/memory are the real article.
+        from aha_tpu.models.loader import materialize_random_params
+        from aha_tpu.tokenization import build_stream_tokenizer
+
+        mode = ("int4" if getattr(args, "int4", False) else
+                "int8" if (args.int8 or getattr(args, "w8a8", False))
+                else None)
+        tokenizer = build_stream_tokenizer(
+            args.tokenizer_pretrained,
+            frame_num_tokens=cfg.frame_num_tokens,
+            vocab_size=cfg.llm.vocab_size)
+        cfg = cfg.replace(v_placeholder_id=tokenizer.v_placeholder_id,
+                          eos_token_id=tokenizer.eos_token_id)
+        params = materialize_random_params(cfg, mode)
+    else:
+        params, cfg, tokenizer = aha.build_model_and_tokenizer(
+            cfg,
+            tokenizer_pretrained=args.tokenizer_pretrained,
+            weights_path=args.llm_pretrained,
+            dtype=jnp.dtype(cfg.dtype),
+        )
     lora, lora_scale = None, 0.0
     if getattr(args, "lora_pretrained", None):
         # published adapter-only artifact (ref modeling_live.py:149-163):
@@ -85,7 +131,9 @@ def _build_session(args):
                 and getattr(args, "batch", 1) == 1):
             args.fused_score_frames = 8
         quant._FORCE_BACKEND = "w8a8"
-    if getattr(args, "int4", False):
+    if synthetic:
+        pass   # materialized directly in the final (quantized) form above
+    elif getattr(args, "int4", False):
         # packed int4 (group-wise, fused Pallas unpack-matmul): the
         # HBM-constrained option — 4.2 GB of 7B weights; int8 is the
         # throughput recipe (BASELINE.md)
@@ -139,6 +187,11 @@ def _add_infer_flags(p: argparse.ArgumentParser):
     p.add_argument("--int4", action="store_true",
                    help="packed int4 weights (fused Pallas kernel; smallest "
                         "HBM footprint, slower than --int8)")
+    p.add_argument("--synthetic_weights", action="store_true",
+                   help="seeded random params materialized leaf-wise on "
+                        "device in the final (quantized) dtype — on-chip "
+                        "product rehearsal without a checkpoint (scores "
+                        "meaningless; throughput/latency/HBM real)")
     p.add_argument("--vision_int8", action="store_true",
                    help="also quantize the SigLIP tower (default dense). "
                         "Pays under AHA_QUANT_MATMUL=w8a8: the tower is "
@@ -680,6 +733,7 @@ def cmd_train(argv):
     args = p.parse_args(argv)
 
     cfg = aha_tiny() if args.model_preset == "tiny" else aha_7b()
+    cfg = _adopt_checkpoint_config(cfg, args.llm_pretrained)
     params, cfg, tokenizer = aha.build_model_and_tokenizer(
         cfg, tokenizer_pretrained=args.tokenizer_pretrained,
         weights_path=args.llm_pretrained,
@@ -879,6 +933,9 @@ def cmd_serve(argv):
     p.add_argument("--lora_pretrained", default=None)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int4", action="store_true")
+    p.add_argument("--synthetic_weights", action="store_true",
+                   help="seeded random device-materialized params "
+                        "(on-chip rehearsal; see aha infer)")
     p.add_argument("--vision_int8", action="store_true",
                    help="quantize the SigLIP tower too (see aha infer)")
     p.add_argument("--w8a8", action="store_true",

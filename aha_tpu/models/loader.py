@@ -337,6 +337,88 @@ def apply_overrides(params: dict, overrides: dict) -> dict:
     return out
 
 
+def export_hf_state_dict(params: dict, cfg: AhaConfig,
+                         vis_prefix: str =
+                         "model.vision_tower.vision_tower.vision_model.",
+                         ) -> dict:
+    """AhaParams -> HF/reference-style numpy state dict (the exact inverse
+    of convert_qwen2/convert_siglip/convert_projector_heads): [in, out]
+    kernels transpose back to torch [out, in], scan-stacked layers unstack
+    to per-layer keys. Used to (a) export trained models back to the
+    reference ecosystem and (b) synthesize format-faithful checkpoints for
+    the REAL_WEIGHTS runbook rehearsal (scripts/make_synthetic_hf_checkpoint
+    .py). vis_prefix defaults to the real llava-onevision nesting
+    (ref `models/modeling_live.py:96-140` wraps the tower twice)."""
+    sd: dict = {}
+    llm = params["llm"]
+    L = cfg.llm.num_layers
+    A = np.asarray
+    sd["model.embed_tokens.weight"] = A(llm["embed"]["weight"])
+    sd["model.norm.weight"] = A(llm["final_norm"]["scale"])
+    if "lm_head" in llm:
+        sd["lm_head.weight"] = A(llm["lm_head"]["kernel"]).T
+    lyr = llm["layers"]
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = A(lyr["input_norm"]["scale"][i])
+        sd[p + "post_attention_layernorm.weight"] = A(lyr["post_norm"]["scale"][i])
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[p + f"self_attn.{proj}.weight"] = A(lyr[proj]["kernel"][i]).T
+            if "bias" in lyr[proj]:
+                sd[p + f"self_attn.{proj}.bias"] = A(lyr[proj]["bias"][i])
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            sd[p + f"mlp.{proj}.weight"] = A(lyr[proj]["kernel"][i]).T
+    vis = params["vision"]
+    vp = vis_prefix
+    sd[vp + "embeddings.patch_embedding.weight"] = A(
+        vis["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in vis["patch_embed"]:
+        sd[vp + "embeddings.patch_embedding.bias"] = A(vis["patch_embed"]["bias"])
+    sd[vp + "embeddings.position_embedding.weight"] = A(vis["pos_embed"])
+    if "post_ln" in vis:
+        sd[vp + "post_layernorm.weight"] = A(vis["post_ln"]["scale"])
+        sd[vp + "post_layernorm.bias"] = A(vis["post_ln"]["bias"])
+    vmap = {"ln1": "layer_norm1", "ln2": "layer_norm2",
+            "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+            "v_proj": "self_attn.v_proj", "out_proj": "self_attn.out_proj",
+            "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    vl = vis["layers"]
+    for i in range(cfg.vision.num_layers):
+        for ours, theirs in vmap.items():
+            p = vp + f"encoder.layers.{i}.{theirs}."
+            if "kernel" in vl[ours]:
+                sd[p + "weight"] = A(vl[ours]["kernel"][i]).T
+            else:
+                sd[p + "weight"] = A(vl[ours]["scale"][i])
+            sd[p + "bias"] = A(vl[ours]["bias"][i])
+    if "head" in vis:
+        h = vis["head"]
+        hp = vp + "head."
+        sd[hp + "probe"] = A(h["probe"]).reshape(1, 1, -1)
+        sd[hp + "attention.in_proj_weight"] = np.concatenate(
+            [A(h["q_proj"]["kernel"]).T, A(h["k_proj"]["kernel"]).T,
+             A(h["v_proj"]["kernel"]).T], axis=0)
+        sd[hp + "attention.in_proj_bias"] = np.concatenate(
+            [A(h["q_proj"]["bias"]), A(h["k_proj"]["bias"]),
+             A(h["v_proj"]["bias"])], axis=0)
+        sd[hp + "attention.out_proj.weight"] = A(h["out_proj"]["kernel"]).T
+        sd[hp + "attention.out_proj.bias"] = A(h["out_proj"]["bias"])
+        sd[hp + "layernorm.weight"] = A(h["ln"]["scale"])
+        sd[hp + "layernorm.bias"] = A(h["ln"]["bias"])
+        sd[hp + "mlp.fc1.weight"] = A(h["fc1"]["kernel"]).T
+        sd[hp + "mlp.fc1.bias"] = A(h["fc1"]["bias"])
+        sd[hp + "mlp.fc2.weight"] = A(h["fc2"]["kernel"]).T
+        sd[hp + "mlp.fc2.bias"] = A(h["fc2"]["bias"])
+    proj = params["projector"]
+    sd["model.mm_projector.0.weight"] = A(proj["fc1"]["kernel"]).T
+    sd["model.mm_projector.0.bias"] = A(proj["fc1"]["bias"])
+    sd["model.mm_projector.2.weight"] = A(proj["fc2"]["kernel"]).T
+    sd["model.mm_projector.2.bias"] = A(proj["fc2"]["bias"])
+    for name in ("informative", "relevance", "uncertainty"):
+        sd[f"{name}_head.weight"] = A(params["heads"][name]["kernel"]).T
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # File loading
 # ---------------------------------------------------------------------------
@@ -386,6 +468,64 @@ def load_params(path: str, cfg: AhaConfig, dtype=jnp.float32) -> dict:
 # ---------------------------------------------------------------------------
 # Orbax round-trip for converted trees
 # ---------------------------------------------------------------------------
+
+
+def materialize_random_params(cfg: AhaConfig, mode: str | None = None,
+                              keep_dense: tuple[str, ...] = ()) -> dict:
+    """Materialize a synthetic param tree leaf-by-leaf DIRECTLY on device
+    in its final (optionally quantized) dtype — the only way to stand up a
+    7B on a 16 GB chip without real weights (a full-precision tree would
+    not fit, and single-core CPU init + transfer takes minutes). Values
+    are seeded per-leaf (deterministic across runs/processes — the chip7b
+    golden fixture depends on this). mode: None (model dtype) | "int8" |
+    "int4". keep_dense: top-level subtrees excluded from quantization
+    (e.g. ("projector", "lm_head") for the QLoRA trunk layout).
+
+    Used by bench.py, the perf harnesses, and `aha infer/serve
+    --synthetic_weights` (the on-chip product-rehearsal path — ref has no
+    analog; its benchmarks always load the published checkpoint)."""
+    import jax
+
+    from aha_tpu.models.aha import init_aha_params
+    from aha_tpu.ops import quant
+
+    struct = jax.eval_shape(lambda: init_aha_params(cfg, jax.random.PRNGKey(0)))
+    if mode == "int8":
+        struct = jax.eval_shape(
+            lambda p: quant.quantize_params(p, keep_dense=keep_dense), struct)
+    elif mode == "int4":
+        struct = jax.eval_shape(
+            lambda p: quant.quantize_params(p, bits=4, keep_dense=keep_dense),
+            struct)
+    counter = [0]
+
+    def materialize(path, leaf):
+        counter[0] += 1
+        key = jax.random.PRNGKey(counter[0])
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if leaf.dtype == jnp.uint8:  # packed int4 nibbles
+            make = jax.jit(lambda k: jax.random.randint(
+                k, leaf.shape, 0, 256, jnp.int32).astype(jnp.uint8))
+            return make(key)
+        if name.endswith("/scale4"):
+            return jnp.full(leaf.shape, 0.02 / 7.0, leaf.dtype)
+        if leaf.dtype == jnp.int8:
+            make = jax.jit(lambda k: jax.random.randint(
+                k, leaf.shape, -127, 128, jnp.int32).astype(jnp.int8))
+            return make(key)
+        if name.endswith("/scale") and "norm" not in name and "ln" not in name:
+            return jnp.full(leaf.shape, 0.02 / 127.0, leaf.dtype)
+        if "norm" in name or "post_ln" in name or "/ln1/" in name or "/ln2/" in name:
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name.endswith("/bias"):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        make = jax.jit(lambda k: (0.02 * jax.random.normal(k, leaf.shape))
+                       .astype(leaf.dtype))
+        return make(key)
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(materialize, struct)
 
 
 def save_converted(params: dict, path: str) -> None:
