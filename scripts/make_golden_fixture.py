@@ -67,18 +67,13 @@ def record_torch(checkpoint: str, adapter: str | None) -> dict:
         "debug_data + layer-0 hidden states)")
 
 
-def record_aha(checkpoint: str) -> dict:
-    import jax
+def _record_traces(params, cfg, tok, frames) -> dict:
+    """Shared trace recorder: per-frame score traces (per-frame + fused
+    product width), sequential + speculative generation, rendered ids."""
+    import numpy as np
 
-    from aha_tpu import config as C
-    from aha_tpu.models import aha
     from aha_tpu.config import InferConfig
     from aha_tpu.streaming.session import build_session
-
-    cfg = C.aha_7b().replace(dtype="bfloat16")
-    params, cfg, tok = aha.build_model_and_tokenizer(
-        cfg, tokenizer_pretrained=checkpoint, weights_path=checkpoint)
-    frames = fixed_frames()
 
     def score_trace(width: int):
         icfg = InferConfig(grounding_mode=True, frame_fps=1.0,
@@ -111,7 +106,7 @@ def record_aha(checkpoint: str) -> dict:
 
     ids = tok.apply_chat_template(
         [{"role": "system", "content": SYSTEM},
-         {"role": "stream", "num_frames": N_FRAMES}])
+         {"role": "stream", "num_frames": frames.shape[0]}])
     return {
         "frames": frames,
         "ids": np.asarray(ids, np.int32),
@@ -128,18 +123,136 @@ def record_aha(checkpoint: str) -> dict:
     }
 
 
+def record_aha(checkpoint: str, preset: str = "7b") -> dict:
+    import json
+    import os
+
+    from aha_tpu import config as C
+    from aha_tpu.models import aha
+
+    if preset == "tiny":
+        # rehearsal scale (scripts/rehearse_real_weights.py): the tiny
+        # preset sized to the checkpoint's own vocab
+        vocab = None
+        cfg_path = os.path.join(checkpoint, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                vocab = json.load(f).get("vocab_size")
+        cfg = C.aha_tiny(**({"vocab_size": vocab} if vocab else {}))
+    else:
+        cfg = C.aha_7b().replace(dtype="bfloat16")
+    params, cfg, tok = aha.build_model_and_tokenizer(
+        cfg, tokenizer_pretrained=checkpoint, weights_path=checkpoint)
+    rng = np.random.default_rng(SEED)
+    frames = rng.integers(0, 255, (N_FRAMES, cfg.frame_resolution,
+                                   cfg.frame_resolution, 3), dtype=np.uint8)
+    return _record_traces(params, cfg, tok, frames)
+
+
+def record_tiny() -> dict:
+    """Mode `tiny`: a seeded tiny-preset fixture that needs NO weights and
+    NO network — pinned numeric outputs of the deterministic build path
+    (aha.build_model_and_tokenizer(seed=0)) on fixed inputs, recorded on
+    CPU. Catches cross-version / XLA numeric drift that the live
+    torch-oracle tests (which re-derive expectations each run)
+    structurally cannot (VERDICT r4 weak #6). Replayed in the FAST tier:
+    tests/test_golden_fixture.py::test_golden_tiny_fixture."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from aha_tpu.config import aha_tiny
+    from aha_tpu.models import aha
+
+    cfg = aha_tiny()
+    params, cfg, tok = aha.build_model_and_tokenizer(cfg, seed=0)
+    rng = np.random.default_rng(SEED)
+    frames = rng.integers(0, 255, (N_FRAMES, cfg.frame_resolution,
+                                   cfg.frame_resolution, 3), dtype=np.uint8)
+    return _record_traces(params, cfg, tok, frames)
+
+
+def record_chip7b() -> dict:
+    """Mode `chip7b`: the on-chip 7B int8 drift fixture — bench's seeded
+    random int8 params (bench._random_params, deterministic leaf-wise
+    PRNG), fixed frames, recorded ON THE TPU. Replaying it on a future
+    chip/XLA/jax version detects numeric drift in the deployed compute
+    path (bf16 MXU + int8 dequant) at product shapes. Replay with
+    --check; tests skip it off-chip."""
+    import bench
+    from aha_tpu.models import aha  # noqa: F401  (package init)
+
+    engine, cfg = bench.build("7b-int8")
+    params = engine.params
+    from aha_tpu.tokenization import build_stream_tokenizer
+
+    tok = build_stream_tokenizer(frame_num_tokens=cfg.frame_num_tokens,
+                                 vocab_size=cfg.llm.vocab_size)
+    del engine
+    return _record_traces(params, cfg, tok, fixed_frames())
+
+
+DEFAULT_OUT = {
+    "torch": "tests/fixtures/golden_7b.npz",
+    "aha": "tests/fixtures/golden_7b.npz",
+    "tiny": "tests/fixtures/golden_tiny_cpu.npz",
+    "chip7b": "tests/fixtures/golden_7b_int8_chip.npz",
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["torch", "aha"], required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=["torch", "aha", "tiny", "chip7b"],
+                    required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="required for --mode torch/aha")
+    ap.add_argument("--preset", default="7b", choices=["7b", "tiny"],
+                    help="model preset for --mode aha (tiny = the "
+                         "REAL_WEIGHTS rehearsal scale)")
     ap.add_argument("--adapter", default=None)
-    ap.add_argument("--out", default="tests/fixtures/golden_7b.npz")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--check", action="store_true",
+                    help="re-record and compare against the existing .npz "
+                         "instead of writing (drift check)")
     args = ap.parse_args()
-    rec = (record_torch(args.checkpoint, args.adapter) if args.mode == "torch"
-           else record_aha(args.checkpoint))
-    pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(args.out, **rec)
-    print(f"wrote {args.out}")
+    out = args.out or DEFAULT_OUT[args.mode]
+    if args.mode == "torch":
+        rec = record_torch(args.checkpoint, args.adapter)
+    elif args.mode == "aha":
+        assert args.checkpoint, "--checkpoint required for --mode aha"
+        if args.preset == "tiny":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        rec = record_aha(args.checkpoint, preset=args.preset)
+    elif args.mode == "tiny":
+        rec = record_tiny()
+    else:
+        rec = record_chip7b()
+    if args.mode == "chip7b":
+        # frames are recomputable from SEED; 3.5 MB of incompressible
+        # random pixels stays out of git — integrity pinned by hash
+        import hashlib
+
+        rec["frames_sha256"] = np.asarray(
+            hashlib.sha256(rec.pop("frames").tobytes()).hexdigest())
+    if args.check:
+        old = np.load(out, allow_pickle=False)
+        atol = 1e-4 if args.mode == "tiny" else 2e-2
+        np.testing.assert_array_equal(old["ids"], rec["ids"])
+        np.testing.assert_allclose(rec["scores"], old["scores"],
+                                   atol=atol, rtol=5e-2)
+        np.testing.assert_allclose(rec["scores_fused4"], old["scores_fused4"],
+                                   atol=atol, rtol=5e-2)
+        assert list(rec["gen_texts_seq"]) == list(old["gen_texts_seq"]), \
+            "sequential generation drifted"
+        assert list(rec["gen_texts_spec"]) == list(old["gen_texts_spec"]), \
+            "speculative generation drifted"
+        print(f"{out}: no drift (atol={atol})")
+        return
+    pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out, **rec)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
