@@ -126,6 +126,18 @@ def simulate(streams, policy, budget):
             else:
                 if kind == "linear":
                     branches = draft_candidates(hist, carry, n_draft, 1)
+                elif kind == "plus":
+                    # budget-EXTENSION tree: the full-length linear
+                    # primary plus nb extra single-token alternative
+                    # roots — n_draft + nb slots total. Models "verify
+                    # rows are ~free below the compute crossover": the
+                    # primary never shrinks, alternates only rescue a
+                    # rejected first draft (committing exactly 1 extra
+                    # token; a deeper rescue would need its own tail).
+                    branches = draft_candidates(hist, carry, n_draft,
+                                                nb + 1)
+                    branches = ([branches[0]]
+                                + [b[:1] for b in branches[1:]])
                 else:
                     # slot-budget-honest split: nb branches totalling
                     # n_draft slots, leftovers extend branch 1
@@ -138,9 +150,9 @@ def simulate(streams, policy, budget):
                 best = max(_prefix_match(b, truth) for b in branches)
                 if truth and m0 == 0:
                     rejects += 1
-                    if any(b[0] == truth[0] for b in branches[1:]):
+                    if any(b and b[0] == truth[0] for b in branches[1:]):
                         headroom += 1
-                adv = 1 + (best if kind == "tree" else m0)
+                adv = 1 + (best if kind in ("tree", "plus") else m0)
             adv = min(adv, n - i)
             hist.extend(gen[i:i + adv])
             i += adv
@@ -231,6 +243,7 @@ def main():
                 (f"linear-{budget}", ("linear", 1)),
                 (f"tree2-{budget}", ("tree", 2)),
                 (f"tree3-{budget}", ("tree", 3)),
+                (f"plus2-{budget}", ("plus", 2)),
                 (f"oracle-{budget}", ("oracle", 1))):
             p, c, hr, rej = simulate(streams, pol, budget)
             rows.append({
