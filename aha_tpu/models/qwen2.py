@@ -27,6 +27,10 @@ import jax.numpy as jnp
 from aha_tpu.config import QwenConfig
 from aha_tpu.ops import attention
 from aha_tpu.ops.attention import cached_attention, causal_attention
+
+# LoRA dropout mask generator: "rbg" (hardware RNG, default — see
+# _ab_delta) | "threefry" (the pre-round-5 path, kept for A/B)
+_DROPOUT_RNG_IMPL = os.environ.get("AHA_DROPOUT_RNG", "rbg")
 from aha_tpu.ops.rope import rope_cos_sin
 from aha_tpu.ops.kv_cache import (
     CachePolicy,
@@ -122,10 +126,26 @@ def _ab_delta(x, ab: dict, lora_scale, layer, dropout_rate: float = 0.0):
     dropout_rate > 0 with an "rng" leaf in `ab` (train-time only — see
     forward_hidden) applies inverted dropout to the ADAPTER INPUT, the
     reference's peft `lora_dropout=0.05` semantics (one independent mask
-    per projection per layer per step; the frozen base path never sees it)."""
+    per projection per layer per step; the frozen base path never sees it).
+
+    Mask bits come from the hardware RNG (`rbg` impl) rather than
+    threefry: the masks cover ~1e9 elements per 7B step (7 projection
+    sites x [B, T, H-or-I] x 28 layers, REGENERATED in the remat'd
+    backward), and threefry computes them on the MXU-starved vector
+    units — measured 122 ms of a 512 ms B=1 T=926 QLoRA step (+31%,
+    scripts/perf/qlora_7b_train_step.py --no_dropout A/B, BASELINE.md
+    round 5). The per-site raw key still derives from the threefry
+    chain (seed, step, projection, layer), so masks stay deterministic
+    and independent per site; only the bitstream generator changes —
+    dropout needs no cryptographic stream. AHA_DROPOUT_RNG=threefry
+    restores the old path for A/B."""
     if dropout_rate > 0.0 and "rng" in ab:
         keep = 1.0 - dropout_rate
-        mask = jax.random.bernoulli(_idx(ab["rng"], layer), keep, x.shape)
+        k = _idx(ab["rng"], layer)                    # [2] u32 raw key
+        if _DROPOUT_RNG_IMPL == "rbg":
+            k = jax.random.wrap_key_data(
+                jnp.concatenate([k, k]), impl="rbg")  # [4] u32 key data
+        mask = jax.random.bernoulli(k, keep, x.shape)
         x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
     return (lora_scale * jnp.einsum(
         "...r,ro->...o",
