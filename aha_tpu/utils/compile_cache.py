@@ -8,7 +8,7 @@ new process, scripts/inference/*.sh) into compile marathons.
 
 JAX ships a persistent on-disk cache keyed by (HLO, compiler flags,
 topology); enabling it makes the second process's compile a disk read.
-`enable()` is called by every CLI entry (aha_tpu/cli.py) and by bench.py:
+`enable()` is called by every CLI entry (aha_tpu/cli/) and by bench.py:
 
   * cache dir: $AHA_COMPILE_CACHE_DIR, else ~/.cache/aha_tpu/xla
   * disable with AHA_COMPILE_CACHE=0
